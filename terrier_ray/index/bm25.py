@@ -1,0 +1,264 @@
+"""BM25 retrieval over the built index: exact TAAT and Block-Max WAND DAAT.
+
+Scoring formula (pinned; the pure-Python oracle re-implements it
+independently in terrier_ray/index/oracle.py):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    wd(t, d) = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    score    = sum over unique query terms (first-occurrence order) idf * wd
+    k1 = 1.2, b = 0.75 (classic defaults)
+
+Rank order: score descending, docid ascending on ties.  Float64 everywhere;
+per-doc accumulation happens in query-term order in BOTH paths, so scores are
+bit-identical to the oracle's scalar loop (IEEE-754 determinism).
+
+Reference analogs: IndexScan / IndexNLJoin (posting lookup,
+/root/reference/src/execution/compiler/operator/index_scan_translator.cpp),
+top-k bounded heap (/root/reference/src/execution/sql/sorter.cpp:424-430).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from terrier_ray.index.build import BLOCK_SIZE, decode_final_postings, term_hash
+from terrier_ray.text.tokenize import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _query_terms(text: str) -> list[str]:
+    """Unique query tokens, first-occurrence order (qtf ignored)."""
+    seen: dict[str, None] = {}
+    for t in tokenize(text):
+        seen.setdefault(t)
+    return list(seen)
+
+
+class BM25Index:
+    """Query-side index handle: loads stats + doclens once, reads posting
+    buckets lazily with parquet predicate pushdown, caches per-term postings.
+
+    Doclens come from the corpus parquet with COLUMN PRUNING (docid, dl only).
+    Scale path: at 1e12 docs doclens shard by docid range and scorer actors
+    hold only their shard — here one node holds all (documented tradeoff).
+    """
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+        self.num_buckets = self.stats["num_buckets"]
+        self.postings_dir = os.path.join(index_dir, "postings")
+        corpus = pads.dataset(os.path.join(index_dir, "corpus"))
+        t = corpus.to_table(columns=["docid", "dl"])
+        d = t.column("docid").to_numpy(zero_copy_only=False)
+        l = t.column("dl").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        self._dl_docids = d[order]
+        self._dl = l[order].astype(np.float64)
+        self._cache: dict[str, tuple | None] = {}
+
+    def doc_len(self, docids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._dl_docids, docids.astype(np.int64))
+        return self._dl[idx]
+
+    def lookup(self, terms: list[str]):
+        """Fetch posting rows for terms (grouped per bucket, one read each).
+
+        Returns {term: (df, docids, tfs, block_last, block_max_wd) | None}.
+        """
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            th = term_hash(np.asarray(missing, dtype=object))
+            by_bucket: dict[int, list[str]] = {}
+            for t, h in zip(missing, th):
+                by_bucket.setdefault(int(h % self.num_buckets), []).append(t)
+            for bucket, ts in by_bucket.items():
+                path = os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet")
+                found: dict[str, tuple] = {}
+                if os.path.exists(path):
+                    tab = pq.read_table(path, filters=[("term", "in", ts)])
+                    for i in range(tab.num_rows):
+                        term = tab.column("term")[i].as_py()
+                        dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
+                        bl = np.frombuffer(tab.column("block_last")[i].as_py(), dtype="<u8")
+                        bm = np.frombuffer(tab.column("block_max_wd")[i].as_py(), dtype="<f4")
+                        found[term] = (int(tab.column("df")[i].as_py()), dids, tfs, bl, bm)
+                for t in ts:
+                    self._cache[t] = found.get(t)
+        return {t: self._cache[t] for t in terms}
+
+    # ------------------------------------------------------------------
+    # exact term-at-a-time scoring (vectorized; the bench default)
+    # ------------------------------------------------------------------
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = _query_terms(query)
+        post = self.lookup(terms)
+        chunks_d, chunks_c = [], []
+        for t in terms:
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, _, _ = p
+            dl = self.doc_len(dids)
+            tf = tfs.astype(np.float64)
+            contrib = idf(self.n_docs, df) * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            )
+            chunks_d.append(dids.astype(np.int64))
+            chunks_c.append(contrib)
+        if not chunks_d:
+            return []
+        all_d = np.concatenate(chunks_d)
+        all_c = np.concatenate(chunks_c)
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)  # element order == query-term order
+        kk = min(k, len(uniq))
+        # full (score desc, docid asc) ordering — exact even under score ties;
+        # candidate sets are bounded by query-term df (BMW is the huge-df path)
+        order = np.lexsort((uniq, -acc))[:kk]
+        return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    # ------------------------------------------------------------------
+    # Block-Max WAND document-at-a-time (the scale path for huge indexes)
+    # ------------------------------------------------------------------
+
+    def search_bmw(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = _query_terms(query)
+        post = self.lookup(terms)
+        cursors = []
+        for t in terms:
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, bl, bm = p
+            w = idf(self.n_docs, df)
+            cursors.append(
+                {
+                    "order": len(cursors),
+                    "dids": dids.astype(np.int64),
+                    "tfs": tfs,
+                    "bl": bl.astype(np.int64),
+                    "bm": bm.astype(np.float64),
+                    "idf": w,
+                    "ub": w * float(bm.max()) if len(bm) else 0.0,
+                    "pos": 0,
+                }
+            )
+        if not cursors:
+            return []
+        # heap of (score, -docid) so the weakest (lowest score, largest docid
+        # on ties) sits at the top — matches score desc / docid asc ranking.
+        import heapq
+
+        heap: list[tuple[float, int]] = []
+        threshold = -math.inf
+
+        def exhausted(c):
+            return c["pos"] >= len(c["dids"])
+
+        live = [c for c in cursors if not exhausted(c)]
+        while live:
+            live.sort(key=lambda c: c["dids"][c["pos"]])
+            # find pivot: smallest prefix whose UB sum exceeds threshold
+            ub_sum, pivot = 0.0, None
+            for i, c in enumerate(live):
+                ub_sum += c["ub"]
+                if ub_sum > threshold:
+                    pivot = i
+                    break
+            if pivot is None:
+                break
+            pivot_doc = int(live[pivot]["dids"][live[pivot]["pos"]])
+            if int(live[0]["dids"][live[0]["pos"]]) == pivot_doc:
+                # block-max refinement check
+                block_ub = 0.0
+                for c in live[: pivot + 1]:
+                    bi = np.searchsorted(c["bl"], pivot_doc)
+                    if bi < len(c["bm"]) and c["dids"][c["pos"]] <= pivot_doc:
+                        block_ub += c["idf"] * c["bm"][bi]
+                if block_ub > threshold:
+                    score = self._score_doc(pivot_doc, terms, post)
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                        if len(heap) == k:
+                            threshold = heap[0][0]
+                    elif (score, -pivot_doc) > heap[0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
+                        threshold = heap[0][0]
+                for c in live:
+                    if int(c["dids"][c["pos"]]) == pivot_doc:
+                        c["pos"] += 1
+            else:
+                # advance the earliest cursor past pivot_doc - 1
+                c = live[0]
+                c["pos"] = int(np.searchsorted(c["dids"], pivot_doc, side="left"))
+            live = [c for c in live if not exhausted(c)]
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-d, s) for s, d in out]
+
+    def _score_doc(self, docid: int, terms: list[str], post: dict) -> float:
+        """Exact score of one doc, accumulated in query-term order."""
+        dl = float(self.doc_len(np.asarray([docid]))[0])
+        score = 0.0
+        for t in terms:
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, _, _ = p
+            i = np.searchsorted(dids, np.uint64(docid))
+            if i < len(dids) and dids[i] == np.uint64(docid):
+                tf = float(tfs[i])
+                score += idf(self.n_docs, df) * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+        return score
+
+
+class BM25Scorer:
+    """Actor-pool map_batches stage: queries (query_id, text) → top-k rows.
+
+    Index loaded ONCE per actor (__init__); per batch it scores each query
+    and emits (query_id, rank, docid, score).
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, use_bmw: bool = False):
+        self.index = BM25Index(index_dir)
+        self.k = k
+        self.use_bmw = use_bmw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        search = self.index.search_bmw if self.use_bmw else self.index.search
+        for qid, text in zip(
+            batch.column("query_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for rank, (d, s) in enumerate(search(text, self.k), start=1):
+                qids.append(qid)
+                ranks.append(rank)
+                docids.append(d)
+                scores.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int32()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "docid": pa.array(docids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,562 @@
+"""Inverted-index build: the CREATE INDEX analog, Ray-Data-first.
+
+Three resumable epochs (terrier_ray.state.manifest), each a streaming Ray
+Data pipeline; a killed run restarts from the last completed epoch:
+
+1. ``corpus``   read webtext → HtmlExtractor → Tokenizer → url-dedup
+                (keep latest warc_ts) → tokenized corpus parquet
+                ``(docid, warc_ts, dl, terms, tfs)``.
+2. ``stats``    global N/avgdl (tiny aggregate) + heavy-hitter term detection
+                from a file-sample (the ANALYZE analog,
+                /root/reference/src/execution/compiler/operator/analyze_translator.cpp).
+3. ``postings`` explode to (term, docid, tf, dl) → salted pkey shuffle →
+                per-partition segment encode → bucket shuffle → final merge →
+                per-bucket posting parquet with block-max metadata.
+
+The two-level merge IS the reference's partitioned-aggregation pattern
+(thread-local tables → radix overflow partitions → per-partition merge,
+/root/reference/src/execution/sql/aggregation_hash_table.cpp:647-769) at
+cluster scale, with explicit Zipf-skew mitigation: heavy terms are salted
+into ``num_salts`` sub-postings merged in the (small) second shuffle.
+
+Scale notes (100 TB / 1e12 docs): docids here are 63-bit url hashes — a real
+deployment would widen to 128-bit to keep collision odds negligible;
+``num_pkeys``/``num_buckets`` scale with cluster size (they bound per-group
+memory in the two shuffles); the corpus epoch output is partitioned parquet
+so the postings epoch re-reads it with column pruning instead of holding it
+in the object store.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from terrier_ray.extract.html import HtmlExtractor
+from terrier_ray.index.codec import (
+    delta_decode,
+    delta_encode,
+    varbyte_decode,
+    varbyte_encode,
+)
+from terrier_ray.state.manifest import epoch_done, finish_epoch
+from terrier_ray.text.tokenize import Tokenizer
+
+K1 = 1.2
+B = 0.75
+BLOCK_SIZE = 128
+
+
+def term_hash(terms: np.ndarray) -> np.ndarray:
+    """Stable 63-bit hash per term (blake2b; loop over UNIQUE terms only)."""
+    out = np.empty(len(terms), dtype=np.int64)
+    mask = (1 << 63) - 1
+    for i, t in enumerate(terms):
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") & mask
+    return out
+
+
+def _input_fingerprint(path: str, extra: dict | None = None) -> dict:
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return {
+        "path": path,
+        "files": [[os.path.basename(f), os.path.getsize(f)] for f in files],
+        **(extra or {}),
+    }
+
+
+# ---------------------------------------------------------------------------
+# epoch 1: corpus
+# ---------------------------------------------------------------------------
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    """Keep one row per docid: max (warc_ts, dl). Vectorized within partition."""
+    docid = group.column("docid").to_numpy(zero_copy_only=False)
+    ts = group.column("warc_ts").to_numpy(zero_copy_only=False).astype("int64")
+    dl = group.column("dl").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dl, ts, docid))  # winners are last within each docid run
+    sorted_docid = docid[order]
+    is_last = np.concatenate((sorted_docid[1:] != sorted_docid[:-1], [True]))
+    keep = order[is_last]
+    return group.take(pa.array(np.sort(keep)))
+
+
+_EXTRACTOR = HtmlExtractor()
+_TOKENIZER = Tokenizer()
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    return _EXTRACTOR(batch)
+
+
+def _tokenize_batch(batch: pa.Table) -> pa.Table:
+    return _TOKENIZER(batch)
+
+
+def build_corpus(
+    webtext_path: str,
+    corpus_dir: str,
+    *,
+    batch_size: int = 512,
+    dedup_partitions: int = 32,
+):
+    """Extract + tokenize + dedup.
+
+    Extraction/tokenization state is module-level compiled regexes, so these
+    run as STATELESS task stages (elastic, no CPU reservation) rather than
+    actor pools — actor pools here would reserve every core on small nodes
+    and starve the read/shuffle tasks.  Actor pools are reserved for stages
+    with genuinely heavy per-worker state (BM25Scorer loads the index).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(webtext_path)
+    ds = ds.map_batches(
+        _extract_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        _tokenize_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+    def add_dkey(batch: pa.Table) -> pa.Table:
+        d = batch.column("docid").to_numpy(zero_copy_only=False)
+        return batch.append_column("dkey", pa.array((d % dedup_partitions).astype(np.int32)))
+
+    ds = ds.map_batches(add_dkey, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.groupby("dkey").map_groups(_dedup_group, batch_format="pyarrow")
+    ds = ds.drop_columns(["dkey"])
+    ds.write_parquet(corpus_dir)
+
+
+# ---------------------------------------------------------------------------
+# epoch 2: stats + heavy-hitter detection
+# ---------------------------------------------------------------------------
+
+
+def compute_stats(
+    corpus_dir: str,
+    stats_path: str,
+    *,
+    num_buckets: int,
+    num_salts: int,
+    sample_files: int = 2,
+    heavy_min_df: int | None = None,
+):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(corpus_dir, columns=["docid", "dl"])
+    agg = ds.aggregate(Count(), Sum("dl"))
+    n_docs = int(agg["count()"])
+    total_dl = int(agg["sum(dl)"] or 0)
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+
+    # heavy-hitter detection from a file sample: per-batch partial df counts
+    # (each term appears once per doc in `terms`) → small groupby → threshold.
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    sample = files[: max(1, min(sample_files, len(files)))]
+    sampled_rows = sum(pq.read_metadata(f).num_rows for f in sample)
+    frac = sampled_rows / max(1, n_docs)
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        terms = batch.column("terms").combine_chunks()
+        flat = terms.flatten() if isinstance(terms, pa.ListArray) else terms.chunk(0).flatten()
+        arr = np.asarray(flat.to_pylist(), dtype=object)
+        uniq, counts = np.unique(arr, return_counts=True) if len(arr) else (np.empty(0, object), np.empty(0, np.int64))
+        return pa.table({"term": pa.array(uniq.tolist(), type=pa.string()), "c": pa.array(counts)})
+
+    sample_ds = rd.read_parquet(sample, columns=["terms"])
+    df_ds = sample_ds.map_batches(partial_df, batch_format="pyarrow").groupby("term").aggregate(Sum("c", alias_name="df_est"))
+    df_tab = df_ds.to_pandas()
+
+    if heavy_min_df is None:
+        heavy_min_df = max(1000, int(0.01 * n_docs))
+    est = df_tab["df_est"] / max(frac, 1e-9)
+    heavy = sorted(df_tab.loc[est >= heavy_min_df, "term"].tolist())
+
+    stats = {
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+        "avgdl": avgdl,
+        "k1": K1,
+        "b": B,
+        "block_size": BLOCK_SIZE,
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "heavy_terms": heavy,
+        "heavy_min_df": heavy_min_df,
+        "sample_frac": frac,
+    }
+    os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+    with open(stats_path + ".tmp", "w") as f:
+        json.dump(stats, f)
+    os.replace(stats_path + ".tmp", stats_path)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# epoch 3: postings
+# ---------------------------------------------------------------------------
+
+
+def _wd(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """BM25 doc-dependent weight, float64 (same expression as scoring/oracle)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _wd_upper_f32(wd64: np.ndarray) -> np.ndarray:
+    """float32 upper bound of float64 weights (never rounds below true value)."""
+    w32 = wd64.astype(np.float32)
+    low = w32.astype(np.float64) < wd64
+    w32[low] = np.nextafter(w32[low], np.float32(np.inf))
+    return w32
+
+
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _get_broadcast(ref):
+    """ray.get a broadcast ObjectRef once per worker process (cached)."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+class _Exploder:
+    """Corpus row → posting rows (term, docid, tf, dl, pkey), salted.
+
+    Heavy terms get salt = docid % num_salts so no single shuffle group holds
+    a full heavy posting list; light terms use salt 0.  pkey mixes term hash
+    and salt; bucket (final layout) derives from term hash alone.  Runs as a
+    stateless task stage; the heavy-term set is broadcast via ray.put and
+    fetched once per worker process.
+    """
+
+    def __init__(self, heavy_ref, num_salts: int, num_pkeys: int):
+        heavy = _get_broadcast(heavy_ref) if heavy_ref is not None else []
+        self.heavy = np.asarray(sorted(heavy), dtype=object)
+        self.num_salts = num_salts
+        self.num_pkeys = num_pkeys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        terms_col = batch.column("terms")
+        if isinstance(terms_col, pa.ChunkedArray):
+            terms_col = terms_col.chunk(0)
+        tfs_col = batch.column("tfs")
+        if isinstance(tfs_col, pa.ChunkedArray):
+            tfs_col = tfs_col.chunk(0)
+        counts = np.diff(terms_col.offsets.to_numpy())
+        flat_terms = np.asarray(terms_col.flatten().to_pylist(), dtype=object)
+        flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+        docid = np.repeat(batch.column("docid").to_numpy(zero_copy_only=False), counts)
+        dl = np.repeat(batch.column("dl").to_numpy(zero_copy_only=False), counts).astype(np.int32)
+
+        uniq, inverse = np.unique(flat_terms, return_inverse=True) if len(flat_terms) else (np.empty(0, object), np.empty(0, np.int64))
+        uh = term_hash(uniq)
+        th = uh[inverse] if len(flat_terms) else np.empty(0, np.int64)
+        is_heavy_u = np.isin(uniq, self.heavy) if len(self.heavy) else np.zeros(len(uniq), bool)
+        is_heavy = is_heavy_u[inverse] if len(flat_terms) else np.empty(0, bool)
+        salt = np.where(is_heavy, (docid % self.num_salts).astype(np.int64), 0)
+        pkey = ((th % self.num_pkeys) * self.num_salts + salt) % (self.num_pkeys * self.num_salts)
+        return pa.table(
+            {
+                "term": pa.array(flat_terms.tolist(), type=pa.string()),
+                "term_h": pa.array(th),
+                "docid": pa.array(docid),
+                "tf": pa.array(flat_tfs),
+                "dl": pa.array(dl),
+                "pkey": pa.array(pkey.astype(np.int32)),
+            }
+        )
+
+
+def _make_segments(avgdl: float):
+    """Per-pkey-partition vectorized segment encoder (stage 1 of the merge)."""
+
+    def build_segments(group: pa.Table) -> pa.Table:
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        th = group.column("term_h").to_numpy(zero_copy_only=False)
+        docid = group.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        dl = group.column("dl").to_numpy(zero_copy_only=False)
+        uniq, inverse = np.unique(term, return_inverse=True)
+        order = np.lexsort((docid, inverse))
+        inv_s, did_s, tf_s, dl_s = inverse[order], docid[order], tf[order], dl[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1, [len(inv_s)]))
+        wd64 = _wd(tf_s, dl_s, avgdl)
+        w32 = _wd_upper_f32(wd64)
+        th_by_uniq = np.empty(len(uniq), dtype=np.int64)
+        th_by_uniq[inv_s[starts[:-1]]] = th[order][starts[:-1]]
+        out_term, out_th, out_n, out_cf = [], [], [], []
+        out_did, out_tf, out_wd = [], [], []
+        for i in range(len(uniq)):
+            s, e = starts[i], starts[i + 1]
+            out_term.append(uniq[i])
+            out_th.append(th_by_uniq[i])
+            out_n.append(e - s)
+            out_cf.append(int(tf_s[s:e].sum()))
+            out_did.append(varbyte_encode(delta_encode(did_s[s:e])))
+            out_tf.append(varbyte_encode(tf_s[s:e].astype(np.uint64) - np.uint64(1)))
+            out_wd.append(w32[s:e].tobytes())
+        return pa.table(
+            {
+                "term": pa.array(list(out_term), type=pa.string()),
+                "term_h": pa.array(out_th, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "cf": pa.array(out_cf, type=pa.int64()),
+                "docids_enc": pa.array(out_did, type=pa.binary()),
+                "tfs_enc": pa.array(out_tf, type=pa.binary()),
+                "wd_enc": pa.array(out_wd, type=pa.binary()),
+            }
+        )
+
+    return build_segments
+
+
+def _make_final_merger(postings_dir: str, num_buckets: int):
+    """Per-bucket merge of salted segments → final encoded posting lists.
+
+    Writes ``bucket-%05d.parquet`` atomically (tmp + rename → idempotent under
+    Ray task retry) and returns one metrics row per bucket.
+    """
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        uniq, inverse = np.unique(term, return_inverse=True)
+        n_arr = group.column("n").to_numpy(zero_copy_only=False)
+        cf_arr = group.column("cf").to_numpy(zero_copy_only=False)
+        did_bin = group.column("docids_enc").to_pylist()
+        tf_bin = group.column("tfs_enc").to_pylist()
+        wd_bin = group.column("wd_enc").to_pylist()
+        order = np.argsort(inverse, kind="stable")
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(inverse[order])) + 1, [len(order)])
+        )
+        rows_term, rows_df, rows_cf = [], [], []
+        rows_post, rows_bl, rows_bm = [], [], []
+        total_postings = 0
+        for i in range(len(uniq)):
+            seg_idx = order[starts[i] : starts[i + 1]]
+            dids = np.concatenate([delta_decode(varbyte_decode(did_bin[j])) for j in seg_idx])
+            tfs = np.concatenate([varbyte_decode(tf_bin[j]) + np.uint64(1) for j in seg_idx])
+            wds = np.concatenate([np.frombuffer(wd_bin[j], dtype=np.float32) for j in seg_idx])
+            if len(seg_idx) > 1:
+                o = np.argsort(dids, kind="stable")
+                dids, tfs, wds = dids[o], tfs[o], wds[o]
+            df = len(dids)
+            total_postings += df
+            block_starts = np.arange(0, df, BLOCK_SIZE)
+            block_last = dids[np.minimum(block_starts + BLOCK_SIZE - 1, df - 1)]
+            block_max = np.maximum.reduceat(wds, block_starts)
+            rows_term.append(uniq[i])
+            rows_df.append(df)
+            rows_cf.append(int(cf_arr[seg_idx].sum()))
+            rows_post.append(
+                varbyte_encode(delta_encode(dids)) if df else b""
+            )
+            rows_bl.append(block_last.astype("<u8").tobytes())
+            rows_bm.append(block_max.astype("<f4").tobytes())
+            # tfs stored alongside docids in one container for locality
+            rows_post[-1] = (
+                np.uint32(len(rows_post[-1])).tobytes()
+                + rows_post[-1]
+                + varbyte_encode(tfs - np.uint64(1))
+            )
+        out = pa.table(
+            {
+                "term": pa.array(list(rows_term), type=pa.string()),
+                "df": pa.array(rows_df, type=pa.int64()),
+                "cf": pa.array(rows_cf, type=pa.int64()),
+                "postings": pa.array(rows_post, type=pa.binary()),
+                "block_last": pa.array(rows_bl, type=pa.binary()),
+                "block_max_wd": pa.array(rows_bm, type=pa.binary()),
+            }
+        )
+        os.makedirs(postings_dir, exist_ok=True)
+        final = os.path.join(postings_dir, f"bucket-{bucket:05d}.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, final)
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "n_terms": pa.array([len(uniq)], type=pa.int64()),
+                "n_postings": pa.array([total_postings], type=pa.int64()),
+                "file": pa.array([final], type=pa.string()),
+            }
+        )
+
+    return merge_bucket
+
+
+def decode_final_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a final posting row's ``postings`` binary → (docids, tfs)."""
+    b = memoryview(buf)
+    did_len = int(np.frombuffer(b[0:4], dtype=np.uint32)[0])
+    dids = delta_decode(varbyte_decode(b[4 : 4 + did_len]))
+    tfs = varbyte_decode(b[4 + did_len :]) + np.uint64(1)
+    return dids, tfs
+
+
+def build_postings(
+    corpus_dir: str,
+    postings_dir: str,
+    stats: dict,
+    *,
+    num_pkeys: int = 32,
+):
+    import ray
+    import ray.data as rd
+
+    num_salts = stats["num_salts"]
+    num_buckets = stats["num_buckets"]
+    heavy_ref = ray.put(stats["heavy_terms"])
+    exploder_cfg = (heavy_ref, num_salts, num_pkeys)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return _Exploder(*exploder_cfg)(batch)
+
+    ds = rd.read_parquet(corpus_dir, columns=["docid", "dl", "terms", "tfs"])
+    ds = ds.map_batches(
+        explode,
+        batch_format="pyarrow",
+        batch_size=1024,
+        zero_copy_batch=True,
+    )
+    segments = ds.groupby("pkey").map_groups(
+        _make_segments(stats["avgdl"]), batch_format="pyarrow"
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        th = batch.column("term_h").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((th % num_buckets).astype(np.int32))
+        )
+
+    segments = segments.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    metrics = segments.groupby("bucket").map_groups(
+        _make_final_merger(postings_dir, num_buckets), batch_format="pyarrow"
+    )
+    return metrics.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    webtext_path: str,
+    out_dir: str,
+    *,
+    num_pkeys: int = 32,
+    num_buckets: int = 16,
+    num_salts: int = 4,
+    heavy_min_df: int | None = None,
+    batch_size: int = 512,
+    force: bool = False,
+) -> dict:
+    """Build (or resume building) a BM25 index at ``out_dir``.
+
+    Returns the stats dict (n_docs, avgdl, …) plus per-epoch wall times.
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    postings_dir = os.path.join(out_dir, "postings")
+    stats_path = os.path.join(out_dir, "stats.json")
+    params = {
+        "num_pkeys": num_pkeys,
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "heavy_min_df": heavy_min_df,
+    }
+    fp_in = _input_fingerprint(webtext_path)
+    timings: dict[str, float] = {}
+
+    # epoch 1: corpus
+    if force or not epoch_done(out_dir, "corpus", fp_in):
+        t0 = time.perf_counter()
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        build_corpus(webtext_path, corpus_dir, batch_size=batch_size)
+        wall = time.perf_counter() - t0
+        outputs = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+        n_rows = sum(pq.read_metadata(f).num_rows for f in outputs)
+        finish_epoch(out_dir, "corpus", fp_in, outputs, {"rows": n_rows}, wall)
+        timings["corpus_s"] = wall
+
+    # epoch 2: stats
+    fp_corpus = _input_fingerprint(corpus_dir, {"params": params})
+    if force or not epoch_done(out_dir, "stats", fp_corpus):
+        t0 = time.perf_counter()
+        stats = compute_stats(
+            corpus_dir,
+            stats_path,
+            num_buckets=num_buckets,
+            num_salts=num_salts,
+            heavy_min_df=heavy_min_df,
+        )
+        wall = time.perf_counter() - t0
+        finish_epoch(
+            out_dir,
+            "stats",
+            fp_corpus,
+            [stats_path],
+            {"n_docs": stats["n_docs"], "heavy": len(stats["heavy_terms"])},
+            wall,
+        )
+        timings["stats_s"] = wall
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    # epoch 3: postings
+    fp_post = _input_fingerprint(corpus_dir, {"params": params, "stage": "postings"})
+    if force or not epoch_done(out_dir, "postings", fp_post):
+        t0 = time.perf_counter()
+        import shutil
+
+        shutil.rmtree(postings_dir, ignore_errors=True)
+        bucket_metrics = build_postings(
+            corpus_dir, postings_dir, stats, num_pkeys=num_pkeys
+        )
+        wall = time.perf_counter() - t0
+        outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))
+        bucket_metrics.to_parquet(os.path.join(out_dir, "bucket_metrics.parquet"))
+        finish_epoch(
+            out_dir,
+            "postings",
+            fp_post,
+            outputs,
+            {
+                "buckets": len(outputs),
+                "n_terms": int(bucket_metrics["n_terms"].sum()),
+                "n_postings": int(bucket_metrics["n_postings"].sum()),
+            },
+            wall,
+        )
+        timings["postings_s"] = wall
+
+    stats["timings"] = timings
+    return stats

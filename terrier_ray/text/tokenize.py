@@ -1,0 +1,83 @@
+"""Canonical tokenization — ONE definition shared by engine and oracles.
+
+Rule: lowercase the text, then tokens are maximal runs of ``[a-z0-9]`` (ASCII
+letters/digits; everything else is a separator).  Deterministic and cheap;
+matches the classic English IR tokenizer shape.
+
+``Tokenizer`` is the corpus stage: per doc it counts term frequencies
+(vectorized ``np.unique`` over the doc's token array) and emits
+``(docid, warc_ts, dl, terms:list<string>, tfs:list<int32>)`` — the
+tokenized-corpus representation the index build explodes into postings.
+Reference analog: per-thread build state in CREATE INDEX
+(/root/reference/src/execution/compiler/operator/index_create_translator.cpp:57-135).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from terrier_ray.datagen.webtext import url_doc_id
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """The canonical tokenizer (used verbatim by the BM25 oracle)."""
+    return TOKEN_RE.findall(text.lower())
+
+
+class Tokenizer:
+    """Actor-pool map_batches stage: (url, warc_ts, text) → tokenized docs.
+
+    Emits one row per input doc: docid (hash of url), warc_ts, dl (token
+    count), terms (sorted unique tokens), tfs (per-term counts).  Docs with
+    zero tokens are kept (dl=0, empty lists) so dedup/statistics see them.
+    """
+
+    def __init__(self) -> None:
+        self._re = TOKEN_RE  # compiled once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        texts = batch.column("text").to_pylist()
+        findall = self._re.findall
+        all_terms: list[np.ndarray] = []
+        all_tfs: list[np.ndarray] = []
+        dls = np.empty(len(texts), dtype=np.int32)
+        for i, t in enumerate(texts):
+            toks = findall(t.lower()) if t else []
+            dls[i] = len(toks)
+            if toks:
+                terms, tfs = np.unique(np.asarray(toks), return_counts=True)
+            else:
+                terms = np.empty(0, dtype=object)
+                tfs = np.empty(0, dtype=np.int64)
+            all_terms.append(terms)
+            all_tfs.append(tfs)
+        counts = np.array([len(t) for t in all_terms], dtype=np.int32)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        flat_terms = (
+            np.concatenate(all_terms) if len(all_terms) else np.empty(0, dtype=object)
+        )
+        flat_tfs = (
+            np.concatenate(all_tfs).astype(np.int32)
+            if len(all_tfs)
+            else np.empty(0, dtype=np.int32)
+        )
+        terms_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat_terms.tolist(), type=pa.string())
+        )
+        tfs_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_tfs))
+        doc_ids = url_doc_id(urls)
+        return pa.table(
+            {
+                "docid": pa.array(doc_ids.astype(np.int64)),
+                "warc_ts": batch.column("warc_ts"),
+                "dl": pa.array(dls),
+                "terms": terms_col,
+                "tfs": tfs_col,
+            }
+        )

@@ -1,0 +1,116 @@
+"""End-to-end index build + BM25 vs the pure-Python oracle (rank-identical)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from terrier_ray.datagen.webtext import generate_queries
+from terrier_ray.index.build import build_index
+from terrier_ray.index.bm25 import BM25Index, BM25Scorer
+from terrier_ray.index.oracle import OracleBM25
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, webtext_small, tmp_root):
+    out = os.path.join(str(tmp_root), "index_small")
+    stats = build_index(
+        webtext_small,
+        out,
+        num_pkeys=8,
+        num_buckets=4,
+        num_salts=3,
+        heavy_min_df=20,  # force the salted heavy-hitter path
+    )
+    return out, stats
+
+
+@pytest.fixture(scope="module")
+def oracle(webtext_small):
+    return OracleBM25(webtext_small)
+
+
+def test_stats_match_oracle(built_index, oracle):
+    _, stats = built_index
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["avgdl"] == oracle.avgdl
+    assert len(stats["heavy_terms"]) > 0  # salting path exercised
+
+
+def test_df_matches_oracle(built_index, oracle):
+    import pyarrow.parquet as pq
+
+    out, _ = built_index
+    files = sorted(glob.glob(os.path.join(out, "postings", "bucket-*.parquet")))
+    assert files
+    engine_df = {}
+    for f in files:
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            engine_df[term] = df
+    assert engine_df == oracle.df
+
+
+def test_topk_rank_identical(built_index, oracle):
+    out, _ = built_index
+    idx = BM25Index(out)
+    queries = generate_queries(30)
+    n_nonempty = 0
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        got = idx.search(text, k=10)
+        want = oracle.search(text, k=10)
+        assert got == want, f"query {qid} ({text!r}): {got} != {want}"
+        n_nonempty += bool(got)
+    assert n_nonempty > 20
+
+
+def test_bmw_matches_exact(built_index):
+    out, _ = built_index
+    idx = BM25Index(out)
+    queries = generate_queries(30)
+    for text in queries.column("text").to_pylist():
+        exact = idx.search(text, k=10)
+        bmw = idx.search_bmw(text, k=10)
+        assert bmw == exact, text
+
+
+def test_scorer_stage(ray_session, built_index, oracle):
+    import ray.data as rd
+
+    out, _ = built_index
+    queries = generate_queries(12)
+    ds = rd.from_arrow(queries).map_batches(
+        BM25Scorer,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        fn_constructor_kwargs={"index_dir": out, "k": 5},
+    )
+    df = ds.to_pandas().sort_values(["query_id", "rank"])
+    for qid, g in df.groupby("query_id"):
+        text = queries.column("text")[int(qid)].as_py()
+        want = oracle.search(text, k=5)
+        got = list(zip(g["docid"], g["score"]))
+        assert [(int(d), float(s)) for d, s in got] == want
+
+
+def test_resume_skips_epochs(built_index, webtext_small):
+    out, _ = built_index
+    stats2 = build_index(webtext_small, out, num_pkeys=8, num_buckets=4,
+                         num_salts=3, heavy_min_df=20)
+    assert stats2["timings"] == {}  # every epoch skipped via manifest
+
+
+def test_resume_rebuilds_missing_bucket(built_index, webtext_small):
+    out, _ = built_index
+    victim = sorted(glob.glob(os.path.join(out, "postings", "bucket-*.parquet")))[0]
+    os.remove(victim)
+    stats3 = build_index(webtext_small, out, num_pkeys=8, num_buckets=4,
+                         num_salts=3, heavy_min_df=20)
+    assert "postings_s" in stats3["timings"]  # postings epoch re-ran
+    assert "corpus_s" not in stats3["timings"]  # corpus epoch still skipped
+    assert os.path.exists(victim)
