@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship fulltext pipeline (webtext → inverted index →
+BM25 top-k) at sf0.001.  ``queries()`` exposes every implemented pipeline
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB equivalent for the
+SQL-expressible ones (identical column names + float rounding).  Ray is
+initialised by the driver BEFORE import — nothing here calls ray.init.
 """
 
 from __future__ import annotations
@@ -18,27 +12,65 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from terrier_ray.pipelines import textops, tpch
+from terrier_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from terrier_ray.pipelines.fulltext import bm25_topk, index_corpus_stats
+from terrier_ray.pipelines.multimodal import media_features
+from terrier_ray.pipelines.similarity import (
+    embedding_near_dup_pairs,
+    knn_cosine,
+    knn_cosine_lsh,
+)
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return bm25_topk("/root/testdata/sf0.001", k=10, num_queries=20)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    q.update(tpch.QUERIES)
+    q["token_counts"] = textops.token_counts
+    q["docs_by_lang"] = textops.docs_by_lang
+    q["quality_scores"] = textops.quality_scores
+    q["lang_id"] = textops.lang_id
+    q["fingerprints"] = textops.fingerprints
+    q["exact_dedup"] = exact_dedup
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+    q["simhash_signatures"] = simhash_signatures
+    q["knn_cosine"] = knn_cosine
+    q["knn_cosine_lsh"] = knn_cosine_lsh
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+    q["bm25_topk"] = bm25_topk
+    q["index_corpus_stats"] = index_corpus_stats
+    q["media_features"] = lambda sf_dir: media_features(200)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    sql.update(tpch.SQL)
+    sql.update(textops.SQL)
+    sql["exact_dedup"] = """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
     """
-    return {}
+    sql["knn_cosine"] = """
+        SELECT e2.vec_id AS vec_id,
+               CAST(ROUND(CAST(list_cosine_similarity(e1.embedding, e2.embedding)
+                               AS DOUBLE) * 10000, 0) AS BIGINT) / 10000.0 AS sim
+        FROM embeddings e1, embeddings e2
+        WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """
+    # non-SQL-expressible (stateful/model/iterative): minhash_lsh_pairs,
+    # simhash_signatures, knn_cosine_lsh, embedding_near_dup_pairs,
+    # quality_scores, lang_id, fingerprints, bm25_topk, index_corpus_stats,
+    # media_features → rows-only checks.
+    return sql

@@ -1,0 +1,522 @@
+"""Relational operators over ray.data.Dataset — SURVEY.md §2 parity layer.
+
+Each helper maps a reference physical operator to its Ray-Data-native shape
+(citations → /root/reference/src/...):
+
+- read_table            SeqScan/CSVScan w/ column pruning + predicate pushdown
+                        (execution/compiler/operator/seq_scan_translator.cpp)
+- filter_batches/expr   FilterManager DNF filters (execution/sql/filter_manager.h:23)
+- with_columns/project  ProjectionTranslator (operator/projection_translator.cpp)
+- broadcast_join        HashJoin, small build side broadcast once via ray.put
+                        (operator/hash_join_translator.cpp; build/probe
+                        join_hash_table.h:30-43) — no shuffle
+- partitioned_join      HashJoin, both sides large → Ray hash-shuffle join
+                        (Dataset.join), the cluster-scale JoinHashTable
+                        MergeParallel (join_hash_table.cpp:556-617)
+- grouped_aggregate     AggregationHashTable partial→partition→merge
+                        (aggregation_hash_table.cpp:647-769): map-side partial
+                        combine per batch (Arrow group_by) then a SMALL
+                        ray groupby over partials — the shuffle moves one row
+                        per (key, batch), not one per input row
+- global_aggregate      static aggregation (operator/static_aggregation_translator.cpp)
+- sort_limit/topk       Sorter + top-k heaps (sql/sorter.cpp:153-430):
+                        per-block bounded sort, then global merge
+- distinct              DISTINCT→GROUP BY rewrite
+                        (optimizer/query_to_operator_transformer.cpp:110-123)
+- union_all             ds.union (SetOp analog; reference never executes these)
+
+All hot paths are Arrow-native (batch_format="pyarrow", pyarrow.compute);
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Expr = Any  # pyarrow.dataset expression
+
+
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+    filter: Expr | None = None,
+):
+    """SeqScan: parquet read with column pruning + row-group predicate pushdown."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/{name}.parquet",
+        columns=list(columns) if columns else None,
+        filter=filter,
+    )
+
+
+def filter_expr(ds, expr: Expr):
+    """Vectorized filter using a pyarrow dataset expression."""
+    return ds.filter(expr=expr)
+
+
+def filter_batches(ds, mask_fn: Callable[[pa.Table], pa.Array]):
+    """Vectorized filter: mask_fn(batch)->BooleanArray, applied per Arrow batch."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        return batch.filter(mask_fn(batch))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_columns(ds, builders: dict[str, Callable[[pa.Table], pa.Array]]):
+    """Projection: append computed columns (pyarrow.compute expressions)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        for name, fn in builders.items():
+            col = fn(batch)
+            if name in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(name), name, col
+                )
+            else:
+                batch = batch.append_column(name, col)
+        return batch
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def project(ds, columns: Sequence[str]):
+    return ds.select_columns(list(columns))
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    keys: Sequence[str],
+    right_keys: Sequence[str] | None = None,
+    join_type: str = "inner",
+):
+    """Hash join with a broadcast build side (dimension tables, lookups).
+
+    ``small`` is put in the object store ONCE; every map task reads it
+    zero-copy and runs an Arrow (Acero) hash join per batch.  No shuffle —
+    this is the IndexNLJoin/broadcast analog for small sides.
+    join_type: inner | left outer | left semi | left anti.
+    """
+    import ray
+
+    ref = ray.put(small)
+    keys = list(keys)
+    rkeys = list(right_keys) if right_keys else keys
+
+    def apply(batch: pa.Table) -> pa.Table:
+        right = _get_broadcast(ref)
+        return batch.join(
+            right, keys=keys, right_keys=rkeys, join_type=join_type
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BCAST: dict[str, pa.Table] = {}
+
+
+def _get_broadcast(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST:
+        _BCAST[key] = ray.get(ref)
+    return _BCAST[key]
+
+
+def partitioned_join(
+    left,
+    right,
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+    strategy: str = "cogroup",
+):
+    """Both-sides-large hash-shuffle join.
+
+    strategy="native" uses Ray ``Dataset.join`` (hash shuffle); in Ray 2.49 it
+    raises ArrowInvalid when a shuffle partition receives zero rows from one
+    side (schema-less empty block), which small/filtered inputs hit easily —
+    so the default is "cogroup": pad both sides to a common schema with a side
+    tag, union, ``groupby(bucket)`` (bucket = stable hash of key), and run an
+    Acero hash join per bucket.  Same shuffle shape, robust to sparsity; at
+    scale ``num_partitions`` bounds per-bucket memory.
+    join_type: inner | left_semi | left_anti.
+    """
+    rkeys = list(right_on) if right_on else list(on)
+    lkeys = list(on)
+    if strategy == "native":
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=tuple(lkeys),
+            right_on=tuple(rkeys),
+        )
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    overlap = (set(lnames) | set(lkeys)) & (set(rnames) - set(rkeys))
+    if overlap:
+        raise ValueError(f"non-key column name overlap: {overlap}")
+
+    r_payload = [n for n in rnames if n not in rkeys]
+    combined_names = lnames + r_payload
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {name: batch.column(name) for name in lnames}
+        for name in r_payload:
+            cols[name] = pa.nulls(n, type=rtypes[name])
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__bucket"] = pa.array(
+            _multi_key_bucket(batch, lkeys, num_partitions)
+        )
+        return pa.table(cols)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in lnames:
+            if name in lkeys:
+                src = rkeys[lkeys.index(name)]
+                cols[name] = pc.cast(batch.column(src), ltypes[name])
+            else:
+                cols[name] = pa.nulls(n, type=ltypes[name])
+        for name in r_payload:
+            cols[name] = batch.column(name)
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["__bucket"] = pa.array(
+            _multi_key_bucket(batch, rkeys, num_partitions)
+        )
+        return pa.table(cols)
+
+    lp = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    rp = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+    both = lp.union(rp)
+
+    arrow_join_type = {
+        "inner": "inner",
+        "left_semi": "left semi",
+        "left_anti": "left anti",
+    }[join_type]
+    out_cols = lnames + r_payload if join_type == "inner" else lnames
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(lnames)
+        rt = group.filter(pa.array(side == 1)).select(lkeys + r_payload)
+        joined = lt.join(
+            rt, keys=lkeys, right_keys=lkeys, join_type=arrow_join_type
+        )
+        return joined.select(out_cols)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _multi_key_bucket(batch: pa.Table, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    acc = np.zeros(batch.num_rows, dtype=np.int64)
+    for k in keys:
+        acc = acc * np.int64(1000003) + stable_bucket(batch.column(k), 1 << 30)
+    return np.abs(acc) % num_buckets
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+#: supported spec ops → (arrow partial agg, ray final agg kind)
+_AGG_PLAN = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "mean": None,  # rewritten to sum+count
+}
+
+
+def grouped_aggregate(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[tuple[str, str, str]],
+):
+    """GROUP BY with map-side partial aggregation.
+
+    specs: (op, column, alias) with op ∈ sum|count|min|max|mean.
+    count counts non-null of ``column`` (use count+any non-null col or a
+    count of a key column for COUNT(*) semantics on non-null keys).
+
+    Stage 1 (map): Arrow ``Table.group_by`` per batch → one partial row per
+    distinct key per batch.  Stage 2 (shuffle): ray ``groupby().aggregate``
+    over the partials.  Stage 3 (map): finalize means, rename.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(keys)
+    # rewrite means → sum + count partials
+    plan: list[tuple[str, str, str]] = []  # (arrow_op, col, partial_name)
+    finals: list[tuple[str, str, str]] = []  # (kind, partial_name, alias)
+    mean_fixups: list[tuple[str, str, str]] = []  # (alias, sum_name, cnt_name)
+    for op, col, alias in specs:
+        if op == "mean":
+            s_name, c_name = f"__msum_{alias}", f"__mcnt_{alias}"
+            plan += [("sum", col, s_name), ("count", col, c_name)]
+            finals += [("sum", s_name, s_name), ("sum", c_name, c_name)]
+            mean_fixups.append((alias, s_name, c_name))
+        else:
+            arrow_op, ray_kind = _AGG_PLAN[op]
+            pname = f"__p_{alias}"
+            plan.append((arrow_op, col, pname))
+            finals.append((ray_kind, pname, alias))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(keys)
+        # dedupe (col, op) pairs — arrow errors on duplicate output names
+        seen: set[tuple[str, str]] = set()
+        aggs = []
+        for op, col, _ in plan:
+            if (col, op) not in seen:
+                seen.add((col, op))
+                aggs.append((col, op))
+        out = gb.aggregate(aggs)
+        # arrow names results "<col>_<op>"; rename to our partial names.
+        # duplicate (col, op) pairs are deduplicated by arrow → map carefully.
+        rename: dict[str, str] = {}
+        for (op, col, pname) in plan:
+            rename.setdefault(f"{col}_{op}", pname)
+        cols, names = [], []
+        for n in out.column_names:
+            if n in keys:
+                cols.append(out.column(n))
+                names.append(n)
+        for (op, col, pname) in plan:
+            src = f"{col}_{op}"
+            cols.append(out.column(src))
+            names.append(pname)
+        return pa.table(dict(zip(names, cols)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    ray_aggs = []
+    for kind, pname, alias in finals:
+        cls = {"sum": Sum, "min": Min, "max": Max}[kind]
+        ray_aggs.append(cls(pname, alias_name=alias))
+    out = partials.groupby(keys).aggregate(*ray_aggs)
+
+    if mean_fixups:
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            for alias, s_name, c_name in mean_fixups:
+                mean = pc.divide(
+                    pc.cast(batch.column(s_name), pa.float64()),
+                    pc.cast(batch.column(c_name), pa.float64()),
+                )
+                batch = batch.append_column(alias, mean)
+            drop = [n for _, s, c in mean_fixups for n in (s, c)]
+            return batch.drop_columns(drop)
+
+        out = out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
+def grouped_count_distinct(ds, keys: Sequence[str], col: str, alias: str):
+    """COUNT(DISTINCT col) GROUP BY keys — two-level exact distinct.
+
+    Reference analog: per-(group,agg) distinct filter tables
+    (compiler/operator/distinct_aggregation_util.h:22-24).
+    """
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    # batch-level dedup → shuffle on (keys, col) → exact distinct → count
+    dd = distinct(ds, keys + [col])
+    dd = dd.map_batches(
+        lambda b: b.select(keys).group_by(keys).aggregate([([], "count_all")]).rename_columns(keys + ["__c"]),
+        batch_format="pyarrow",
+    )
+    return dd.groupby(keys).aggregate(Sum("__c", alias_name=alias))
+
+
+def global_aggregate(ds, specs: Sequence[tuple[str, str, str]]):
+    """No-group aggregation → one-row pyarrow Table (small, driver-side)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    aggs = []
+    names = []
+    post = {}
+    for op, col, alias in specs:
+        if op == "sum":
+            aggs.append(Sum(col, alias_name=alias))
+        elif op == "min":
+            aggs.append(Min(col, alias_name=alias))
+        elif op == "max":
+            aggs.append(Max(col, alias_name=alias))
+        elif op == "count":
+            aggs.append(Count(alias_name=alias))
+        elif op == "mean":
+            s, c = f"__s_{alias}", f"__c_{alias}"
+            aggs += [Sum(col, alias_name=s), Count(alias_name=c)]
+            post[alias] = (s, c)
+            names += [s, c]
+            continue
+        names.append(alias)
+    row = ds.aggregate(*aggs)
+    out = {}
+    for op, col, alias in specs:
+        if alias in post:
+            s, c = post[alias]
+            out[alias] = [row[s] / row[c]]
+        else:
+            out[alias] = [row[alias]]
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / distinct / set ops
+# ---------------------------------------------------------------------------
+
+
+def sort_limit(
+    ds,
+    keys: Sequence[str],
+    descending: bool | Sequence[bool] = False,
+    limit: int | None = None,
+):
+    out = ds.sort(list(keys), descending=descending)
+    return out.limit(limit) if limit is not None else out
+
+
+def topk(
+    ds,
+    keys: Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+):
+    """Exact top-k: per-block bounded sort (the per-thread top-k heap analog,
+    sorter.cpp:424) then a global sort+limit over the tiny survivors."""
+    keys = list(keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    arrow_order = [
+        (key, "descending" if d else "ascending") for key, d in zip(keys, descending)
+    ]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        return batch.sort_by(arrow_order).slice(0, k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort(keys, descending=list(descending)).limit(k)
+
+
+def distinct(ds, cols: Sequence[str]):
+    """DISTINCT via per-batch dedup then one grouped global dedup."""
+    from ray.data.aggregate import Count
+
+    cols = list(cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    out = (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .aggregate(Count(alias_name="__cnt"))
+    )
+    return out.drop_columns(["__cnt"])
+
+
+def union_all(*datasets):
+    first, *rest = datasets
+    return first.union(*rest)
+
+
+#: matches DuckDB ROUND (half away from zero) on every sign
+ROUND_MODE = "half_towards_infinity"
+
+
+def scaled_int(arr, scale: int) -> pa.Array:
+    """round(x * scale) as int64 — exact-decimal fixed-point representation.
+
+    Used to make float aggregates engine-independent: integer sums are exact
+    in any order, and the single final division by the scale yields the same
+    double in every engine.  SQL mirror:
+    ``CAST(ROUND(x * scale, 0) AS BIGINT)``."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, float(scale)), ndigits=0, round_mode=ROUND_MODE),
+        pa.int64(),
+    )
+
+
+def unscale(arr, scale: int):
+    """int64 fixed-point → double: x / scale.  SQL mirror: ``x / scale.0``."""
+    return pc.divide(pc.cast(arr, pa.float64()), float(scale))
+
+
+def rescale_round(arr, ndigits: int):
+    """Round a double to ``ndigits`` decimals via exact integer scaling —
+    produces bit-identical doubles across engines (plain ROUND(x, d) differs
+    by 1 ulp between implementations).  SQL mirror:
+    ``CAST(ROUND(x * 1eN, 0) AS BIGINT) / 1eN.0``."""
+    scale = 10 ** ndigits
+    return unscale(scaled_int(arr, scale), scale)
+
+
+def round_arr(arr, ndigits: int):
+    return pc.round(arr, ndigits=ndigits, round_mode=ROUND_MODE)
+
+
+def round_columns(ds, decimals: dict[str, int]):
+    """Round float columns, DuckDB-compatible rounding mode.
+
+    Float-aggregate determinism recipe (used by the query suite): ROUND each
+    TERM before SUMming (making partial sums exact multiples of 10^-d, immune
+    to summation order), then ROUND the result — mirrored verbatim in the
+    oracle SQL."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        for col, d in decimals.items():
+            batch = batch.set_column(
+                batch.column_names.index(col),
+                col,
+                round_arr(batch.column(col), d),
+            )
+        return batch
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stable_bucket(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per value (ints: mod; strings: blake2b)."""
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False)
+        return (v % num_buckets).astype(np.int32)
+    vals = np.asarray(arr.to_pylist(), dtype=object)
+    uniq, inverse = np.unique(vals, return_inverse=True)
+    h = np.empty(len(uniq), dtype=np.int64)
+    for i, u in enumerate(uniq):
+        h[i] = int.from_bytes(
+            hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "little"
+        ) & ((1 << 63) - 1)
+    return (h[inverse] % num_buckets).astype(np.int32)

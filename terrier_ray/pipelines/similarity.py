@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (the baseline; exact)
+- LSH-bucketed variant: random-hyperplane signatures bucket the corpus; only
+  matching buckets are scanned (the scale path; approximate)
+- embedding near-dup pairs: cosine >= threshold via bucketed candidate pairs
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from terrier_ray.ops.relational import read_table, rescale_round, topk
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lists = arr.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+    """Exact brute-force cosine top-k vs one query vector (excluded from hits).
+
+    Per batch: one matmul against the broadcast query vector; per-batch local
+    top-k then a global sort+limit — no full materialization.
+    sim is rounded to 4 decimals (duckdb float32 vs numpy float64 noise).
+    """
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qmask = np.asarray(emb.column("vec_id").to_pylist()) == query_vec_id
+    q = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[qmask][0]
+    qn = q / np.linalg.norm(q)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        keep = ids != query_vec_id
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "sim": rescale_round(pa.array(sims[keep]), 4),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: bucket = sign bits of W @ v (per batch)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.w = rng.standard_normal((n_planes, dim))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.w.T) > 0
+        weights = (1 << np.arange(bits.shape[1])).astype(np.int64)
+        return bits @ weights
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        return batch.append_column("bucket", pa.array(self.bucket(m)))
+
+
+def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 4):
+    """Approximate top-k: scan only vectors whose LSH bucket matches the query.
+
+    At scale the bucketed corpus is written partitioned-by-bucket once and
+    each query touches one partition; here we filter inline.
+    """
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = np.asarray(emb.column("vec_id").to_pylist())
+    m_all = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = m_all[ids_all == query_vec_id][0]
+    dim = m_all.shape[1]
+    lsh = HyperplaneLSH(dim, n_planes)
+    qbucket = int(lsh.bucket(q[None, :])[0])
+    qn = q / np.linalg.norm(q)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(batch)
+        buckets = lsh.bucket(m)
+        keep = (buckets == qbucket) & (ids != query_vec_id)
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "sim": pa.array(np.round(sims, 4)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 6):
+    """Near-duplicate vector pairs: LSH-bucket groupby → within-bucket exact
+    cosine → pairs above threshold (doc_a < doc_b)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    schema = pq.read_schema(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    _ = meta, schema
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column("embedding")[0].as_py())
+    lsh = HyperplaneLSH(dim, n_planes)
+
+    bucketed = ds.map_batches(
+        lambda b: lsh(b), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        m = _batch_matrix(group)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        order = np.argsort(ids)
+        ids, mn = ids[order], mn[order]
+        sims = mn @ mn.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[a[keep]]),
+                "vec_b": pa.array(ids[b[keep]]),
+                "sim": pa.array(np.round(sims[a, b][keep], 4)),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")

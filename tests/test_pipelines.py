@@ -1,0 +1,135 @@
+"""Dedup / similarity / text-analysis / multimodal pipeline semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from terrier_ray.pipelines.dedup import (
+    MinHasher,
+    SimHasher,
+    ngram_jaccard_exact,
+)
+from terrier_ray.pipelines.multimodal import MediaDecoder, generate_media_table
+from terrier_ray.text.analysis import LangId, QualityScorer
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = "the quick brown fox jumps over the lazy cat " * 10
+    c = "completely different content with other words entirely " * 10
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = ngram_jaccard_exact(a, b)
+    assert abs(sim_ab - true_ab) < 0.15
+    assert sim_ac < 0.1 < sim_ab
+
+
+def test_minhash_identical_texts():
+    mh = MinHasher()
+    t = "some repeated document text here"
+    assert np.array_equal(mh.signature(t), mh.signature(t))
+
+
+def test_simhash_near_dup_close_hamming():
+    a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    b = "the quick brown fox jumps over the lazy dog and runs far away house"
+    c = "entirely unrelated words describing some other topic of discussion"
+    ha, hb, hc = (SimHasher.simhash64(t) for t in (a, b, c))
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(ha, hb) < ham(ha, hc)
+    assert ham(ha, hb) <= 12
+
+
+def test_lsh_pairs_find_duplicates(ray_session, tmp_root):
+    import os
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from terrier_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    texts = [base, base + "extra tail", "unrelated words entirely different " * 8]
+    texts += [f"random filler document number {i} with its own content" for i in range(20)]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_root), "dupdocs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)).any()
+
+
+def test_quality_scorer_direct():
+    qs = QualityScorer()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                ["the cat sat on the mat and it was good", "!!! ??? ### $$$ %%%"],
+            ),
+        }
+    )
+    out = qs(batch).to_pandas()
+    assert out.loc[0, "quality"] > out.loc[1, "quality"]
+    assert out.loc[1, "punct_ratio"] > 0.5
+
+
+def test_langid_direct():
+    li = LangId()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat in the house with all of them",
+                    "der hund und die katze ist nicht in das haus",
+                    "xyzzy plugh qwerty",
+                ]
+            ),
+        }
+    )
+    out = li(batch).to_pandas()
+    assert list(out["lang_pred"]) == ["en", "de", "unk"]
+
+
+def test_media_decoder_roundtrip(ray_session):
+    from terrier_ray.pipelines.multimodal import media_features
+
+    df = media_features(50).to_pandas()
+    assert len(df) == 50
+    assert {"media_id", "kind", "f0", "f7"} <= set(df.columns)
+    # deterministic: same input → same features
+    df2 = media_features(50).to_pandas()
+    assert df.sort_values("media_id").reset_index(drop=True).equals(
+        df2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_media_decoder_rejects_real_formats():
+    dec = MediaDecoder()
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"\xff\xd8\xff\xe0 JPEG bytes")
+
+
+def test_knn_exact_vs_numpy_oracle(ray_session, sf_smoke):
+    import pyarrow.parquet as pq
+    from terrier_ray.pipelines.similarity import knn_cosine
+
+    got = knn_cosine(sf_smoke, query_vec_id=0, k=5).to_pandas()
+    emb = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    m = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[ids == 0][0]
+    sims = (m @ (q / np.linalg.norm(q))) / np.linalg.norm(m, axis=1)
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -np.round(sims[mask] * 10000) / 10000))
+    want = ids[mask][order][:5]
+    assert list(got["vec_id"]) == list(want)
