@@ -1,0 +1,201 @@
+"""Benchmark harness (driver-run per round; also run locally while iterating).
+
+Default: one process, ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``, runs the
+headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+prints ONE JSON line.
+
+``--scaling``: runs the same job twice in FRESH processes (num_cpus=8 then
+32) on identical input and reports throughput at both plus scaling
+efficiency = (t8/t32)/(32/8) — the sandbox realization of the north rule's
+N vs 4N cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+QUERY_SET = 200  # BM25 query count for QPS measurement
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
+    from terrier_ray.index.bm25 import BM25Index, BM25Scorer
+    from terrier_ray.index.build import build_index
+
+    results: dict[str, float] = {}
+
+    # ---- corpus (cached, untimed) + page-cache warm-up ----
+    web = webtext_for_sf(SF_DIR)
+    import glob
+
+    n_docs_in = 0
+    for f in glob.glob(os.path.join(web, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+        import pyarrow.parquet as pq
+
+        n_docs_in += pq.read_metadata(f).num_rows
+
+    # ---- index build (fresh dir per cpu level; resumability not timed) ----
+    idx_dir = f"/tmp/terrier_ray_bench_index_c{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(web, idx_dir, num_pkeys=32, num_buckets=16, num_salts=4)
+    build_s = time.perf_counter() - t0
+    results["index_build"] = round(build_s, 3)
+    docs_per_s = stats["n_docs"] / build_s
+
+    # ---- query latency (single scorer, sequential) ----
+    queries = generate_queries(QUERY_SET)
+    texts = queries.column("text").to_pylist()
+    idx = BM25Index(idx_dir)
+    idx.search(texts[0], 10)  # warm caches
+    lats = []
+    t0 = time.perf_counter()
+    for q in texts:
+        s = time.perf_counter()
+        idx.search(q, 10)
+        lats.append(time.perf_counter() - s)
+    results["query_seq"] = round(time.perf_counter() - t0, 3)
+    lats_ms = np.asarray(lats) * 1000
+    p50, p99 = float(np.percentile(lats_ms, 50)), float(np.percentile(lats_ms, 99))
+
+    # ---- query throughput (actor pool) ----
+    import ray.data as rd
+
+    pool = max(2, NUM_CPUS // 2)
+    t0 = time.perf_counter()
+    out = (
+        rd.from_arrow(queries)
+        .repartition(pool * 2)
+        .map_batches(
+            BM25Scorer,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=pool,
+            fn_constructor_kwargs={"index_dir": idx_dir, "k": 10},
+        )
+    )
+    n_out = out.count()
+    qps_wall = time.perf_counter() - t0
+    results["query_pool"] = round(qps_wall, 3)
+    qps = QUERY_SET / qps_wall
+
+    # ---- relational + pipeline workloads over the sf tables ----
+    from terrier_ray.pipelines.dedup import minhash_lsh_pairs
+    from terrier_ray.pipelines.similarity import knn_cosine
+    from terrier_ray.pipelines.tpch import (
+        q1_pricing_summary,
+        q3_shipping_priority,
+        q6_forecast_revenue,
+        q18_large_volume,
+    )
+
+    for name, fn in [
+        ("q1", q1_pricing_summary),
+        ("q3", q3_shipping_priority),
+        ("q6", q6_forecast_revenue),
+        ("q18", q18_large_volume),
+        ("minhash_dedup", minhash_lsh_pairs),
+        ("knn", knn_cosine),
+    ]:
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = sum(results.values())
+    payload = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": stats["n_docs"],
+        "index_docs_per_s": round(docs_per_s, 1),
+        "query_p50_ms": round(p50, 2),
+        "query_p99_ms": round(p99, 2),
+        "qps": round(qps, 1),
+        "bm25_result_rows": int(n_out),
+    }
+    ray.shutdown()
+    return payload
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling on the parallel portion: index build + pooled queries
+    t_lo = r_lo["queries"]["index_build"] + r_lo["queries"]["query_pool"]
+    t_hi = r_hi["queries"]["index_build"] + r_hi["queries"]["query_pool"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    build_eff = (r_lo["queries"]["index_build"] / r_hi["queries"]["index_build"]) / (
+        hi / lo
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus": [lo, hi],
+                "sec_lo": round(t_lo, 3),
+                "sec_hi": round(t_hi, 3),
+                "build_docs_per_s": [
+                    r_lo["index_docs_per_s"],
+                    r_hi["index_docs_per_s"],
+                ],
+                "build_efficiency": round(build_eff, 3),
+                "qps": [r_lo["qps"], r_hi["qps"]],
+                "full": {"lo": r_lo, "hi": r_hi},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

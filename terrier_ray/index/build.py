@@ -37,6 +37,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from terrier_ray.extract.html import HtmlExtractor
@@ -109,38 +110,103 @@ def build_corpus(
     batch_size: int = 512,
     dedup_partitions: int = 32,
 ):
-    """Extract + tokenize + dedup.
+    """Extract + tokenize + url-dedup, WITHOUT shuffling the heavy payload.
+
+    A url-keyed groupby over the tokenized corpus would move every terms/tfs
+    list through an all-to-all exchange.  Instead:
+
+    1. cheap pass over (url) ONLY (column pruning) → docid duplicate counts
+       via groupby (16-byte rows through the shuffle) → tiny duplicate set,
+       broadcast via ray.put (at 1e12 docs: a Bloom filter instead of the
+       exact set — same shape).
+    2. main pass: read → extract → tokenize → keep rows whose docid is NOT
+       duplicated → write.  No shuffle at all for the ~98% unique majority.
+    3. dup pass: re-read ONLY the duplicated urls (row filter applied at the
+       scan, before extraction), resolve winners per docid with the exact
+       (warc_ts, dl) rule in one tiny groupby, append to the corpus dir.
 
     Extraction/tokenization state is module-level compiled regexes, so these
-    run as STATELESS task stages (elastic, no CPU reservation) rather than
-    actor pools — actor pools here would reserve every core on small nodes
-    and starve the read/shuffle tasks.  Actor pools are reserved for stages
-    with genuinely heavy per-worker state (BM25Scorer loads the index).
+    run as STATELESS task stages (elastic, no CPU reservation) — actor pools
+    here would reserve every core on small nodes and starve read/shuffle
+    tasks.  Actor pools are reserved for heavy per-worker state (BM25Scorer).
     """
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
+    # --- pass 1: duplicate detection over url column only ---
+    urls = rd.read_parquet(webtext_path, columns=["url"])
+
+    def to_docids(batch: pa.Table) -> pa.Table:
+        from terrier_ray.datagen.webtext import url_doc_id
+
+        d = url_doc_id(batch.column("url")).astype(np.int64)
+        return pa.table({"docid": pa.array(d)})
+
+    counts = (
+        urls.map_batches(to_docids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("docid")
+        .aggregate(Count(alias_name="c"))
+    )
+    dup_tab = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c"), 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    dup_ids = np.sort(dup_tab["docid"].to_numpy().astype(np.int64))
+    dup_ref = ray.put(dup_ids)
+
+    # --- pass 2: unique majority, shuffle-free ---
     ds = rd.read_parquet(webtext_path)
     ds = ds.map_batches(
-        _extract_batch,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
+        _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     ds = ds.map_batches(
-        _tokenize_batch,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
+        _tokenize_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
-    def add_dkey(batch: pa.Table) -> pa.Table:
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        dups = _get_broadcast(dup_ref)
+        if len(dups) == 0:
+            return batch
         d = batch.column("docid").to_numpy(zero_copy_only=False)
-        return batch.append_column("dkey", pa.array((d % dedup_partitions).astype(np.int32)))
+        idx = np.clip(np.searchsorted(dups, d), 0, len(dups) - 1)
+        return batch.filter(pa.array(dups[idx] != d))
 
-    ds = ds.map_batches(add_dkey, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.groupby("dkey").map_groups(_dedup_group, batch_format="pyarrow")
-    ds = ds.drop_columns(["dkey"])
-    ds.write_parquet(corpus_dir)
+    ds.map_batches(keep_unique, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        corpus_dir
+    )
+
+    # --- pass 3: resolve duplicated urls only (tiny) ---
+    if len(dup_ids):
+        # row filter on hashed url BEFORE extraction — only dup rows are
+        # extracted/tokenized in this pass
+        def keep_dup_raw(batch: pa.Table) -> pa.Table:
+            from terrier_ray.datagen.webtext import url_doc_id
+
+            dups = _get_broadcast(dup_ref)
+            d = url_doc_id(batch.column("url")).astype(np.int64)
+            idx = np.clip(np.searchsorted(dups, d), 0, len(dups) - 1)
+            return batch.filter(pa.array(dups[idx] == d))
+
+        dup_ds = rd.read_parquet(webtext_path)
+        dup_ds = dup_ds.map_batches(
+            keep_dup_raw, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dup_ds = dup_ds.map_batches(
+            _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+        dup_ds = dup_ds.map_batches(
+            _tokenize_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+        resolved = dup_ds.groupby("docid").map_groups(
+            _dedup_group, batch_format="pyarrow"
+        )
+        tabs = list(resolved.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if tabs:
+            pq.write_table(
+                pa.concat_tables(tabs), os.path.join(corpus_dir, "dup-resolved.parquet")
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -176,9 +242,13 @@ def compute_stats(
     def partial_df(batch: pa.Table) -> pa.Table:
         terms = batch.column("terms").combine_chunks()
         flat = terms.flatten() if isinstance(terms, pa.ListArray) else terms.chunk(0).flatten()
-        arr = np.asarray(flat.to_pylist(), dtype=object)
-        uniq, counts = np.unique(arr, return_counts=True) if len(arr) else (np.empty(0, object), np.empty(0, np.int64))
-        return pa.table({"term": pa.array(uniq.tolist(), type=pa.string()), "c": pa.array(counts)})
+        vc = flat.value_counts()  # C++ hash count; each term appears once/doc
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
 
     sample_ds = rd.read_parquet(sample, columns=["terms"])
     df_ds = sample_ds.map_batches(partial_df, batch_format="pyarrow").groupby("term").aggregate(Sum("c", alias_name="df_est"))
@@ -267,21 +337,25 @@ class _Exploder:
         if isinstance(tfs_col, pa.ChunkedArray):
             tfs_col = tfs_col.chunk(0)
         counts = np.diff(terms_col.offsets.to_numpy())
-        flat_terms = np.asarray(terms_col.flatten().to_pylist(), dtype=object)
+        flat = terms_col.flatten()
         flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
         docid = np.repeat(batch.column("docid").to_numpy(zero_copy_only=False), counts)
         dl = np.repeat(batch.column("dl").to_numpy(zero_copy_only=False), counts).astype(np.int32)
 
-        uniq, inverse = np.unique(flat_terms, return_inverse=True) if len(flat_terms) else (np.empty(0, object), np.empty(0, np.int64))
+        # dictionary-encode (C++) so the Python hash loop touches only the
+        # per-batch UNIQUE terms, not every posting
+        dic = flat.dictionary_encode()
+        inverse = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
         uh = term_hash(uniq)
-        th = uh[inverse] if len(flat_terms) else np.empty(0, np.int64)
+        th = uh[inverse] if len(inverse) else np.empty(0, np.int64)
         is_heavy_u = np.isin(uniq, self.heavy) if len(self.heavy) else np.zeros(len(uniq), bool)
-        is_heavy = is_heavy_u[inverse] if len(flat_terms) else np.empty(0, bool)
+        is_heavy = is_heavy_u[inverse] if len(inverse) else np.empty(0, bool)
         salt = np.where(is_heavy, (docid % self.num_salts).astype(np.int64), 0)
         pkey = ((th % self.num_pkeys) * self.num_salts + salt) % (self.num_pkeys * self.num_salts)
         return pa.table(
             {
-                "term": pa.array(flat_terms.tolist(), type=pa.string()),
+                "term": flat,
                 "term_h": pa.array(th),
                 "docid": pa.array(docid),
                 "tf": pa.array(flat_tfs),
@@ -295,12 +369,23 @@ def _make_segments(avgdl: float):
     """Per-pkey-partition vectorized segment encoder (stage 1 of the merge)."""
 
     def build_segments(group: pa.Table) -> pa.Table:
-        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        dic = group.column("term").combine_chunks()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.chunk(0)
+        dic = dic.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dic.dictionary
         th = group.column("term_h").to_numpy(zero_copy_only=False)
         docid = group.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
         tf = group.column("tf").to_numpy(zero_copy_only=False)
         dl = group.column("dl").to_numpy(zero_copy_only=False)
-        uniq, inverse = np.unique(term, return_inverse=True)
+        # map arbitrary dictionary codes → dense sorted-unique ids so output
+        # rows come out term-sorted (merge stage relies only on grouping)
+        uniq_codes = np.unique(codes)
+        remap = np.empty(len(vocab), dtype=np.int64)
+        remap[uniq_codes] = np.arange(len(uniq_codes))
+        inverse = remap[codes]
+        uniq = np.asarray(vocab.take(pa.array(uniq_codes)).to_pylist(), dtype=object)
         order = np.lexsort((docid, inverse))
         inv_s, did_s, tf_s, dl_s = inverse[order], docid[order], tf[order], dl[order]
         starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1, [len(inv_s)]))

@@ -41,19 +41,45 @@ import pyarrow.compute as pc
 Expr = Any  # pyarrow.dataset expression
 
 
+def _read_blocks_for(path: str) -> int | None:
+    """Read-block count: measured on this Ray version, downstream shuffle ops
+    (hash aggregate / sort) run best with exactly num_cpus input blocks —
+    2*cpus blocks triples shuffle wall-time (aggregator oversubscription) and
+    byte-proportional tiny counts starve reduce parallelism.  Large inputs
+    (>8 MiB/cpu) fall back to Ray's natural file/row-group splitting."""
+    import os as _os
+
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        return None
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if size < (1 << 20):
+        return 4
+    if size // (8 << 20) <= cpus:
+        return cpus
+    return None
+
+
 def read_table(
     sf_dir: str,
     name: str,
     columns: Sequence[str] | None = None,
     filter: Expr | None = None,
 ):
-    """SeqScan: parquet read with column pruning + row-group predicate pushdown."""
+    """SeqScan: parquet read with column pruning + row-group predicate
+    pushdown; block count sized by bytes (not a fixed cpu multiple) so small
+    inputs don't shatter into overhead-dominated shuffle tasks."""
     import ray.data as rd
 
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     return rd.read_parquet(
-        f"{sf_dir.rstrip('/')}/{name}.parquet",
+        path,
         columns=list(columns) if columns else None,
         filter=filter,
+        override_num_blocks=_read_blocks_for(path),
     )
 
 
@@ -213,6 +239,12 @@ def partitioned_join(
     lp = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
     rp = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
     both = lp.union(rp)
+    # union doubles the block count; the downstream sort-shuffle degrades
+    # sharply past num_cpus input blocks — coalesce first (no data movement)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    both = both.repartition(cpus)
 
     arrow_join_type = {
         "inner": "inner",
@@ -411,9 +443,12 @@ def topk(
     keys: Sequence[str],
     k: int,
     descending: bool | Sequence[bool] = True,
-):
+) -> pa.Table:
     """Exact top-k: per-block bounded sort (the per-thread top-k heap analog,
-    sorter.cpp:424) then a global sort+limit over the tiny survivors."""
+    sorter.cpp:424-430) then ONE driver-side merge of the <=k survivors per
+    block.  A global ``ds.sort`` would range-shuffle everything to rank 20
+    rows — the driver merge moves k x num_blocks rows, bounded and tiny even
+    with thousands of blocks."""
     keys = list(keys)
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
@@ -427,7 +462,14 @@ def topk(
         return batch.sort_by(arrow_order).slice(0, k)
 
     pruned = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    return pruned.sort(keys, descending=list(descending)).limit(k)
+    batches = list(pruned.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        schema = pruned.schema()
+        return pa.table(
+            {n: pa.array([], type=t) for n, t in zip(schema.names, schema.types)}
+        )
+    survivors = pa.concat_tables(batches)
+    return survivors.sort_by(arrow_order).slice(0, k)
 
 
 def distinct(ds, cols: Sequence[str]):

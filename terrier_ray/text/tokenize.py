@@ -44,39 +44,47 @@ class Tokenizer:
         urls = batch.column("url")
         texts = batch.column("text").to_pylist()
         findall = self._re.findall
-        all_terms: list[np.ndarray] = []
-        all_tfs: list[np.ndarray] = []
-        dls = np.empty(len(texts), dtype=np.int32)
+        # one flat token stream + per-doc counts (regex per doc, counting
+        # vectorized: Arrow dictionary-encode + one int64 np.unique per batch)
+        tokens: list[str] = []
+        dls = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = findall(t.lower()) if t else []
             dls[i] = len(toks)
-            if toks:
-                terms, tfs = np.unique(np.asarray(toks), return_counts=True)
-            else:
-                terms = np.empty(0, dtype=object)
-                tfs = np.empty(0, dtype=np.int64)
-            all_terms.append(terms)
-            all_tfs.append(tfs)
-        counts = np.array([len(t) for t in all_terms], dtype=np.int32)
-        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-        flat_terms = (
-            np.concatenate(all_terms) if len(all_terms) else np.empty(0, dtype=object)
-        )
-        flat_tfs = (
-            np.concatenate(all_tfs).astype(np.int32)
-            if len(all_tfs)
-            else np.empty(0, dtype=np.int32)
-        )
-        terms_col = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(flat_terms.tolist(), type=pa.string())
-        )
-        tfs_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_tfs))
+            tokens.extend(toks)
+        if tokens:
+            dic = pa.array(tokens, type=pa.string()).dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dic.dictionary
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), dls)
+            # (doc, term) pair counting in one sorted pass over int64 keys
+            keys = doc_idx * np.int64(len(vocab)) + codes
+            uniq_keys, tfs = np.unique(keys, return_counts=True)
+            u_doc = uniq_keys // len(vocab)
+            u_code = (uniq_keys % len(vocab)).astype(np.int32)
+            per_doc = np.bincount(u_doc, minlength=len(texts))
+            offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+            flat_terms = pa.DictionaryArray.from_arrays(
+                pa.array(u_code), vocab
+            ).cast(pa.string())
+            terms_col = pa.ListArray.from_arrays(pa.array(offsets), flat_terms)
+            tfs_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(tfs.astype(np.int32))
+            )
+        else:
+            offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+            terms_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array([], type=pa.string())
+            )
+            tfs_col = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array([], type=pa.int32())
+            )
         doc_ids = url_doc_id(urls)
         return pa.table(
             {
                 "docid": pa.array(doc_ids.astype(np.int64)),
                 "warc_ts": batch.column("warc_ts"),
-                "dl": pa.array(dls),
+                "dl": pa.array(dls.astype(np.int32)),
                 "terms": terms_col,
                 "tfs": tfs_col,
             }
