@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import textops, tpch
+from terrier_ray.pipelines import extra, textops, tpch
 from terrier_ray.pipelines.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -35,6 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(tpch.QUERIES)
+    q.update(extra.QUERIES)
     q["token_counts"] = textops.token_counts
     q["docs_by_lang"] = textops.docs_by_lang
     q["quality_scores"] = textops.quality_scores
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(tpch.SQL)
+    sql.update(extra.SQL)
     sql.update(textops.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -65,6 +65,18 @@ def term_hash(terms: np.ndarray) -> np.ndarray:
     return out
 
 
+#: below this input size, bounded control-path steps (dup detection, global
+#: stats, heavy-term sampling) run driver-side with pyarrow — a Ray pipeline's
+#: fixed startup (~1-2 s) dwarfs the work; above it the Ray path runs.
+_DRIVER_SIDE_BYTES = 1 << 30
+
+
+def _total_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
 def _input_fingerprint(path: str, extra: dict | None = None) -> dict:
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     return {
@@ -135,25 +147,38 @@ def build_corpus(
     from ray.data.aggregate import Count
 
     # --- pass 1: duplicate detection over url column only ---
-    urls = rd.read_parquet(webtext_path, columns=["url"])
+    # adaptive: under _DRIVER_SIDE_BYTES of input the url column fits on the
+    # driver (one pyarrow read beats a Ray pipeline's fixed startup); above
+    # it, the same logic runs as a Ray groupby over (docid) rows.
+    if _total_bytes(webtext_path) < _DRIVER_SIDE_BYTES:
+        import pyarrow.dataset as pads
 
-    def to_docids(batch: pa.Table) -> pa.Table:
         from terrier_ray.datagen.webtext import url_doc_id
 
-        d = url_doc_id(batch.column("url")).astype(np.int64)
-        return pa.table({"docid": pa.array(d)})
+        url_tab = pads.dataset(webtext_path).to_table(columns=["url"])
+        d = url_doc_id(url_tab.column("url")).astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        dup_ids = np.sort(uniq[cnt > 1])
+    else:
+        urls = rd.read_parquet(webtext_path, columns=["url"])
 
-    counts = (
-        urls.map_batches(to_docids, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("docid")
-        .aggregate(Count(alias_name="c"))
-    )
-    dup_tab = counts.map_batches(
-        lambda b: b.filter(pc.greater(b.column("c"), 1)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    dup_ids = np.sort(dup_tab["docid"].to_numpy().astype(np.int64))
+        def to_docids(batch: pa.Table) -> pa.Table:
+            from terrier_ray.datagen.webtext import url_doc_id
+
+            dd = url_doc_id(batch.column("url")).astype(np.int64)
+            return pa.table({"docid": pa.array(dd)})
+
+        counts = (
+            urls.map_batches(to_docids, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("docid")
+            .aggregate(Count(alias_name="c"))
+        )
+        dup_tab = counts.map_batches(
+            lambda b: b.filter(pc.greater(b.column("c"), 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+        dup_ids = np.sort(dup_tab["docid"].to_numpy().astype(np.int64))
     dup_ref = ray.put(dup_ids)
 
     # --- pass 2: unique majority, shuffle-free ---
@@ -223,36 +248,49 @@ def compute_stats(
     sample_files: int = 2,
     heavy_min_df: int | None = None,
 ):
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
 
-    ds = rd.read_parquet(corpus_dir, columns=["docid", "dl"])
-    agg = ds.aggregate(Count(), Sum("dl"))
-    n_docs = int(agg["count()"])
-    total_dl = int(agg["sum(dl)"] or 0)
+    # global dl sum: one narrow column; driver-side under the threshold,
+    # Ray aggregate above it (the reference's ANALYZE is also a full pass).
+    if _total_bytes(corpus_dir) < _DRIVER_SIDE_BYTES:
+        import pyarrow.dataset as pads
+
+        dl_tab = pads.dataset(corpus_dir).to_table(columns=["dl"])
+        total_dl = int(pc.sum(dl_tab.column("dl")).as_py() or 0)
+    else:
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(corpus_dir, columns=["dl"])
+        total_dl = int(ds.aggregate(Sum("dl"))["sum(dl)"] or 0)
     avgdl = (total_dl / n_docs) if n_docs else 0.0
 
-    # heavy-hitter detection from a file sample: per-batch partial df counts
-    # (each term appears once per doc in `terms`) → small groupby → threshold.
-    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    # heavy-hitter detection from a BOUNDED file sample (driver-side by
+    # construction: sample_files caps the bytes read regardless of scale)
     sample = files[: max(1, min(sample_files, len(files)))]
     sampled_rows = sum(pq.read_metadata(f).num_rows for f in sample)
     frac = sampled_rows / max(1, n_docs)
-
-    def partial_df(batch: pa.Table) -> pa.Table:
-        terms = batch.column("terms").combine_chunks()
+    vc_parts = []
+    for f in sample:
+        terms = pq.read_table(f, columns=["terms"]).column("terms").combine_chunks()
         flat = terms.flatten() if isinstance(terms, pa.ListArray) else terms.chunk(0).flatten()
-        vc = flat.value_counts()  # C++ hash count; each term appears once/doc
-        return pa.table(
-            {
-                "term": vc.field("values"),
-                "c": pc.cast(vc.field("counts"), pa.int64()),
-            }
+        vc = flat.value_counts()
+        vc_parts.append(
+            pa.table(
+                {
+                    "term": vc.field("values"),
+                    "c": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
         )
-
-    sample_ds = rd.read_parquet(sample, columns=["terms"])
-    df_ds = sample_ds.map_batches(partial_df, batch_format="pyarrow").groupby("term").aggregate(Sum("c", alias_name="df_est"))
-    df_tab = df_ds.to_pandas()
+    df_tab = (
+        pa.concat_tables(vc_parts)
+        .to_pandas()
+        .groupby("term", as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "df_est"})
+    )
 
     if heavy_min_df is None:
         heavy_min_df = max(1000, int(0.01 * n_docs))

@@ -1,0 +1,192 @@
+"""Additional operator-parity queries: math/cast scalar functions, IN/BETWEEN
+predicates, and the sessionization window over the events stream table.
+
+Reference analogs: math/trig builtins
+(/root/reference/src/include/execution/ast/builtins.h:286-310,
+execution/sql/functions/arithmetic_functions.h), cast functions
+(functions/casting_functions.h), IN expression
+(parser/expression_defs.h:COMPARE_IN).  Sessionization is the
+streaming-shaped workload: events treated as a user-partitioned ordered log,
+windows computed per group over sorted timestamps (the reference has no
+streaming surface — SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from terrier_ray.ops.relational import (
+    filter_batches,
+    grouped_aggregate,
+    read_table,
+    rescale_round,
+    with_columns,
+)
+
+
+def math_functions(sf_dir: str):
+    """sqrt/ln/abs/mod/power over part prices (pc kernels, 1:1 with SQL)."""
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    return with_columns(
+        part,
+        {
+            "price_sqrt": lambda b: rescale_round(
+                pc.sqrt(b.column("p_retailprice")), 6
+            ),
+            "price_ln": lambda b: rescale_round(pc.ln(b.column("p_retailprice")), 6),
+            "size_dev": lambda b: pc.cast(
+                pc.abs(pc.subtract(b.column("p_size"), 20)), pa.int64()
+            ),
+            "size_mod": lambda b: pc.cast(
+                # arrow has no mod kernel: a - (a//b)*b (positive operands)
+                pc.subtract(
+                    b.column("p_size"),
+                    pc.multiply(
+                        pc.divide(b.column("p_size"), 7), 7
+                    ),
+                ),
+                pa.int64(),
+            ),
+            "size_sq": lambda b: pc.cast(
+                pc.multiply(b.column("p_size"), b.column("p_size")), pa.float64()
+            ),
+        },
+    ).select_columns(
+        ["p_partkey", "price_sqrt", "price_ln", "size_dev", "size_mod", "size_sq"]
+    )
+
+
+def cast_functions(sf_dir: str):
+    """CAST coverage: int→string, float→int (truncation), string compare."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"]
+    )
+    return with_columns(
+        orders,
+        {
+            "key_str": lambda b: pc.cast(b.column("o_orderkey"), pa.string()),
+            "price_int": lambda b: pc.cast(
+                pc.floor(b.column("o_totalprice")), pa.int64()
+            ),
+            "is_open": lambda b: pc.equal(b.column("o_orderstatus"), "O"),
+        },
+    ).select_columns(["o_orderkey", "key_str", "price_int", "is_open"])
+
+
+def in_between_filter(sf_dir: str):
+    """IN-list + BETWEEN predicates."""
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size", "p_retailprice"]
+    )
+    brands = pa.array(["Brand#1", "Brand#2", "Brand#3"])
+    return filter_batches(
+        part,
+        lambda b: pc.and_(
+            pc.is_in(b.column("p_brand"), value_set=brands),
+            pc.and_(
+                pc.greater_equal(b.column("p_size"), 10),
+                pc.less_equal(b.column("p_size"), 40),
+            ),
+        ),
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(sf_dir: str):
+    """Per-user session counts: events = user-partitioned ordered log; the
+    session window is computed vectorized over each user's sorted timestamps
+    inside ``groupby(user_bucket).map_groups`` (ordering contract: sort by
+    (user_id, ts, event_id) within partition; stated per SURVEY.md §2.6)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("ubucket", pa.array((u % 16).astype(np.int32)))
+
+    ev = ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sessions(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_session = new_user | (gap > SESSION_GAP_US)
+        uniq, idx = np.unique(u, return_index=True)
+        n_events = np.diff(np.concatenate((idx, [len(u)])))
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), idx)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "n_sessions": pa.array(n_sessions),
+            }
+        )
+
+    return ev.groupby("ubucket").map_groups(sessions, batch_format="pyarrow")
+
+
+def events_type_pivot(sf_dir: str):
+    """Grouped counts per event type (stream-table rollup)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_aggregate(
+        ev, ["event_type"], [("count", "user_id", "n_events")]
+    )
+
+
+QUERIES = {
+    "math_functions": math_functions,
+    "cast_functions": cast_functions,
+    "in_between_filter": in_between_filter,
+    "sessionize": sessionize,
+    "events_type_pivot": events_type_pivot,
+}
+
+SQL = {
+    "math_functions": """
+        SELECT p_partkey,
+               CAST(ROUND(SQRT(p_retailprice) * 1000000, 0) AS BIGINT) / 1000000.0 AS price_sqrt,
+               CAST(ROUND(LN(p_retailprice) * 1000000, 0) AS BIGINT) / 1000000.0 AS price_ln,
+               ABS(p_size - 20) AS size_dev,
+               p_size - (p_size // 7) * 7 AS size_mod,
+               CAST(p_size * p_size AS DOUBLE) AS size_sq
+        FROM part
+    """,
+    "cast_functions": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+               o_orderstatus = 'O' AS is_open
+        FROM orders
+    """,
+    "in_between_filter": """
+        SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_size BETWEEN 10 AND 40
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(new_s) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "events_type_pivot": """
+        SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+}

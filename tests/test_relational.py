@@ -32,6 +32,11 @@ ORACLED = [
     "docs_by_lang",
     "exact_dedup",
     "knn_cosine",
+    "math_functions",
+    "cast_functions",
+    "in_between_filter",
+    "sessionize",
+    "events_type_pivot",
 ]
 
 
