@@ -12,8 +12,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import extra, textops, tpch
+from terrier_ray.pipelines import analyze, extra, textops, tpch
 from terrier_ray.pipelines.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_signatures,
@@ -23,6 +24,7 @@ from terrier_ray.pipelines.multimodal import media_features
 from terrier_ray.pipelines.similarity import (
     embedding_near_dup_pairs,
     knn_cosine,
+    knn_cosine_ivf,
     knn_cosine_lsh,
 )
 
@@ -36,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(tpch.QUERIES)
     q.update(extra.QUERIES)
+    q.update(analyze.QUERIES)
     q["token_counts"] = textops.token_counts
     q["docs_by_lang"] = textops.docs_by_lang
     q["quality_scores"] = textops.quality_scores
@@ -46,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["simhash_signatures"] = simhash_signatures
     q["knn_cosine"] = knn_cosine
     q["knn_cosine_lsh"] = knn_cosine_lsh
+    q["knn_cosine_ivf"] = knn_cosine_ivf
+    q["dup_clusters"] = dup_clusters
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
     q["bm25_topk"] = bm25_topk
     q["index_corpus_stats"] = index_corpus_stats
@@ -57,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(tpch.SQL)
     sql.update(extra.SQL)
+    sql.update(analyze.SQL)
     sql.update(textops.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

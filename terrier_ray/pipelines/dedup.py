@@ -251,6 +251,52 @@ def simhash_signatures(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def dup_clusters(sf_dir: str, jaccard_threshold: float = 0.7):
+    """Duplicate clusters: MinHash-LSH candidate pairs → connected components
+    → (doc_id, cluster_id, cluster_size) for every doc in a non-trivial
+    cluster.
+
+    Components run union-find on the DRIVER over the verified near-dup pairs
+    — bounded: only pairs above the Jaccard threshold ever reach the driver,
+    a tiny fraction of the corpus.  At extreme duplication rates switch to
+    iterated min-label propagation (join labels to edges + groupby-min per
+    round); the pair-generation stages are identical either way.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(d, find(d)) for d in parent]
+    if not rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+                "cluster_size": pa.array([], type=pa.int64()),
+            }
+        )
+    import collections
+
+    sizes = collections.Counter(r for _, r in rows)
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "cluster_id": pa.array([r for _, r in rows], type=pa.int64()),
+            "cluster_size": pa.array([sizes[r] for _, r in rows], type=pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_exact(text_a: str, text_b: str, width: int = 5) -> float:
     sa = set(_shingle_hashes(text_a, width).tolist())
     sb = set(_shingle_hashes(text_b, width).tolist())

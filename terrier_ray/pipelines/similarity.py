@@ -117,6 +117,68 @@ def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: in
     return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])
 
 
+def _kmeans(m: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> np.ndarray:
+    """Small deterministic Lloyd's k-means (IVF coarse quantizer training)."""
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            sel = m[assign == j]
+            if len(sel):
+                cent[j] = sel.mean(axis=0)
+    return cent
+
+
+def knn_cosine_ivf(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-style ANN: train a coarse quantizer on a sample (driver-side),
+    assign vectors to cells per batch, scan only the ``nprobe`` cells nearest
+    the query.  Scale path: cells written as parquet partitions once, queries
+    read only their cells (here the assignment runs inline)."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = np.asarray(emb.column("vec_id").to_pylist())
+    m_all = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = m_all[ids_all == query_vec_id][0]
+    # train on a bounded sample (all rows here; sample at scale)
+    cent = _kmeans(m_all[: min(len(m_all), 10_000)], nlist)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd)[:nprobe].tolist())
+    qn = q / np.linalg.norm(q)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(batch)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        keep = np.isin(cell, list(probe)) & (ids != query_vec_id)
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "sim": rescale_round(pa.array(sims), 4),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 6):
     """Near-duplicate vector pairs: LSH-bucket groupby → within-bucket exact
     cosine → pairs above threshold (doc_a < doc_b)."""

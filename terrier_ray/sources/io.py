@@ -1,0 +1,73 @@
+"""Sources & sinks beyond parquet: CSV scan, CSV/parquet export, Arrow IPC.
+
+Reference analogs:
+- CSVScan plan node (delimiter/quote/escape) —
+  /root/reference/src/include/planner/plannodes/csv_scan_plan_node.h:15-60,
+  runtime execution/util/csv_reader.h:208
+- ExportExternalFile (COPY ... TO csv/binary) —
+  planner/plannodes/export_external_file_plan_node.h:21-51
+- ArrowSerializer::ExportTable (Arrow IPC readable by pandas) —
+  storage/arrow_serializer.h:19-63
+
+Resumable-output contract: parquet sinks write one directory per job with
+Ray-generated unique part files; ``write_parquet_partitioned`` lays out one
+subdirectory per key value so a rerun can skip finished partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as pa_ipc
+
+
+def read_csv_table(path: str, **arrow_csv_kwargs):
+    """CSVScan: ray.data.read_csv (Arrow CSV reader under the hood)."""
+    import ray.data as rd
+
+    return rd.read_csv(path, **arrow_csv_kwargs)
+
+
+def write_csv(ds, out_dir: str):
+    """COPY ... TO csv."""
+    ds.write_csv(out_dir)
+    return sorted(glob.glob(os.path.join(out_dir, "*")))
+
+
+def write_parquet_partitioned(ds, out_dir: str, partition_col: str):
+    """Partitioned parquet sink (one dir per key value → resumable layout)."""
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    return sorted(glob.glob(os.path.join(out_dir, "**/*.parquet"), recursive=True))
+
+
+def export_arrow_ipc(ds, out_path: str) -> str:
+    """Arrow IPC (Feather2) export of a Dataset — the ArrowSerializer analog.
+
+    Streams batches to one IPC file; for big data prefer the parquet sink
+    (this is the interchange path for pandas/polars consumers).
+    """
+    batches = ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    writer = None
+    try:
+        for b in batches:
+            if writer is None:
+                writer = pa_ipc.new_file(out_path, b.schema)
+            for rb in b.to_batches():
+                writer.write_batch(rb)
+        if writer is None:  # empty dataset → still emit a valid schema-only file
+            schema = ds.schema()
+            writer = pa_ipc.new_file(
+                out_path,
+                pa.schema(list(zip(schema.names, schema.types))),
+            )
+    finally:
+        if writer is not None:
+            writer.close()
+    return out_path
+
+
+def read_arrow_ipc(path: str) -> pa.Table:
+    with pa_ipc.open_file(path) as r:
+        return r.read_all()
