@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, extra, textops, tpch
+from terrier_ray.pipelines import analyze, extra, functions2, textops, tpch
 from terrier_ray.pipelines.dedup import (
     dup_clusters,
     exact_dedup,
@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(tpch.QUERIES)
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
+    q.update(functions2.QUERIES)
     q["token_counts"] = textops.token_counts
     q["docs_by_lang"] = textops.docs_by_lang
     q["quality_scores"] = textops.quality_scores
@@ -63,6 +64,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(tpch.SQL)
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
+    sql.update(functions2.SQL)
     sql.update(textops.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -37,6 +37,15 @@ ORACLED = [
     "in_between_filter",
     "sessionize",
     "events_type_pivot",
+    "analyze_lineitem",
+    "string_functions2",
+    "date_functions2",
+    "trig_functions",
+    "null_handling",
+    "scalar_subquery",
+    "intersect_nations",
+    "except_sizes",
+    "limit_offset",
 ]
 
 
@@ -80,9 +89,10 @@ def test_query_matches_oracle(ray_session, duck, sf_smoke, name):
     for c in mine.columns:
         a, b = mine[c], want[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            # fixed-point recipe ⇒ bit-identical doubles
+            # fixed-point recipe ⇒ bit-identical doubles (NaN == NaN for nulls)
+            av, bv = a.astype(float).values, b.astype(float).values
             assert (
-                a.astype(float).values == b.astype(float).values
+                (av == bv) | (np.isnan(av) & np.isnan(bv))
             ).all(), f"{name}.{c} float mismatch"
         else:
             assert (a.astype(str).values == b.astype(str).values).all(), f"{name}.{c}"
