@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(functions2.QUERIES)
     q["token_counts"] = textops.token_counts
     q["docs_by_lang"] = textops.docs_by_lang
+    q["bpe_token_counts"] = textops.bpe_token_counts
+    q["json_extract_props"] = textops.json_extract_props
     q["quality_scores"] = textops.quality_scores
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
