@@ -102,6 +102,12 @@ def run_bench() -> dict:
     lats_ms = np.asarray(lats) * 1000
     p50, p99 = float(np.percentile(lats_ms, 50)), float(np.percentile(lats_ms, 99))
 
+    # block-max WAND DAAT path (the huge-index algorithm; pruning-correct)
+    t0 = time.perf_counter()
+    for q in lat_sample[:50]:
+        idx.search_bmw(q, 10)
+    results["query_bmw50"] = round(time.perf_counter() - t0, 3)
+
     # ---- query throughput: steady-state over a PRE-WARMED actor pool ----
     # (map_batches actor pools pay index-load per execution; QPS is a
     # steady-state serving metric, so actors are created+warmed untimed)

@@ -56,6 +56,10 @@ class BM25Index:
     hold only their shard — here one node holds all (documented tradeoff).
     """
 
+    #: decoded-postings cache entries per index handle (bounded: a heavy
+    #: term's decoded list is ~16B/doc; 4096 hot terms is plenty per actor)
+    CACHE_CAP = 4096
+
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -70,7 +74,9 @@ class BM25Index:
         order = np.argsort(d)
         self._dl_docids = d[order]
         self._dl = l[order].astype(np.float64)
-        self._cache: dict[str, tuple | None] = {}
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
 
     def doc_len(self, docids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_docids, docids.astype(np.int64))
@@ -81,7 +87,14 @@ class BM25Index:
 
         Returns {term: (df, docids, tfs, block_last, block_max_wd) | None}.
         """
-        missing = [t for t in terms if t not in self._cache]
+        result: dict[str, tuple | None] = {}
+        missing = []
+        for t in terms:
+            if t in self._cache:
+                result[t] = self._cache[t]
+                self._cache.move_to_end(t)
+            else:
+                missing.append(t)
         if missing:
             th = term_hash(np.asarray(missing, dtype=object))
             by_bucket: dict[int, list[str]] = {}
@@ -99,8 +112,12 @@ class BM25Index:
                         bm = np.frombuffer(tab.column("block_max_wd")[i].as_py(), dtype="<f4")
                         found[term] = (int(tab.column("df")[i].as_py()), dids, tfs, bl, bm)
                 for t in ts:
-                    self._cache[t] = found.get(t)
-        return {t: self._cache[t] for t in terms}
+                    result[t] = found.get(t)
+                    self._cache[t] = result[t]
+                    self._cache.move_to_end(t)
+            while len(self._cache) > self.CACHE_CAP:
+                self._cache.popitem(last=False)  # evict LRU (result keeps refs)
+        return result
 
     # ------------------------------------------------------------------
     # exact term-at-a-time scoring (vectorized; the bench default)
