@@ -19,7 +19,7 @@ from terrier_ray.pipelines.dedup import (
     minhash_lsh_pairs,
     simhash_signatures,
 )
-from terrier_ray.pipelines.fulltext import bm25_topk, index_corpus_stats
+from terrier_ray.pipelines.fulltext import bm25_topk, bm25_topk_distributed, index_corpus_stats
 from terrier_ray.pipelines.multimodal import media_features
 from terrier_ray.pipelines.similarity import (
     embedding_near_dup_pairs,
@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dup_clusters"] = dup_clusters
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
     q["bm25_topk"] = bm25_topk
+    q["bm25_topk_distributed"] = bm25_topk_distributed
     q["index_corpus_stats"] = index_corpus_stats
     q["media_features"] = lambda sf_dir: media_features(200)
     return q

@@ -248,6 +248,87 @@ class BM25Index:
         return score
 
 
+def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
+    """Remote-side posting fetch+decode for one bucket (IO-bound shard work).
+
+    Plain function registered as a Ray task by ``search_distributed``; returns
+    {term: (df, docids, tfs)} with numpy arrays (zero-copy via object store).
+    """
+    path = os.path.join(postings_dir, f"bucket-{bucket:05d}.parquet")
+    out: dict[str, tuple] = {}
+    if os.path.exists(path):
+        tab = pq.read_table(path, filters=[("term", "in", terms)])
+        for i in range(tab.num_rows):
+            term = tab.column("term")[i].as_py()
+            dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
+            out[term] = (int(tab.column("df")[i].as_py()), dids, tfs)
+    return out
+
+
+class DistributedBM25:
+    """Scatter-gather query execution: posting fetch fans out as one Ray task
+    per index bucket (the shard-IO stage of a cluster deployment), scoring +
+    top-k happen where the doclens live (here: the caller).
+
+    Scale note: at 1e12 docs scoring also moves to the shards (each holds the
+    doclens for its docid range and returns partial top-k; the caller merges
+    k-lists), which is exactly the reference's parallel top-k shape
+    (sorter.cpp:424-430).  Results are rank-identical to ``BM25Index.search``
+    (same accumulation order: contributions concatenated in query-term order).
+    """
+
+    def __init__(self, index_dir: str):
+        self.local = BM25Index(index_dir)
+        import ray
+
+        self._fetch = ray.remote(_fetch_bucket_postings)
+
+    def search_many(self, queries: list[str], k: int = 10):
+        import ray
+
+        idx = self.local
+        per_query_terms = [_query_terms(q) for q in queries]
+        all_terms = sorted({t for ts in per_query_terms for t in ts})
+        th = term_hash(np.asarray(all_terms, dtype=object)) if all_terms else []
+        by_bucket: dict[int, list[str]] = {}
+        for t, h in zip(all_terms, th):
+            by_bucket.setdefault(int(h % idx.num_buckets), []).append(t)
+        futs = [
+            self._fetch.remote(idx.postings_dir, b, ts)
+            for b, ts in sorted(by_bucket.items())
+        ]
+        postings: dict[str, tuple] = {}
+        for part in ray.get(futs):
+            postings.update(part)
+
+        results = []
+        for terms in per_query_terms:
+            chunks_d, chunks_c = [], []
+            for t in terms:
+                p = postings.get(t)
+                if p is None:
+                    continue
+                df, dids, tfs = p
+                dl = idx.doc_len(dids)
+                tf = tfs.astype(np.float64)
+                contrib = idf(idx.n_docs, df) * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+                )
+                chunks_d.append(dids.astype(np.int64))
+                chunks_c.append(contrib)
+            if not chunks_d:
+                results.append([])
+                continue
+            all_d = np.concatenate(chunks_d)
+            all_c = np.concatenate(chunks_c)
+            uniq, inverse = np.unique(all_d, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inverse, all_c)
+            order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+            results.append([(int(uniq[i]), float(acc[i])) for i in order])
+        return results
+
+
 class BM25Scorer:
     """Actor-pool map_batches stage: queries (query_id, text) → top-k rows.
 

@@ -143,7 +143,46 @@ def events_type_pivot(sf_dir: str):
     )
 
 
+def cross_join_mismatched(sf_dir: str):
+    """Nested-loop/cross join analog: broadcast the tiny side, emit the
+    filtered cross product per batch (region × nation, non-matching pairs)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
+    nation = read_table(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+
+    def cross(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        r = region.num_rows
+        left = batch.take(pa.array(np.repeat(np.arange(n), r)))
+        right_idx = np.tile(np.arange(r), n)
+        out = left
+        for name in region.column_names:
+            out = out.append_column(name, region.column(name).take(pa.array(right_idx)))
+        return out.filter(
+            pc.not_equal(out.column("n_regionkey"), out.column("r_regionkey"))
+        ).select(["r_name", "n_name"])
+
+    return nation.map_batches(cross, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def price_histogram(sf_dir: str):
+    """Equi-width histogram of order totals (the ANALYZE histogram analog)."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    orders = with_columns(
+        orders,
+        {
+            "bucket": lambda b: pc.cast(
+                pc.floor(pc.divide(b.column("o_totalprice"), 50000.0)), pa.int64()
+            )
+        },
+    )
+    return grouped_aggregate(orders, ["bucket"], [("count", "o_totalprice", "n")])
+
+
 QUERIES = {
+    "cross_join_mismatched": cross_join_mismatched,
+    "price_histogram": price_histogram,
     "math_functions": math_functions,
     "cast_functions": cast_functions,
     "in_between_filter": in_between_filter,
@@ -152,6 +191,15 @@ QUERIES = {
 }
 
 SQL = {
+    "cross_join_mismatched": """
+        SELECT r_name, n_name FROM region, nation
+        WHERE n_regionkey <> r_regionkey
+    """,
+    "price_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM orders GROUP BY bucket
+    """,
     "math_functions": """
         SELECT p_partkey,
                CAST(ROUND(SQRT(p_retailprice) * 1000000, 0) AS BIGINT) / 1000000.0 AS price_sqrt,

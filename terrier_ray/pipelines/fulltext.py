@@ -41,6 +41,34 @@ def bm25_topk(sf_dir: str, k: int = 10, num_queries: int = 20):
     )
 
 
+def bm25_topk_distributed(sf_dir: str, k: int = 10, num_queries: int = 20):
+    """Scatter-gather BM25: per-bucket Ray tasks fetch postings, caller
+    scores + merges (rank-identical to bm25_topk)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    idx_dir = ensure_index(sf_dir)
+    queries = generate_queries(num_queries)
+    engine = DistributedBM25(idx_dir)
+    res = engine.search_many(queries.column("text").to_pylist(), k=k)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, hits in zip(queries.column("query_id").to_pylist(), res):
+        for rank, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def index_corpus_stats(sf_dir: str):
     """Corpus-level stats of the built index (docs, postings, terms)."""
     import pandas as pd

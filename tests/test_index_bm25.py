@@ -114,3 +114,15 @@ def test_resume_rebuilds_missing_bucket(built_index, webtext_small):
     assert "postings_s" in stats3["timings"]  # postings epoch re-ran
     assert "corpus_s" not in stats3["timings"]  # corpus epoch still skipped
     assert os.path.exists(victim)
+
+
+def test_distributed_matches_local(ray_session, built_index, oracle):
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    out, _ = built_index
+    engine = DistributedBM25(out)
+    queries = generate_queries(20)
+    texts = queries.column("text").to_pylist()
+    res = engine.search_many(texts, k=10)
+    for text, got in zip(texts, res):
+        assert got == oracle.search(text, k=10), text
