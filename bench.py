@@ -108,6 +108,13 @@ def run_bench() -> dict:
         idx.search_bmw(q, 10)
     results["query_bmw50"] = round(time.perf_counter() - t0, 3)
 
+    # MaxScore-pruned path on stopword-heavy queries (the Zipf serving case)
+    stop_sample = [q + " the of and" for q in lat_sample[:50]]
+    t0 = time.perf_counter()
+    for q in stop_sample:
+        idx.search_pruned(q, 10)
+    results["query_pruned_stop50"] = round(time.perf_counter() - t0, 3)
+
     # ---- query throughput: steady-state over a PRE-WARMED actor pool ----
     # (map_batches actor pools pay index-load per execution; QPS is a
     # steady-state serving metric, so actors are created+warmed untimed)

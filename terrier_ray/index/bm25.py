@@ -153,6 +153,86 @@ class BM25Index:
         return [(int(uniq[i]), float(acc[i])) for i in order]
 
     # ------------------------------------------------------------------
+    # MaxScore-pruned exact term-at-a-time (the big-corpus serving path)
+    # ------------------------------------------------------------------
+
+    #: pruning safety margin against float-accumulation-order noise
+    _EPS = 1e-9
+
+    def search_pruned(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact top-k with MaxScore-style pruning.
+
+        Terms are processed in DESCENDING upper-bound order; once the summed
+        upper bounds of the remaining terms can no longer lift a new doc into
+        the top-k, remaining (typically high-df) terms are only PROBED at the
+        current candidates' positions (vectorized searchsorted) instead of
+        scanned — 'the' with df=millions contributes |candidates| lookups,
+        not df.  The final top-2k are re-scored in canonical query-term order
+        (bit-identical to the oracle) and re-ranked, so results match
+        ``search`` exactly; pruning uses an epsilon margin so accumulation-
+        order float noise can never drop a true top-k doc.
+        """
+        terms = _query_terms(query)
+        post = self.lookup(terms)
+        live = []
+        for ti, t in enumerate(terms):
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, _, bm = p
+            w = idf(self.n_docs, df)
+            ub = w * float(bm.max()) if len(bm) else 0.0
+            live.append((ub, ti, t, w, df, dids, tfs))
+        if not live:
+            return []
+        live.sort(key=lambda x: -x[0])
+        tail_ub = np.cumsum([ub for ub, *_ in live][::-1])[::-1]
+
+        cand_d = np.empty(0, dtype=np.int64)
+        cand_acc = np.empty(0, dtype=np.float64)
+        for i, (ub, ti, t, w, df, dids, tfs) in enumerate(live):
+            remaining = tail_ub[i]  # ub of this term + all later ones
+            if len(cand_acc) >= k:
+                kth = np.partition(cand_acc, len(cand_acc) - k)[len(cand_acc) - k]
+            else:
+                kth = -np.inf
+            probe_only = len(cand_acc) >= k and remaining < kth - self._EPS
+            dl_all = None
+            if probe_only:
+                # no new doc can reach top-k: probe existing candidates only
+                pos = np.searchsorted(dids, cand_d.astype(np.uint64))
+                pos_c = np.clip(pos, 0, len(dids) - 1)
+                hit = dids[pos_c] == cand_d.astype(np.uint64)
+                if hit.any():
+                    tf = tfs[pos_c[hit]].astype(np.float64)
+                    dl = self.doc_len(cand_d[hit])
+                    cand_acc[hit] += w * (
+                        tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                    )
+                continue
+            # full merge of this term's postings into the candidate set
+            dl_all = self.doc_len(dids)
+            tf = tfs.astype(np.float64)
+            contrib = w * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_all / self.avgdl))
+            )
+            d64 = dids.astype(np.int64)
+            merged = np.concatenate([cand_d, d64])
+            accs = np.concatenate([cand_acc, contrib])
+            uniq, inverse = np.unique(merged, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inverse, accs)
+            cand_d, cand_acc = uniq, acc
+
+        kk = min(2 * k, len(cand_d))
+        part = np.argpartition(-cand_acc, kk - 1)[:kk] if len(cand_d) > kk else np.arange(len(cand_d))
+        finalists = cand_d[part]
+        # canonical rescoring (query-term order) → bit-identical to oracle
+        rescored = [(int(d), self._score_doc(int(d), terms, post)) for d in finalists]
+        rescored.sort(key=lambda x: (-x[1], x[0]))
+        return rescored[:k]
+
+    # ------------------------------------------------------------------
     # Block-Max WAND document-at-a-time (the scale path for huge indexes)
     # ------------------------------------------------------------------
 
@@ -336,14 +416,18 @@ class BM25Scorer:
     and emits (query_id, rank, docid, score).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, use_bmw: bool = False):
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "pruned"):
         self.index = BM25Index(index_dir)
         self.k = k
-        self.use_bmw = use_bmw
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docids, scores = [], [], [], []
-        search = self.index.search_bmw if self.use_bmw else self.index.search
+        search = {
+            "pruned": self.index.search_pruned,
+            "exact": self.index.search,
+            "bmw": self.index.search_bmw,
+        }[self.mode]
         for qid, text in zip(
             batch.column("query_id").to_pylist(), batch.column("text").to_pylist()
         ):

@@ -126,3 +126,13 @@ def test_distributed_matches_local(ray_session, built_index, oracle):
     res = engine.search_many(texts, k=10)
     for text, got in zip(texts, res):
         assert got == oracle.search(text, k=10), text
+
+
+def test_pruned_matches_oracle(built_index, oracle):
+    out, _ = built_index
+    idx = BM25Index(out)
+    queries = generate_queries(30)
+    for text in queries.column("text").to_pylist():
+        # include stopword-heavy variants (the pruning-heavy path)
+        for q in (text, text + " the of and a to"):
+            assert idx.search_pruned(q, 10) == oracle.search(q, 10), q
