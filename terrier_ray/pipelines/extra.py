@@ -180,7 +180,54 @@ def price_histogram(sf_dir: str):
     return grouped_aggregate(orders, ["bucket"], [("count", "o_totalprice", "n")])
 
 
+def asof_purchase_view(sf_dir: str):
+    """As-of join: for each purchase event, the most recent (<= ts) view
+    event of the same user.
+
+    No Ray Data primitive exists — composed as: bucket both sides by
+    hash(user_id), union with a side tag, ``groupby(bucket)``, and
+    ``pd.merge_asof`` over per-user-sorted timestamps inside each group
+    (partitioning assumption: all events of a user land in one bucket).
+    """
+    import pandas as pd
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    ev = filter_batches(
+        ev,
+        lambda b: pc.is_in(
+            b.column("event_type"), value_set=pa.array(["purchase", "view"])
+        ),
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("ub", pa.array((u % 16).astype(np.int32)))
+
+    ev = ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        p = group[group["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        v = group[group["event_type"] == "view"].sort_values(["ts", "event_id"])
+        if p.empty or v.empty:
+            return pd.DataFrame({"purchase_id": pd.Series(dtype="int64"),
+                                 "view_id": pd.Series(dtype="int64")})
+        m = pd.merge_asof(
+            p, v, on="ts", by="user_id", direction="backward",
+            suffixes=("_p", "_v"), allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["event_id_v"])
+        return pd.DataFrame(
+            {
+                "purchase_id": m["event_id_p"].astype("int64"),
+                "view_id": m["event_id_v"].astype("int64"),
+            }
+        )
+
+    return ev.groupby("ub").map_groups(asof, batch_format="pandas")
+
+
 QUERIES = {
+    "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
     "price_histogram": price_histogram,
     "math_functions": math_functions,
@@ -191,6 +238,12 @@ QUERIES = {
 }
 
 SQL = {
+    "asof_purchase_view": """
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
     "cross_join_mismatched": """
         SELECT r_name, n_name FROM region, nation
         WHERE n_regionkey <> r_regionkey

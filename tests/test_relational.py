@@ -46,6 +46,11 @@ ORACLED = [
     "intersect_nations",
     "except_sizes",
     "limit_offset",
+    "cross_join_mismatched",
+    "price_histogram",
+    "asof_purchase_view",
+    "bpe_token_counts",
+    "json_extract_props",
 ]
 
 
