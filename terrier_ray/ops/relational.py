@@ -84,8 +84,14 @@ def read_table(
 
 
 def filter_expr(ds, expr: Expr):
-    """Vectorized filter using a pyarrow dataset expression."""
-    return ds.filter(expr=expr)
+    """Vectorized filter with a pyarrow dataset expression, applied per Arrow
+    batch (Ray's ``ds.filter(expr=...)`` wants a string on this version;
+    ``pa.Table.filter`` accepts the Expression directly)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        return batch.filter(expr)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def filter_batches(ds, mask_fn: Callable[[pa.Table], pa.Array]):

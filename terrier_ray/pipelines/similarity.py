@@ -182,12 +182,6 @@ def knn_cosine_ivf(
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 6):
     """Near-duplicate vector pairs: LSH-bucket groupby → within-bucket exact
     cosine → pairs above threshold (doc_a < doc_b)."""
-    import pyarrow.parquet as pq
-
-    meta = pq.read_metadata(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-    schema = pq.read_schema(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-    _ = meta, schema
-
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     first = ds.take_batch(1, batch_format="pyarrow")
