@@ -12,7 +12,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, extra, functions2, textops, tpch
+from terrier_ray.pipelines import analyze, extra, functions2, textops, tpch, tpch2
+from terrier_ray.pipelines import window as windowq
 from terrier_ray.pipelines.dedup import (
     dup_clusters,
     exact_dedup,
@@ -37,6 +38,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(tpch.QUERIES)
+    q.update(tpch2.QUERIES)
+    q.update(windowq.QUERIES)
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
     q.update(functions2.QUERIES)
@@ -65,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(tpch.SQL)
+    sql.update(tpch2.SQL)
+    sql.update(windowq.SQL)
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
     sql.update(functions2.SQL)

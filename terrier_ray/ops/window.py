@@ -1,0 +1,130 @@
+"""Partitioned window functions (ROW_NUMBER / RANK / running SUM / LAG /
+LEAD) as a Ray-Data-native operator.
+
+The reference has no window functions (no OVER support anywhere in
+/root/reference/src/parser — windows are listed as a non-feature in
+SURVEY.md §1.1); this is part of the beyond-reference training-data-pipeline
+surface.
+
+Execution shape — ONE hash shuffle, then vectorized segment math:
+
+1. every batch tags rows with ``__wbucket = hash(partition_by) % P``
+   (same stable bucketing as ``partitioned_join``), so a bucket holds ALL
+   rows of every partition key mapped to it;
+2. ``groupby(__wbucket).map_groups`` gives each bucket to one task, which
+   sorts it by (partition_by, order_by) ONCE and computes every requested
+   window column with numpy/Arrow segment kernels (no per-group Python
+   loop — a bucket holds many groups and they are all processed together).
+
+Scale notes: P (``num_partitions``) bounds per-task memory to ~input/P —
+size it so a bucket fits a worker heap; skewed partition keys are fine
+(a key's rows always fit one bucket by construction of the semantics —
+windows NEED all rows of a key together; a single key larger than worker
+memory would need a two-pass carry protocol, not implemented).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from terrier_ray.ops.relational import _multi_key_bucket
+
+#: spec kinds; (kind, col, alias).  col is ignored for row_number/rank.
+KINDS = ("row_number", "rank", "cumsum", "lag", "lead")
+
+
+def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """True where row i differs from row i-1 on any of ``cols`` (row 0 True)."""
+    n = table.num_rows
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    mask[0] = True
+    for c in cols:
+        arr = table.column(c).combine_chunks()
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        neq = pc.fill_null(neq, True)  # null-vs-anything starts a new run
+        mask[1:] |= neq.to_numpy(zero_copy_only=False)
+    return mask
+
+
+def windowed(
+    ds,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    specs: Sequence[tuple[str, str | None, str]],
+    num_partitions: int = 32,
+    descending: bool | Sequence[bool] = False,
+):
+    """Append window columns per ``specs`` over (PARTITION BY partition_by
+    ORDER BY order_by).  Row order of the output is arbitrary (set
+    semantics), as everywhere else in the engine.
+
+    - ``row_number``: 1-based position within the partition (ties broken by
+      the full order_by — make it unique for determinism).
+    - ``rank``: 1-based, equal order_by values share the minimum position.
+    - ``cumsum``: running sum of ``col`` (int64/float) in order_by order,
+      inclusive of the current row (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
+    - ``lag`` / ``lead``: value of ``col`` one row before/after within the
+      partition, null at the partition edge.
+    """
+    partition_by = list(partition_by)
+    order_by = list(order_by)
+    for kind, _col, _alias in specs:
+        if kind not in KINDS:
+            raise ValueError(f"unknown window kind {kind!r}")
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    sort_keys = [(k, "ascending") for k in partition_by] + [
+        (k, "descending" if d else "ascending")
+        for k, d in zip(order_by, descending)
+    ]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__wbucket",
+            pa.array(_multi_key_bucket(batch, partition_by, num_partitions)),
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__wbucket"]).sort_by(sort_keys)
+        n = t.num_rows
+        if n == 0:
+            return t
+        starts = _change_mask(t, partition_by)
+        idx = np.arange(n, dtype=np.int64)
+        # index of the first row of each row's partition segment
+        seg_start = np.maximum.accumulate(np.where(starts, idx, 0))
+        out = t
+        full_starts: np.ndarray | None = None
+        for kind, col, alias in specs:
+            if kind == "row_number":
+                vals = pa.array(idx - seg_start + 1)
+            elif kind == "rank":
+                if full_starts is None:
+                    full_starts = _change_mask(t, partition_by + order_by)
+                run_start = np.maximum.accumulate(np.where(full_starts, idx, 0))
+                vals = pa.array(run_start - seg_start + 1)
+            elif kind == "cumsum":
+                v = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+                cum = np.cumsum(v)
+                base = cum[seg_start] - v[seg_start]
+                vals = pa.array(cum - base)
+            elif kind == "lag":
+                take_idx = pa.array(idx - 1, mask=starts)
+                vals = t.column(col).combine_chunks().take(take_idx)
+            elif kind == "lead":
+                ends = np.empty(n, dtype=bool)
+                ends[:-1] = starts[1:]
+                ends[-1] = True
+                take_idx = pa.array(idx + 1, mask=ends)
+                vals = t.column(col).combine_chunks().take(take_idx)
+            out = out.append_column(alias, vals)
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__wbucket").map_groups(per_bucket, batch_format="pyarrow")

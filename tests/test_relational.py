@@ -51,6 +51,15 @@ ORACLED = [
     "asof_purchase_view",
     "bpe_token_counts",
     "json_extract_props",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_customers",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "window_order_rank",
+    "window_running_spend",
+    "window_order_gap_days",
 ]
 
 

@@ -1,0 +1,102 @@
+"""ops.window.windowed — segment-kernel edge cases vs a pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from terrier_ray.ops.window import windowed
+
+
+@pytest.fixture()
+def keyed_df() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    n = 2000
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n),  # many keys per bucket
+            "ord": rng.integers(0, 50, n),  # deliberate ties for rank
+            "uid": np.arange(n),  # unique tiebreak
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+
+
+def _run(df: pd.DataFrame, specs, order, num_partitions=5, descending=False):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = windowed(
+        ds, ["k"], order, specs, num_partitions=num_partitions, descending=descending
+    ).to_pandas()
+    return out.sort_values("uid").reset_index(drop=True)
+
+
+def test_row_number_and_cumsum(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [("row_number", None, "rn"), ("cumsum", "v", "run_v")],
+        ["ord", "uid"],
+    )
+    g = keyed_df.sort_values(["ord", "uid"]).groupby("k")
+    want_rn = g.cumcount() + 1
+    want_cs = g["v"].cumsum()
+    want = keyed_df.assign(rn=want_rn, run_v=want_cs).sort_values("uid")
+    assert (out["rn"].values == want["rn"].values).all()
+    assert (out["run_v"].values == want["run_v"].values).all()
+
+
+def test_rank_with_ties(ray_session, keyed_df):
+    out = _run(keyed_df, [("rank", None, "rank")], ["ord"])
+    want = (
+        keyed_df.groupby("k")["ord"].rank(method="min").astype(np.int64)
+    )
+    assert (out["rank"].values == want.values).all()
+
+
+def test_lag_lead_edges(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [("lag", "v", "prev_v"), ("lead", "v", "next_v")],
+        ["ord", "uid"],
+    )
+    s = keyed_df.sort_values(["ord", "uid"]).groupby("k")["v"]
+    want = keyed_df.assign(prev_v=s.shift(1), next_v=s.shift(-1)).sort_values("uid")
+    pd.testing.assert_series_equal(
+        out["prev_v"], want["prev_v"].reset_index(drop=True), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        out["next_v"], want["next_v"].reset_index(drop=True), check_names=False
+    )
+    # every partition has exactly one null lag (first row) and one null lead
+    nulls = out.groupby("k")["prev_v"].apply(lambda c: c.isna().sum())
+    assert (nulls == 1).all()
+
+
+def test_descending_order(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [("row_number", None, "rn")],
+        ["ord", "uid"],
+        descending=[True, True],
+    )
+    g = keyed_df.sort_values(["ord", "uid"], ascending=False).groupby("k")
+    want = keyed_df.assign(rn=g.cumcount() + 1).sort_values("uid")
+    assert (out["rn"].values == want["rn"].values).all()
+
+
+def test_single_bucket_equivalence(ray_session, keyed_df):
+    """Bucket count must not change results (pure partitioning concern)."""
+    a = _run(keyed_df, [("row_number", None, "rn")], ["ord", "uid"], num_partitions=1)
+    b = _run(keyed_df, [("row_number", None, "rn")], ["ord", "uid"], num_partitions=13)
+    assert (a["rn"].values == b["rn"].values).all()
+
+
+def test_bad_kind_raises(ray_session, keyed_df):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(keyed_df))
+    with pytest.raises(ValueError):
+        windowed(ds, ["k"], ["ord"], [("median", "v", "m")])
