@@ -13,6 +13,7 @@ from collections.abc import Callable
 from typing import Any
 
 from terrier_ray.pipelines import analyze, extra, functions2, textops, tpch, tpch2
+from terrier_ray.pipelines import orderagg as orderaggq
 from terrier_ray.pipelines import window as windowq
 from terrier_ray.pipelines.dedup import (
     dup_clusters,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(tpch.QUERIES)
     q.update(tpch2.QUERIES)
     q.update(windowq.QUERIES)
+    q.update(orderaggq.QUERIES)
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
     q.update(functions2.QUERIES)
@@ -70,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(tpch.SQL)
     sql.update(tpch2.SQL)
     sql.update(windowq.SQL)
+    sql.update(orderaggq.SQL)
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
     sql.update(functions2.SQL)

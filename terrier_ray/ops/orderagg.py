@@ -1,0 +1,129 @@
+"""Order-sensitive grouped aggregates: exact quantiles (PERCENTILE_CONT /
+MEDIAN) and ordered string concatenation (STRING_AGG).
+
+These cannot ride ``groupby().aggregate`` (they need every value of a group,
+ordered), so they use the same shape as ``ops.window``: ONE hash shuffle on
+``hash(keys) % num_partitions`` then per-bucket vectorized segment kernels —
+a bucket holds all rows of each of its keys, and many keys per bucket keep
+the Python-call count at O(num_partitions), not O(num_groups).
+
+Reference analog: the reference's ANALYZE computes per-column stats with
+reserved AGGREGATE_TOP_K / AGGREGATE_HISTOGRAM parse nodes
+(/root/reference/src/include/parser/expression_defs.h:55-56); exact grouped
+quantiles are the same family of order-statistics aggregation.
+
+Scale note: per-bucket memory is bounded by input/num_partitions (size it to
+the worker heap); a single group always lands in one bucket by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from terrier_ray.ops.relational import _multi_key_bucket
+from terrier_ray.ops.window import _change_mask
+
+
+def _tagged(ds, keys: Sequence[str], num_partitions: int):
+    keys = list(keys)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__qbucket", pa.array(_multi_key_bucket(batch, keys, num_partitions))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_quantile(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    q: float,
+    alias: str,
+    num_partitions: int = 32,
+):
+    """Exact PERCENTILE_CONT(q) of ``col`` per ``keys`` group (q=0.5 = MEDIAN).
+
+    Interpolation mirrors DuckDB/Postgres quantile_cont bit-for-bit:
+    ``pos = q*(n-1); lo = floor(pos); val = v[lo] + (v[lo+1]-v[lo])*(pos-lo)``
+    evaluated in float64 — feed an integer-scaled column for cross-engine
+    determinism of the inputs themselves.
+    """
+    keys = list(keys)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__qbucket"]).sort_by(
+            [(k, "ascending") for k in keys] + [(col, "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    alias: pa.array([], type=pa.float64()),
+                }
+            )
+        starts = _change_mask(t, keys)
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(start_idx, n))
+        v = pc.cast(t.column(col).combine_chunks(), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = q * (counts - 1).astype(np.float64)
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        lo_idx = start_idx + lo
+        hi_idx = np.minimum(lo_idx + 1, start_idx + counts - 1)
+        vals = v[lo_idx] + (v[hi_idx] - v[lo_idx]) * frac
+        head = t.take(pa.array(start_idx)).select(keys)
+        return head.append_column(alias, pa.array(vals, type=pa.float64()))
+
+    return (
+        _tagged(ds, keys, num_partitions)
+        .groupby("__qbucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_string_agg(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    sep: str,
+    alias: str,
+    order_by: Sequence[str] | None = None,
+    num_partitions: int = 32,
+):
+    """STRING_AGG(col, sep ORDER BY order_by) per ``keys`` group, fully
+    vectorized per bucket (Arrow group_by list-collect + binary_join)."""
+    keys = list(keys)
+    order_by = list(order_by) if order_by else [col]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__qbucket"]).sort_by(
+            [(k, "ascending") for k in keys] + [(o, "ascending") for o in order_by]
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    alias: pa.array([], type=pa.string()),
+                }
+            )
+        # arrow group_by preserves within-group encounter order for "list"
+        agg = t.select(keys + [col]).group_by(keys, use_threads=False).aggregate(
+            [(col, "list")]
+        )
+        joined = pc.binary_join(agg.column(f"{col}_list"), sep)
+        return agg.drop_columns([f"{col}_list"]).append_column(alias, joined)
+
+    return (
+        _tagged(ds, keys, num_partitions)
+        .groupby("__qbucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

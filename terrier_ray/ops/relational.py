@@ -306,6 +306,12 @@ def grouped_aggregate(
     Stage 1 (map): Arrow ``Table.group_by`` per batch → one partial row per
     distinct key per batch.  Stage 2 (shuffle): ray ``groupby().aggregate``
     over the partials.  Stage 3 (map): finalize means, rename.
+
+    KNOWN LIMIT (Ray 2.49): a zero-row input yields a schema-LESS empty
+    result — the sort-shuffle drops even typed empty blocks, and Ray's
+    aggregate type promotion (e.g. Min(float32)→double) can't be replayed
+    reliably to synthesize a seed schema.  Oracled queries must therefore
+    keep predicates selective-but-nonempty at every test SF.
     """
     from ray.data.aggregate import Max, Min, Sum
 

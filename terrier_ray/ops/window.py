@@ -33,8 +33,8 @@ import pyarrow.compute as pc
 
 from terrier_ray.ops.relational import _multi_key_bucket
 
-#: spec kinds; (kind, col, alias).  col is ignored for row_number/rank.
-KINDS = ("row_number", "rank", "cumsum", "lag", "lead")
+#: spec kinds; (kind, col, alias).  col is ignored for row_number/rank/dense_rank.
+KINDS = ("row_number", "rank", "dense_rank", "cumsum", "lag", "lead")
 
 
 def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
@@ -67,6 +67,7 @@ def windowed(
     - ``row_number``: 1-based position within the partition (ties broken by
       the full order_by — make it unique for determinism).
     - ``rank``: 1-based, equal order_by values share the minimum position.
+    - ``dense_rank``: like rank but consecutive (no gaps after ties).
     - ``cumsum``: running sum of ``col`` (int64/float) in order_by order,
       inclusive of the current row (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
     - ``lag`` / ``lead``: value of ``col`` one row before/after within the
@@ -109,6 +110,11 @@ def windowed(
                     full_starts = _change_mask(t, partition_by + order_by)
                 run_start = np.maximum.accumulate(np.where(full_starts, idx, 0))
                 vals = pa.array(run_start - seg_start + 1)
+            elif kind == "dense_rank":
+                if full_starts is None:
+                    full_starts = _change_mask(t, partition_by + order_by)
+                runs = np.cumsum(full_starts)  # global distinct-run counter
+                vals = pa.array(runs - runs[seg_start] + 1)
             elif kind == "cumsum":
                 v = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
                 cum = np.cumsum(v)

@@ -1,0 +1,112 @@
+"""Order-statistics aggregate queries (DuckDB-oracled): exact grouped
+median / percentile and ordered STRING_AGG, via ``ops.orderagg``."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from terrier_ray.ops.orderagg import grouped_quantile, grouped_string_agg
+from terrier_ray.ops.relational import read_table, scaled_int, with_columns
+from terrier_ray.ops.window import windowed
+
+
+def _orders_cents(sf_dir: str):
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return with_columns(
+        orders, {"tp_c": lambda b: scaled_int(b.column("o_totalprice"), 100)}
+    )
+
+
+def median_order_value(sf_dir: str):
+    """Exact MEDIAN(o_totalprice) per priority (integer-cents inputs)."""
+    w = grouped_quantile(
+        _orders_cents(sf_dir), ["o_orderpriority"], "tp_c", 0.5, "median_c"
+    )
+    return w.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "median_price": pc.divide(b.column("median_c"), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def p90_order_value(sf_dir: str):
+    """Exact PERCENTILE_CONT(0.9) per priority — interpolated position."""
+    w = grouped_quantile(
+        _orders_cents(sf_dir), ["o_orderpriority"], "tp_c", 0.9, "p90_c"
+    )
+    return w.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "p90_price": pc.divide(b.column("p90_c"), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def nations_csv(sf_dir: str):
+    """STRING_AGG(n_name, ',' ORDER BY n_name) per region."""
+    nation = read_table(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    return grouped_string_agg(
+        nation, ["n_regionkey"], "n_name", ",", "names", num_partitions=4
+    )
+
+
+def window_dense_rank(sf_dir: str):
+    """DENSE_RANK over tied order dates within each priority class."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"]
+    )
+    w = windowed(
+        orders,
+        ["o_orderpriority"],
+        ["o_orderdate"],
+        [("dense_rank", None, "dr")],
+        num_partitions=8,
+    )
+    return w.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority", "dr"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL = {
+    "median_order_value": """
+        SELECT o_orderpriority,
+               MEDIAN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                   AS median_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "p90_order_value": """
+        SELECT o_orderpriority,
+               QUANTILE_CONT(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9) / 100.0
+                   AS p90_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "nations_csv": """
+        SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey
+    """,
+    "window_dense_rank": """
+        SELECT o_orderkey, o_orderpriority,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate) AS dr
+        FROM orders
+    """,
+}
+
+QUERIES = {
+    "median_order_value": median_order_value,
+    "p90_order_value": p90_order_value,
+    "nations_csv": nations_csv,
+    "window_dense_rank": window_dense_rank,
+}

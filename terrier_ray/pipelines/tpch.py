@@ -285,17 +285,31 @@ def q18_large_volume(sf_dir: str):
     line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     qty = grouped_aggregate(line, ["l_orderkey"], [("sum", "l_quantity", "sum_qty")])
     qty = filter_batches(qty, lambda b: pc.greater(b.column("sum_qty"), 300.0))
+    # HAVING > 300 keeps a tiny fraction of orders — broadcast the survivors
+    # into the orders scan instead of a second all-to-all shuffle
+    batches = list(qty.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                "o_totalprice": pa.array([], type=pa.float64()),
+                "sum_qty": pa.array([], type=pa.float64()),
+            }
+        )
+    qty_tbl = pa.concat_tables(batches)
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
     )
-    j = partitioned_join(
-        qty, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8
-    )
-    return topk(
-        j.select_columns(["l_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]),
-        ["o_totalprice", "l_orderkey"],
-        k=20,
-        descending=[True, False],
+    j = broadcast_join(orders, qty_tbl, keys=["o_orderkey"], right_keys=["l_orderkey"])
+    top = topk(j, ["o_totalprice", "o_orderkey"], k=20, descending=[True, False])
+    return pa.table(
+        {
+            "l_orderkey": top.column("o_orderkey"),
+            "o_orderdate": top.column("o_orderdate"),
+            "o_totalprice": top.column("o_totalprice"),
+            "sum_qty": top.column("sum_qty"),
+        }
     )
 
 

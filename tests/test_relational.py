@@ -60,6 +60,10 @@ ORACLED = [
     "window_order_rank",
     "window_running_spend",
     "window_order_gap_days",
+    "median_order_value",
+    "p90_order_value",
+    "nations_csv",
+    "window_dense_rank",
 ]
 
 
