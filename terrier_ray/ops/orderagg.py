@@ -49,10 +49,13 @@ def grouped_quantile(
 ):
     """Exact PERCENTILE_CONT(q) of ``col`` per ``keys`` group (q=0.5 = MEDIAN).
 
-    Interpolation mirrors DuckDB/Postgres quantile_cont bit-for-bit:
-    ``pos = q*(n-1); lo = floor(pos); val = v[lo] + (v[lo+1]-v[lo])*(pos-lo)``
-    evaluated in float64 — feed an integer-scaled column for cross-engine
-    determinism of the inputs themselves.
+    Interpolation mirrors DuckDB quantile_cont bit-for-bit:
+    ``pos = q*(n-1); lo = floor(pos); frac = pos-lo;
+    val = v[lo]*(1-frac) + v[lo+1]*frac`` evaluated in float64.  NOTE the
+    exact expression matters at the ulp level: ``v[lo] + (v[lo+1]-v[lo])*frac``
+    (numpy's t<0.5 lerp) differs in the last bit for large magnitudes and
+    fails an exact value-hash.  Feed an integer-scaled column so the inputs
+    themselves are engine-independent.
     """
     keys = list(keys)
 
@@ -79,7 +82,7 @@ def grouped_quantile(
         frac = pos - lo
         lo_idx = start_idx + lo
         hi_idx = np.minimum(lo_idx + 1, start_idx + counts - 1)
-        vals = v[lo_idx] + (v[hi_idx] - v[lo_idx]) * frac
+        vals = v[lo_idx] * (1.0 - frac) + v[hi_idx] * frac
         head = t.take(pa.array(start_idx)).select(keys)
         return head.append_column(alias, pa.array(vals, type=pa.float64()))
 

@@ -188,7 +188,8 @@ def partitioned_join(
     tag, union, ``groupby(bucket)`` (bucket = stable hash of key), and run an
     Acero hash join per bucket.  Same shuffle shape, robust to sparsity; at
     scale ``num_partitions`` bounds per-bucket memory.
-    join_type: inner | left_semi | left_anti.
+    join_type: inner | left_semi | left_anti | left_outer | right_outer |
+    full_outer.
     """
     rkeys = list(right_on) if right_on else list(on)
     lkeys = list(on)
@@ -256,8 +257,13 @@ def partitioned_join(
         "inner": "inner",
         "left_semi": "left semi",
         "left_anti": "left anti",
+        "left_outer": "left outer",
+        "right_outer": "right outer",
+        "full_outer": "full outer",
     }[join_type]
-    out_cols = lnames + r_payload if join_type == "inner" else lnames
+    # semi/anti emit left columns only; outer joins null-extend the payload
+    # (key columns are coalesced across sides by Arrow since both carry lnames)
+    out_cols = lnames if join_type in ("left_semi", "left_anti") else lnames + r_payload
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
@@ -399,6 +405,61 @@ def grouped_count_distinct(ds, keys: Sequence[str], col: str, alias: str):
         batch_format="pyarrow",
     )
     return dd.groupby(keys).aggregate(Sum("__c", alias_name=alias))
+
+
+def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]]):
+    """GROUP BY CUBE(keys): every subset of ``keys`` as a grouping set,
+    rolled-up key columns null-filled (SQL CUBE semantics).
+
+    ONE distributed finest-level ``grouped_aggregate`` does all the heavy
+    lifting; every coarser grouping set is derived from the (small) finest
+    result driver-side by re-aggregating partials (sum of sums, count as sum,
+    min of mins, max of maxes) — no second pass over the input.
+    specs ops: sum | count | min | max (mean is not re-aggregable from
+    finals; derive it from sum+count columns instead).
+    """
+    from itertools import combinations
+
+    keys = list(keys)
+    for op, _c, _a in specs:
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube_aggregate cannot re-aggregate {op!r}")
+
+    finest_ds = grouped_aggregate(ds, keys, specs)
+    batches = list(finest_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    finest = pa.concat_tables(batches)
+    key_types = {k: finest.schema.field(k).type for k in keys}
+    aliases = [alias for _op, _c, alias in specs]
+    #: how to fold finals one more level
+    refold = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    out_tables = [finest.select(keys + aliases)]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            subset = list(subset)
+            if subset:
+                gb = finest.group_by(subset).aggregate(
+                    [(alias, refold[op]) for (op, _c, alias) in specs]
+                )
+                gb = gb.rename_columns(subset + aliases)
+            else:  # grand total
+                cols = {}
+                for op, _c, alias in specs:
+                    fn = {"sum": pc.sum, "count": pc.sum, "min": pc.min, "max": pc.max}[
+                        refold[op] if op == "count" else op
+                    ]
+                    cols[alias] = pa.array([fn(finest.column(alias)).as_py()])
+                gb = pa.table(cols)
+            n = gb.num_rows
+            full = {}
+            for k in keys:
+                full[k] = (
+                    gb.column(k) if k in subset else pa.nulls(n, type=key_types[k])
+                )
+            for alias in aliases:
+                full[alias] = gb.column(alias)
+            out_tables.append(pa.table(full))
+    return pa.concat_tables(out_tables)
 
 
 def global_aggregate(ds, specs: Sequence[tuple[str, str, str]]):

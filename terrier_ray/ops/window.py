@@ -33,8 +33,9 @@ import pyarrow.compute as pc
 
 from terrier_ray.ops.relational import _multi_key_bucket
 
-#: spec kinds; (kind, col, alias).  col is ignored for row_number/rank/dense_rank.
-KINDS = ("row_number", "rank", "dense_rank", "cumsum", "lag", "lead")
+#: spec kinds; (kind, col, alias).  col is ignored for row_number/rank/
+#: dense_rank; for ntile, col is the integer bucket count n.
+KINDS = ("row_number", "rank", "dense_rank", "cumsum", "lag", "lead", "ntile")
 
 
 def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
@@ -68,6 +69,8 @@ def windowed(
       the full order_by — make it unique for determinism).
     - ``rank``: 1-based, equal order_by values share the minimum position.
     - ``dense_rank``: like rank but consecutive (no gaps after ties).
+    - ``ntile``: SQL NTILE(col) — col carries the integer bucket count; the
+      first (cnt % n) tiles get the extra row.
     - ``cumsum``: running sum of ``col`` (int64/float) in order_by order,
       inclusive of the current row (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
     - ``lag`` / ``lead``: value of ``col`` one row before/after within the
@@ -115,6 +118,26 @@ def windowed(
                     full_starts = _change_mask(t, partition_by + order_by)
                 runs = np.cumsum(full_starts)  # global distinct-run counter
                 vals = pa.array(runs - runs[seg_start] + 1)
+            elif kind == "ntile":
+                nt = int(col)
+                # partition size per row, via segment ids
+                seg_id = np.cumsum(starts) - 1
+                counts = np.bincount(seg_id)
+                cnt = counts[seg_id]
+                rn0 = idx - seg_start
+                # SQL NTILE: first (cnt % n) buckets get ceil(cnt/n) rows
+                k = cnt // nt
+                r = cnt % nt
+                thresh = r * (k + 1)
+                big = rn0 < thresh
+                small_k = np.maximum(k, 1)  # avoid /0; unreachable when k==0
+                vals = pa.array(
+                    np.where(
+                        big,
+                        rn0 // np.maximum(k + 1, 1) + 1,
+                        r + (rn0 - thresh) // small_k + 1,
+                    )
+                )
             elif kind == "cumsum":
                 v = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
                 cum = np.cumsum(v)

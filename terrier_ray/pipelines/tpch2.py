@@ -29,6 +29,7 @@ import pyarrow.dataset as pads
 
 from terrier_ray.ops.relational import (
     broadcast_join,
+    cube_aggregate,
     filter_batches,
     global_aggregate,
     grouped_aggregate,
@@ -285,6 +286,83 @@ def q19_disjunctive_revenue(sf_dir: str):
     return pa.table({"revenue": [float(rev or 0) / 100.0]})
 
 
+def cube_order_stats(sf_dir: str):
+    """GROUP BY CUBE(priority, status): all four grouping sets with
+    null-filled rollup keys, derived from one distributed aggregate."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    orders = with_columns(
+        orders, {"tp_c": lambda b: scaled_int(b.column("o_totalprice"), 100)}
+    )
+    cube = cube_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [("count", "tp_c", "n"), ("sum", "tp_c", "total_c")],
+    )
+    return pa.table(
+        {
+            "o_orderpriority": cube.column("o_orderpriority"),
+            "o_orderstatus": cube.column("o_orderstatus"),
+            "n": cube.column("n"),
+            "total": unscale(cube.column("total_c"), 100),
+        }
+    )
+
+
+def left_join_order_counts(sf_dir: str):
+    """LEFT OUTER join (cogroup shuffle): every customer with its count of
+    pre-1996-06 orders, 0 for customers with none (null-extended then
+    coalesced)."""
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") < _ts("1996-06-01")),
+    )
+    counts = grouped_aggregate(orders, ["o_custkey"], [("count", "o_orderkey", "n_orders")])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j = partitioned_join(
+        cust,
+        counts,
+        on=["c_custkey"],
+        right_on=["o_custkey"],
+        join_type="left_outer",
+        num_partitions=8,
+    )
+    return with_columns(
+        j, {"n_orders": lambda b: pc.fill_null(b.column("n_orders"), 0)}
+    )
+
+
+def full_join_nation_presence(sf_dir: str):
+    """FULL OUTER join: per-nation supplier vs customer counts; nations with
+    only one side present survive null-extended on the other."""
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    ns = grouped_aggregate(supp, ["s_nationkey"], [("count", "s_suppkey", "n_supp")])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nc = grouped_aggregate(cust, ["c_nationkey"], [("count", "c_custkey", "n_cust")])
+    j = partitioned_join(
+        ns,
+        nc,
+        on=["s_nationkey"],
+        right_on=["c_nationkey"],
+        join_type="full_outer",
+        num_partitions=4,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+                "n_supp": pc.fill_null(b.column("n_supp"), 0),
+                "n_cust": pc.fill_null(b.column("n_cust"), 0),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _REV_SQL = "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))"
 
 SQL = {
@@ -354,7 +432,35 @@ SQL = {
     """,
 }
 
+SQL["cube_order_stats"] = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+SQL["left_join_order_counts"] = """
+    SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(o_orderkey) AS n_orders
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-06-01'
+        GROUP BY o_custkey
+    ) ON c_custkey = o_custkey
+"""
+SQL["full_join_nation_presence"] = """
+    SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+           COALESCE(n_supp, 0) AS n_supp,
+           COALESCE(n_cust, 0) AS n_cust
+    FROM (SELECT s_nationkey, COUNT(s_suppkey) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+    FULL OUTER JOIN
+         (SELECT c_nationkey, COUNT(c_custkey) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    ON s_nationkey = c_nationkey
+"""
+
 QUERIES = {
+    "cube_order_stats": cube_order_stats,
+    "left_join_order_counts": left_join_order_counts,
+    "full_join_nation_presence": full_join_nation_presence,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "q11_important_customers": q11_important_customers,

@@ -56,6 +56,25 @@ def window_running_spend(sf_dir: str):
     )
 
 
+def window_ntile(sf_dir: str):
+    """NTILE(4) spend quartile per priority class (SQL tile-size split)."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    w = windowed(
+        orders,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        [("ntile", 4, "quartile")],
+        num_partitions=8,
+    )
+    return w.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority", "quartile"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def window_order_gap_days(sf_dir: str):
     """Days since the customer's previous order (LAG; null on first order)."""
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
@@ -94,6 +113,12 @@ SQL = {
                    AS running_spend
         FROM orders
     """,
+    "window_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    """,
     "window_order_gap_days": """
         SELECT o_custkey, o_orderkey,
                DATEDIFF('day',
@@ -107,5 +132,6 @@ SQL = {
 QUERIES = {
     "window_order_rank": window_order_rank,
     "window_running_spend": window_running_spend,
+    "window_ntile": window_ntile,
     "window_order_gap_days": window_order_gap_days,
 }

@@ -30,18 +30,20 @@ def _ds(df):
 
 
 @pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
-def test_grouped_quantile_matches_numpy(ray_session, df, q):
+def test_grouped_quantile_matches_duckdb(ray_session, df, q):
+    """Bit-identical vs DuckDB QUANTILE_CONT (the engine the driver's
+    value-hash gate compares against; numpy's lerp differs by ulps)."""
+    import duckdb
+
     out = (
         grouped_quantile(_ds(df), ["k"], "v", q, "qv", num_partitions=7)
         .to_pandas()
         .sort_values("k")
         .reset_index(drop=True)
     )
-    want = (
-        df.groupby("k")["v"]
-        .quantile(q, interpolation="linear")
-        .reset_index(name="qv")
-    )
+    want = duckdb.sql(
+        f"SELECT k, QUANTILE_CONT(v, {q}) AS qv FROM df GROUP BY k ORDER BY k"
+    ).df()
     assert len(out) == df["k"].nunique()
     np.testing.assert_array_equal(out["k"].values, want["k"].values)
     np.testing.assert_allclose(out["qv"].values, want["qv"].values, rtol=0, atol=0)

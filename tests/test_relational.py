@@ -64,6 +64,10 @@ ORACLED = [
     "p90_order_value",
     "nations_csv",
     "window_dense_rank",
+    "left_join_order_counts",
+    "full_join_nation_presence",
+    "cube_order_stats",
+    "window_ntile",
 ]
 
 
@@ -132,3 +136,30 @@ def test_entry_smoke(ray_session):
     df = _to_df(res)
     assert len(df) > 0
     assert set(df.columns) == {"query_id", "rank", "docid", "score"}
+
+
+def test_right_outer_cogroup_join(ray_session):
+    """right_outer via the cogroup shuffle vs a pandas merge oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import partitioned_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": ["a", "b", "c"]})
+    right = pd.DataFrame({"rk": [2, 3, 4, 5], "rv": [20, 30, 40, 50]})
+    out = partitioned_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on=["k"],
+        right_on=["rk"],
+        join_type="right_outer",
+        num_partitions=3,
+    ).to_pandas()
+    want = left.merge(
+        right.rename(columns={"rk": "k"}), on="k", how="right"
+    )
+    out = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert (out["k"].values == want["k"].values).all()
+    assert (out["rv"].values == want["rv"].values).all()
+    assert out["lv"].isna().sum() == 2  # keys 4,5 null-extended

@@ -100,3 +100,35 @@ def test_bad_kind_raises(ray_session, keyed_df):
     ds = rd.from_arrow(pa.Table.from_pandas(keyed_df))
     with pytest.raises(ValueError):
         windowed(ds, ["k"], ["ord"], [("median", "v", "m")])
+
+
+def test_ntile_sql_semantics(ray_session):
+    """NTILE(4) incl. partitions smaller than n — vs DuckDB directly."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    sizes = {0: 2, 1: 3, 2: 4, 3: 7, 4: 50, 5: 101}  # some cnt < n
+    rows = [
+        {"k": k, "uid": k * 1000 + i, "v": int(rng.integers(0, 1000))}
+        for k, c in sizes.items()
+        for i in range(c)
+    ]
+    df = pd.DataFrame(rows)
+    out = (
+        windowed(
+            rd.from_arrow(pa.Table.from_pandas(df)),
+            ["k"],
+            ["v", "uid"],
+            [("ntile", 4, "nt")],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT uid, NTILE(4) OVER (PARTITION BY k ORDER BY v, uid) AS nt "
+        "FROM df ORDER BY uid"
+    ).df()
+    assert (out["nt"].values == want["nt"].values).all()
