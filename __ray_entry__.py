@@ -12,8 +12,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, extra, functions2, textops, tpch, tpch2
+from terrier_ray.pipelines import analyze, extra, functions2, functions3, textops, tpch, tpch2
 from terrier_ray.pipelines import orderagg as orderaggq
+from terrier_ray.pipelines import specdemo
 from terrier_ray.pipelines import window as windowq
 from terrier_ray.pipelines.dedup import (
     dup_clusters,
@@ -42,9 +43,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(tpch2.QUERIES)
     q.update(windowq.QUERIES)
     q.update(orderaggq.QUERIES)
+    q.update(specdemo.QUERIES)
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
     q.update(functions2.QUERIES)
+    q.update(functions3.QUERIES)
     q["token_counts"] = textops.token_counts
     q["docs_by_lang"] = textops.docs_by_lang
     q["bpe_token_counts"] = textops.bpe_token_counts
@@ -73,9 +76,11 @@ def oracle_sql() -> dict[str, str]:
     sql.update(tpch2.SQL)
     sql.update(windowq.SQL)
     sql.update(orderaggq.SQL)
+    sql.update(specdemo.SQL)
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
     sql.update(functions2.SQL)
+    sql.update(functions3.SQL)
     sql.update(textops.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

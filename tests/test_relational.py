@@ -68,6 +68,10 @@ ORACLED = [
     "full_join_nation_presence",
     "cube_order_stats",
     "window_ntile",
+    "string_functions3",
+    "date_functions3",
+    "math_functions3",
+    "spec_big_orders_by_nation",
 ]
 
 
