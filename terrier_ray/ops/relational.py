@@ -302,6 +302,8 @@ def grouped_aggregate(
     ds,
     keys: Sequence[str],
     specs: Sequence[tuple[str, str, str]],
+    shuffle: str = "bucket",
+    num_partitions: int = 32,
 ):
     """GROUP BY with map-side partial aggregation.
 
@@ -310,8 +312,15 @@ def grouped_aggregate(
     count of a key column for COUNT(*) semantics on non-null keys).
 
     Stage 1 (map): Arrow ``Table.group_by`` per batch → one partial row per
-    distinct key per batch.  Stage 2 (shuffle): ray ``groupby().aggregate``
-    over the partials.  Stage 3 (map): finalize means, rename.
+    distinct key per batch.  Stage 2 (shuffle): merge the partials.
+    Stage 3 (map): finalize means, rename.
+
+    shuffle="bucket" (default) shuffles partials on ``hash(keys) %
+    num_partitions`` (one small-int key) and re-aggregates each bucket with
+    one vectorized Arrow group_by: Ray's sort-shuffle ``groupby().aggregate``
+    cost grows with key CARDINALITY (measured ~0.16 s at 100 distinct keys →
+    ~1 s at 10k, regardless of row count), so high-NDV groupings pay dearly
+    on the "ray" path.  shuffle="ray" keeps the native path.
 
     KNOWN LIMIT (Ray 2.49): a zero-row input yields a schema-LESS empty
     result — the sort-shuffle drops even typed empty blocks, and Ray's
@@ -366,6 +375,46 @@ def grouped_aggregate(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
+    def fix_means(batch: pa.Table) -> pa.Table:
+        for alias, s_name, c_name in mean_fixups:
+            mean = pc.divide(
+                pc.cast(batch.column(s_name), pa.float64()),
+                pc.cast(batch.column(c_name), pa.float64()),
+            )
+            batch = batch.append_column(alias, mean)
+        drop = [n for _, s, c in mean_fixups for n in (s, c)]
+        return batch.drop_columns(drop)
+
+    if shuffle == "bucket":
+
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__gbucket",
+                pa.array(_multi_key_bucket(batch, keys, num_partitions)),
+            )
+
+        refold = {"sum": "sum", "min": "min", "max": "max"}
+
+        def merge_bucket(group: pa.Table) -> pa.Table:
+            gb = group.drop_columns(["__gbucket"]).group_by(keys)
+            merged = gb.aggregate(
+                [(pname, refold[kind]) for kind, pname, _a in finals]
+            )
+            rename = {
+                f"{pname}_{refold[kind]}": alias for kind, pname, alias in finals
+            }
+            merged = merged.rename_columns(
+                [rename.get(n, n) for n in merged.column_names]
+            )
+            return fix_means(merged) if mean_fixups else merged
+
+        tagged = partials.map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return tagged.groupby("__gbucket").map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
+
     ray_aggs = []
     for kind, pname, alias in finals:
         cls = {"sum": Sum, "min": Min, "max": Max}[kind]
@@ -373,18 +422,7 @@ def grouped_aggregate(
     out = partials.groupby(keys).aggregate(*ray_aggs)
 
     if mean_fixups:
-
-        def finalize(batch: pa.Table) -> pa.Table:
-            for alias, s_name, c_name in mean_fixups:
-                mean = pc.divide(
-                    pc.cast(batch.column(s_name), pa.float64()),
-                    pc.cast(batch.column(c_name), pa.float64()),
-                )
-                batch = batch.append_column(alias, mean)
-            drop = [n for _, s, c in mean_fixups for n in (s, c)]
-            return batch.drop_columns(drop)
-
-        out = out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        out = out.map_batches(fix_means, batch_format="pyarrow", zero_copy_batch=True)
     return out
 
 
@@ -394,17 +432,16 @@ def grouped_count_distinct(ds, keys: Sequence[str], col: str, alias: str):
     Reference analog: per-(group,agg) distinct filter tables
     (compiler/operator/distinct_aggregation_util.h:22-24).
     """
-    from ray.data.aggregate import Sum
-
     keys = list(keys)
 
-    # batch-level dedup → shuffle on (keys, col) → exact distinct → count
+    # batch-level dedup → bucket shuffle on (keys, col) → exact distinct →
+    # per-key count (bucketed merge, like grouped_aggregate)
     dd = distinct(ds, keys + [col])
     dd = dd.map_batches(
         lambda b: b.select(keys).group_by(keys).aggregate([([], "count_all")]).rename_columns(keys + ["__c"]),
         batch_format="pyarrow",
     )
-    return dd.groupby(keys).aggregate(Sum("__c", alias_name=alias))
+    return grouped_aggregate(dd, keys, [("sum", "__c", alias)])
 
 
 def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]]):
@@ -545,21 +582,27 @@ def topk(
     return survivors.sort_by(arrow_order).slice(0, k)
 
 
-def distinct(ds, cols: Sequence[str]):
-    """DISTINCT via per-batch dedup then one grouped global dedup."""
-    from ray.data.aggregate import Count
-
+def distinct(ds, cols: Sequence[str], num_partitions: int = 32):
+    """DISTINCT via per-batch dedup, bucket shuffle on hash(cols), and one
+    vectorized Arrow dedup per bucket (see grouped_aggregate's shuffle note:
+    Ray's sort-shuffle groupby cost grows with key cardinality, which is
+    exactly what DISTINCT maximizes)."""
     cols = list(cols)
 
     def local(batch: pa.Table) -> pa.Table:
-        return batch.select(cols).group_by(cols).aggregate([])
+        dd = batch.select(cols).group_by(cols).aggregate([])
+        return dd.append_column(
+            "__dbucket", pa.array(_multi_key_bucket(dd, cols, num_partitions))
+        )
 
-    out = (
+    def bucket_dedup(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["__dbucket"]).group_by(cols).aggregate([])
+
+    return (
         ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(cols)
-        .aggregate(Count(alias_name="__cnt"))
+        .groupby("__dbucket")
+        .map_groups(bucket_dedup, batch_format="pyarrow")
     )
-    return out.drop_columns(["__cnt"])
 
 
 def union_all(*datasets):
