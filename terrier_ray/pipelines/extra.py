@@ -226,7 +226,55 @@ def asof_purchase_view(sf_dir: str):
     return ev.groupby("ub").map_groups(asof, batch_format="pandas")
 
 
+_HOP_US = 30 * 60 * 1_000_000  # hop 30 min; window width = 2 hops = 1 h
+
+
+def events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 minutes.
+    Each event belongs to 2 windows → a per-batch flat-map duplicates rows
+    with their window_start, then one grouped aggregate.  Integer-µs window
+    math (``us // hop * hop``) mirrored exactly in the SQL oracle via
+    ``make_timestamp(epoch_us(ts) // hop * hop)``."""
+    from terrier_ray.ops.relational import scaled_int
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        w0 = pc.multiply(pc.divide(us, _HOP_US), _HOP_US)  # int division
+        w1 = pc.subtract(w0, _HOP_US)
+        et = batch.column("event_type")
+        vc = scaled_int(batch.column("value"), 100)
+        arms = [
+            pa.table(
+                {
+                    "event_type": et,
+                    "window_start": pc.cast(w, pa.timestamp("us")),
+                    "value_c": vc,
+                }
+            )
+            for w in (w0, w1)
+        ]
+        return pa.concat_tables(arms)
+
+    out = grouped_aggregate(
+        ev.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "window_start"],
+        [("count", "value_c", "n"), ("sum", "value_c", "total_value")],
+    )
+
+    def unscale_total(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("total_value"),
+            "total_value",
+            pc.divide(pc.cast(b.column("total_value"), pa.float64()), 100.0),
+        )
+
+    return out.map_batches(unscale_total, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
+    "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
     "price_histogram": price_histogram,
@@ -238,6 +286,15 @@ QUERIES = {
 }
 
 SQL = {
+    "events_hopping": """
+        SELECT event_type,
+               make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+                              - offs) AS window_start,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+        FROM events, (VALUES (0), (1800000000)) AS hops(offs)
+        GROUP BY event_type, window_start
+    """,
     "asof_purchase_view": """
         SELECT p.event_id AS purchase_id, v.event_id AS view_id
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -72,6 +72,7 @@ ORACLED = [
     "date_functions3",
     "math_functions3",
     "spec_big_orders_by_nation",
+    "events_hopping",
 ]
 
 
