@@ -34,8 +34,19 @@ import pyarrow.compute as pc
 from terrier_ray.ops.relational import _multi_key_bucket
 
 #: spec kinds; (kind, col, alias).  col is ignored for row_number/rank/
-#: dense_rank; for ntile, col is the integer bucket count n.
-KINDS = ("row_number", "rank", "dense_rank", "cumsum", "lag", "lead", "ntile")
+#: dense_rank/percent_rank/cume_dist; for ntile, col is the integer bucket
+#: count n.
+KINDS = (
+    "row_number",
+    "rank",
+    "dense_rank",
+    "percent_rank",
+    "cume_dist",
+    "cumsum",
+    "lag",
+    "lead",
+    "ntile",
+)
 
 
 def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
@@ -118,6 +129,26 @@ def windowed(
                     full_starts = _change_mask(t, partition_by + order_by)
                 runs = np.cumsum(full_starts)  # global distinct-run counter
                 vals = pa.array(runs - runs[seg_start] + 1)
+            elif kind in ("percent_rank", "cume_dist"):
+                if full_starts is None:
+                    full_starts = _change_mask(t, partition_by + order_by)
+                seg_id = np.cumsum(starts) - 1
+                counts = np.bincount(seg_id)
+                cnt = counts[seg_id].astype(np.float64)
+                if kind == "percent_rank":
+                    # (rank - 1) / (cnt - 1); SQL defines 0 for 1-row groups
+                    run_start = np.maximum.accumulate(np.where(full_starts, idx, 0))
+                    rank = (run_start - seg_start + 1).astype(np.float64)
+                    vals = pa.array(
+                        np.where(cnt > 1, (rank - 1.0) / (cnt - 1.0), 0.0)
+                    )
+                else:
+                    # rows up to and including the current peer run, / cnt;
+                    # a run's exclusive end = the next run's start index
+                    ends = np.concatenate((np.flatnonzero(full_starts)[1:], [n]))
+                    run_id = np.cumsum(full_starts) - 1
+                    run_end = ends[run_id]
+                    vals = pa.array((run_end - seg_start).astype(np.float64) / cnt)
             elif kind == "ntile":
                 nt = int(col)
                 # partition size per row, via segment ids

@@ -96,7 +96,34 @@ def window_order_gap_days(sf_dir: str):
     return w.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def window_percentiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST over tied order dates (real peer groups)."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"]
+    )
+    w = windowed(
+        orders,
+        ["o_orderpriority"],
+        ["o_orderdate"],
+        [("percent_rank", None, "pr"), ("cume_dist", None, "cd")],
+        num_partitions=8,
+    )
+    return w.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority", "pr", "cd"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 SQL = {
+    "window_percentiles": """
+        SELECT o_orderkey, o_orderpriority,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_orderdate) AS pr,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate) AS cd
+        FROM orders
+    """,
     "window_order_rank": """
         SELECT o_custkey, o_orderkey, rn FROM (
             SELECT o_custkey, o_orderkey,
@@ -133,5 +160,6 @@ QUERIES = {
     "window_order_rank": window_order_rank,
     "window_running_spend": window_running_spend,
     "window_ntile": window_ntile,
+    "window_percentiles": window_percentiles,
     "window_order_gap_days": window_order_gap_days,
 }

@@ -73,6 +73,7 @@ ORACLED = [
     "math_functions3",
     "spec_big_orders_by_nation",
     "events_hopping",
+    "window_percentiles",
 ]
 
 
