@@ -41,9 +41,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from terrier_ray.extract.html import HtmlExtractor
+from terrier_ray.ops.relational import _get_broadcast  # per-worker bounded cache
 from terrier_ray.index.codec import (
     delta_decode,
     delta_encode,
+    decode_posting_list,
+    encode_posting_list,
     varbyte_decode,
     varbyte_encode,
 )
@@ -91,12 +94,25 @@ def _input_fingerprint(path: str, extra: dict | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _token_hash(terms: list) -> int:
+    return int.from_bytes(
+        hashlib.blake2b("\x00".join(terms).encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+
+
 def _dedup_group(group: pa.Table) -> pa.Table:
-    """Keep one row per docid: max (warc_ts, dl). Vectorized within partition."""
+    """Keep one row per docid: max (warc_ts, dl, content-hash).  The content
+    hash breaks (warc_ts, dl) ties DETERMINISTICALLY — group row order is
+    shuffle-dependent, and the rank-identity oracle (index/oracle.py) applies
+    the identical 3-tuple rule.  Runs only over the (tiny) duplicated set."""
     docid = group.column("docid").to_numpy(zero_copy_only=False)
     ts = group.column("warc_ts").to_numpy(zero_copy_only=False).astype("int64")
     dl = group.column("dl").to_numpy(zero_copy_only=False)
-    order = np.lexsort((dl, ts, docid))  # winners are last within each docid run
+    th = np.array(
+        [_token_hash(t) for t in group.column("terms").to_pylist()], dtype=np.uint64
+    )
+    order = np.lexsort((th, dl, ts, docid))  # winners are last per docid run
     sorted_docid = docid[order]
     is_last = np.concatenate((sorted_docid[1:] != sorted_docid[:-1], [True]))
     keep = order[is_last]
@@ -337,17 +353,6 @@ def _wd_upper_f32(wd64: np.ndarray) -> np.ndarray:
     return w32
 
 
-_BROADCAST_CACHE: dict[str, object] = {}
-
-
-def _get_broadcast(ref):
-    """ray.get a broadcast ObjectRef once per worker process (cached)."""
-    import ray
-
-    key = ref.hex()
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
 
 
 class _Exploder:
@@ -457,7 +462,7 @@ def _make_segments(avgdl: float):
     return build_segments
 
 
-def _make_final_merger(postings_dir: str, num_buckets: int):
+def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | None = None):
     """Per-bucket merge of salted segments → final encoded posting lists.
 
     Writes ``bucket-%05d.parquet`` atomically (tmp + rename → idempotent under
@@ -496,17 +501,11 @@ def _make_final_merger(postings_dir: str, num_buckets: int):
             rows_term.append(uniq[i])
             rows_df.append(df)
             rows_cf.append(int(cf_arr[seg_idx].sum()))
-            rows_post.append(
-                varbyte_encode(delta_encode(dids)) if df else b""
-            )
+            # codec container: delta+varbyte, or Elias–Fano past EF_THRESHOLD
+            # (the Zipf-head long-list format promised in codec.py)
+            rows_post.append(encode_posting_list(dids, tfs, ef_threshold) if df else b"")
             rows_bl.append(block_last.astype("<u8").tobytes())
             rows_bm.append(block_max.astype("<f4").tobytes())
-            # tfs stored alongside docids in one container for locality
-            rows_post[-1] = (
-                np.uint32(len(rows_post[-1])).tobytes()
-                + rows_post[-1]
-                + varbyte_encode(tfs - np.uint64(1))
-            )
         out = pa.table(
             {
                 "term": pa.array(list(rows_term), type=pa.string()),
@@ -535,12 +534,9 @@ def _make_final_merger(postings_dir: str, num_buckets: int):
 
 
 def decode_final_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a final posting row's ``postings`` binary → (docids, tfs)."""
-    b = memoryview(buf)
-    did_len = int(np.frombuffer(b[0:4], dtype=np.uint32)[0])
-    dids = delta_decode(varbyte_decode(b[4 : 4 + did_len]))
-    tfs = varbyte_decode(b[4 + did_len :]) + np.uint64(1)
-    return dids, tfs
+    """Decode a final posting row's ``postings`` binary → (docids, tfs).
+    Delegates to the codec container (varbyte or Elias–Fano, tagged)."""
+    return decode_posting_list(buf)
 
 
 def build_postings(
@@ -549,6 +545,7 @@ def build_postings(
     stats: dict,
     *,
     num_pkeys: int = 32,
+    ef_threshold: int | None = None,
 ):
     import ray
     import ray.data as rd
@@ -580,7 +577,7 @@ def build_postings(
 
     segments = segments.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     metrics = segments.groupby("bucket").map_groups(
-        _make_final_merger(postings_dir, num_buckets), batch_format="pyarrow"
+        _make_final_merger(postings_dir, num_buckets, ef_threshold), batch_format="pyarrow"
     )
     return metrics.to_pandas()
 
@@ -599,6 +596,7 @@ def build_index(
     num_salts: int = 4,
     heavy_min_df: int | None = None,
     batch_size: int = 512,
+    ef_threshold: int | None = None,
     force: bool = False,
 ) -> dict:
     """Build (or resume building) a BM25 index at ``out_dir``.
@@ -613,8 +611,13 @@ def build_index(
         "num_buckets": num_buckets,
         "num_salts": num_salts,
         "heavy_min_df": heavy_min_df,
+        "ef_threshold": ef_threshold,
+        # bump to invalidate cached indexes on on-disk format changes
+        # (v2: codec container with EF long lists; dedup tie-break hash)
+        "format_version": 2,
     }
-    fp_in = _input_fingerprint(webtext_path)
+    # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
+    fp_in = _input_fingerprint(webtext_path, {"corpus_format": 2})
     timings: dict[str, float] = {}
 
     # epoch 1: corpus
@@ -662,7 +665,8 @@ def build_index(
 
         shutil.rmtree(postings_dir, ignore_errors=True)
         bucket_metrics = build_postings(
-            corpus_dir, postings_dir, stats, num_pkeys=num_pkeys
+            corpus_dir, postings_dir, stats, num_pkeys=num_pkeys,
+            ef_threshold=ef_threshold,
         )
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))

@@ -165,16 +165,19 @@ _FMT_VBYTE = 0
 _FMT_EF = 1
 
 
-def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, ef_threshold: int | None = None
+) -> bytes:
     """Encode one term's postings (doc_ids strictly increasing).
 
     Layout: fmt:uint8 | n:uint32 | did_len:uint32 | docid-bytes | tf-varbyte.
-    tf is encoded as (tf - 1) since tf >= 1.
+    tf is encoded as (tf - 1) since tf >= 1.  Lists with ``n >=
+    ef_threshold`` (default EF_THRESHOLD) use Elias–Fano docids.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = len(doc_ids)
-    if n >= EF_THRESHOLD:
+    if n >= (EF_THRESHOLD if ef_threshold is None else ef_threshold):
         fmt, did_bytes = _FMT_EF, ef_encode(doc_ids)
     else:
         fmt, did_bytes = _FMT_VBYTE, varbyte_encode(delta_encode(doc_ids))

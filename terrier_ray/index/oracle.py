@@ -29,16 +29,19 @@ class OracleBM25:
         htmls = t.column("html").to_pylist()
         texts = t.column("text").to_pylist()
         doc_ids = url_doc_id(urls)
-        # dedup: per docid keep max (warc_ts, token count)
+        # dedup: per docid keep max (warc_ts, token count, content hash) —
+        # the deterministic 3-tuple rule shared with build._dedup_group
+        from terrier_ray.index.build import _token_hash
+
         best: dict[int, tuple] = {}
         for i in range(len(urls)):
             text = texts[i] if texts[i] else extract_text_reference(htmls[i])
             toks = tokenize(text)
             key = int(doc_ids[i])
-            cand = (ts[i], len(toks), toks)
-            if key not in best or (cand[0], cand[1]) > (best[key][0], best[key][1]):
+            cand = (ts[i], len(toks), _token_hash(toks), toks)
+            if key not in best or cand[:3] > best[key][:3]:
                 best[key] = cand
-        self.doc_tokens = {d: v[2] for d, v in best.items()}
+        self.doc_tokens = {d: v[3] for d, v in best.items()}
         self.n_docs = len(best)
         self.dl = {d: len(tk) for d, tk in self.doc_tokens.items()}
         self.avgdl = sum(self.dl.values()) / self.n_docs if self.n_docs else 0.0

@@ -158,7 +158,10 @@ def broadcast_join(
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_BCAST: dict[str, pa.Table] = {}
+#: per-worker broadcast cache, FIFO-bounded: a long-lived worker serving many
+#: queries would otherwise pin every dimension table ever broadcast
+_BCAST: dict[str, object] = {}
+_BCAST_MAX = 8
 
 
 def _get_broadcast(ref):
@@ -166,6 +169,8 @@ def _get_broadcast(ref):
 
     key = ref.hex()
     if key not in _BCAST:
+        while len(_BCAST) >= _BCAST_MAX:
+            _BCAST.pop(next(iter(_BCAST)))
         _BCAST[key] = ray.get(ref)
     return _BCAST[key]
 
@@ -500,11 +505,33 @@ def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]
 
 
 def global_aggregate(ds, specs: Sequence[tuple[str, str, str]]):
-    """No-group aggregation → one-row pyarrow Table (small, driver-side)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """No-group aggregation → one-row pyarrow Table (small, driver-side).
+
+    count / the mean denominator are SQL COUNT(col) — NON-NULL counts (a
+    per-batch is_valid indicator summed), matching grouped_aggregate; Ray's
+    ``Count()`` counts rows and would inflate AVG over nullable columns.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    nn_cols = {
+        col: f"__nn_{col}"
+        for op, col, _a in specs
+        if op in ("count", "mean")
+    }
+    if nn_cols:
+
+        def add_indicators(batch: pa.Table) -> pa.Table:
+            for col, name in nn_cols.items():
+                batch = batch.append_column(
+                    name, pc.cast(pc.is_valid(batch.column(col)), pa.int64())
+                )
+            return batch
+
+        ds = ds.map_batches(
+            add_indicators, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     aggs = []
-    names = []
     post = {}
     for op, col, alias in specs:
         if op == "sum":
@@ -514,20 +541,20 @@ def global_aggregate(ds, specs: Sequence[tuple[str, str, str]]):
         elif op == "max":
             aggs.append(Max(col, alias_name=alias))
         elif op == "count":
-            aggs.append(Count(alias_name=alias))
+            aggs.append(Sum(nn_cols[col], alias_name=alias))
         elif op == "mean":
             s, c = f"__s_{alias}", f"__c_{alias}"
-            aggs += [Sum(col, alias_name=s), Count(alias_name=c)]
+            aggs += [Sum(col, alias_name=s), Sum(nn_cols[col], alias_name=c)]
             post[alias] = (s, c)
-            names += [s, c]
-            continue
-        names.append(alias)
     row = ds.aggregate(*aggs)
     out = {}
     for op, col, alias in specs:
         if alias in post:
             s, c = post[alias]
-            out[alias] = [row[s] / row[c]]
+            cnt = row[c]
+            out[alias] = [row[s] / cnt if cnt else None]
+        elif op == "count":
+            out[alias] = [row[alias] or 0]
         else:
             out[alias] = [row[alias]]
     return pa.table(out)
@@ -666,15 +693,30 @@ def round_columns(ds, decimals: dict[str, int]):
 
 
 def stable_bucket(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
-    """Deterministic bucket id per value (ints: mod; strings: blake2b)."""
+    """Deterministic bucket id per value (ints: mod; strings: blake2b).
+    Nulls all land in bucket 0 (SQL groups NULL keys together)."""
+    null_mask = None
+    if arr.null_count > 0:
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(arr.type):
-        v = arr.to_numpy(zero_copy_only=False)
-        return (v % num_buckets).astype(np.int32)
-    vals = np.asarray(arr.to_pylist(), dtype=object)
-    uniq, inverse = np.unique(vals, return_inverse=True)
-    h = np.empty(len(uniq), dtype=np.int64)
-    for i, u in enumerate(uniq):
-        h[i] = int.from_bytes(
-            hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "little"
-        ) & ((1 << 63) - 1)
-    return (h[inverse] % num_buckets).astype(np.int32)
+        v = (
+            pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+            if null_mask is not None
+            else arr.to_numpy(zero_copy_only=False)
+        )
+        out = (v % num_buckets).astype(np.int32)
+    else:
+        vals = np.asarray(
+            ["\x00\x00__null__" if v is None else str(v) for v in arr.to_pylist()],
+            dtype=object,
+        )
+        uniq, inverse = np.unique(vals, return_inverse=True)
+        h = np.empty(len(uniq), dtype=np.int64)
+        for i, u in enumerate(uniq):
+            h[i] = int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=8).digest(), "little"
+            ) & ((1 << 63) - 1)
+        out = (h[inverse] % num_buckets).astype(np.int32)
+    if null_mask is not None:
+        out[null_mask] = 0
+    return out

@@ -50,7 +50,9 @@ KINDS = (
 
 
 def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
-    """True where row i differs from row i-1 on any of ``cols`` (row 0 True)."""
+    """True where row i differs from row i-1 on any of ``cols`` (row 0 True).
+    SQL semantics: NULL == NULL for grouping/peer purposes (all NULL keys form
+    ONE partition / one peer run), NULL vs value is a change."""
     n = table.num_rows
     mask = np.zeros(n, dtype=bool)
     if n == 0:
@@ -58,8 +60,11 @@ def _change_mask(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
     mask[0] = True
     for c in cols:
         arr = table.column(c).combine_chunks()
-        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
-        neq = pc.fill_null(neq, True)  # null-vs-anything starts a new run
+        a, b = arr.slice(1), arr.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), True)  # null-vs-value: change
+        if arr.null_count > 0:
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            neq = pc.if_else(both_null, False, neq)  # null-vs-null: no change
         mask[1:] |= neq.to_numpy(zero_copy_only=False)
     return mask
 
@@ -170,7 +175,18 @@ def windowed(
                     )
                 )
             elif kind == "cumsum":
-                v = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+                arr = t.column(col).combine_chunks()
+                if not pa.types.is_integer(arr.type):
+                    # the whole-bucket cumsum-minus-base trick is exact only
+                    # for ints; float running sums drift 1 ulp from SQL's
+                    # per-partition order — use the integer-scaling recipe
+                    raise ValueError(
+                        "cumsum requires an integer column; scale floats "
+                        "first (scaled_int) per the repo float recipe"
+                    )
+                if arr.null_count > 0:
+                    arr = pc.fill_null(arr, 0)  # SQL SUM skips nulls
+                v = arr.to_numpy(zero_copy_only=False)
                 cum = np.cumsum(v)
                 base = cum[seg_start] - v[seg_start]
                 vals = pa.array(cum - base)

@@ -421,13 +421,23 @@ def case_expression(sf_dir: str):
 
 
 def semi_join_urgent(sf_dir: str):
-    """Semi join (EXISTS): broadcast the key set, filter with pc.is_in."""
-    orders = _small(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    urgent = orders.filter(
-        pc.equal(orders.column("o_orderpriority"), "1-URGENT")
+    """Semi join (EXISTS): derive the (tiny) distinct key set DISTRIBUTED
+    (pushdown filter + distinct over the fact table), then broadcast it and
+    filter with pc.is_in — the fact table never touches the driver."""
+    urgent = distinct(
+        read_table(
+            sf_dir,
+            "orders",
+            columns=["o_custkey", "o_orderpriority"],
+            filter=(pads.field("o_orderpriority") == "1-URGENT"),
+        ).select_columns(["o_custkey"]),
+        ["o_custkey"],
+    )
+    keys = pa.concat_tables(
+        urgent.iter_batches(batch_size=None, batch_format="pyarrow")
     ).column("o_custkey")
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    keys = pc.unique(urgent)
+    keys = pc.unique(keys.combine_chunks())
     return filter_batches(
         cust, lambda b: pc.is_in(b.column("c_custkey"), value_set=keys)
     )

@@ -176,10 +176,11 @@ def q11_important_customers(sf_dir: str):
         orders, ["o_custkey"], [("sum", "tp_c", "val_c")]
     ).materialize()
     total_c = int(per_cust.sum("val_c"))
-    threshold = total_c * 0.001
+    # exact-integer HAVING: val_c > total_c * 0.001  ⇔  val_c * 1000 > total_c
+    # (a float threshold double-rounds and can flip 1-ulp boundary customers)
     per_cust = filter_batches(
         per_cust,
-        lambda b: pc.greater(pc.cast(b.column("val_c"), pa.float64()), threshold),
+        lambda b: pc.greater(pc.multiply(b.column("val_c"), 1000), total_c),
     )
     out = _unscale_cols(per_cust, {"val_c": 100})
     return out.map_batches(
@@ -400,8 +401,8 @@ SQL = {
         SELECT o_custkey,
                SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS value
         FROM orders GROUP BY o_custkey
-        HAVING CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) > (
-            SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 0.001
+        HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 1000 > (
+            SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
             FROM orders)
     """,
     "q14_promo_revenue": """

@@ -136,3 +136,27 @@ def test_pruned_matches_oracle(built_index, oracle):
         # include stopword-heavy variants (the pruning-heavy path)
         for q in (text, text + " the of and a to"):
             assert idx.search_pruned(q, 10) == oracle.search(q, 10), q
+
+
+def test_ef_path_rank_identical(ray_session, webtext_small, tmp_root, oracle):
+    """Elias–Fano long-list container on the PRODUCTION path: lower the
+    df threshold so common terms encode as EF, rebuild, and require the same
+    rank-identity the varbyte path passes."""
+    out = os.path.join(str(tmp_root), "index_ef")
+    build_index(webtext_small, out, num_pkeys=8, num_buckets=4, num_salts=3,
+                heavy_min_df=20, ef_threshold=8)
+    idx = BM25Index(out)
+    # confirm EF format actually present in the stored postings
+    import pyarrow.parquet as pq
+
+    fmts = set()
+    for f in glob.glob(os.path.join(out, "postings", "bucket-*.parquet")):
+        for buf in pq.read_table(f, columns=["postings"]).column("postings").to_pylist():
+            if buf:
+                fmts.add(buf[0])
+    assert 1 in fmts, "no Elias-Fano-encoded posting list was written"
+    queries = generate_queries(64).column("text").to_pylist()
+    for q in queries:
+        mine = idx.search(q, 10)
+        want = oracle.search(q, 10)
+        assert [(d, s) for d, s in mine] == [(d, s) for d, s in want], q

@@ -169,3 +169,43 @@ def test_right_outer_cogroup_join(ray_session):
     assert (out["k"].values == want["k"].values).all()
     assert (out["rv"].values == want["rv"].values).all()
     assert out["lv"].isna().sum() == 2  # keys 4,5 null-extended
+
+
+def test_null_keys_bucket_ops(ray_session):
+    """Null join/group keys: SQL semantics (NULLs group together, joins drop)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import distinct, grouped_aggregate
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "b", None, "a"], type=pa.string()),
+            "ki": pa.array([1, None, 2, None, 1], type=pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        }
+    )
+    agg = (
+        grouped_aggregate(rd.from_arrow(t), ["k"], [("sum", "v", "sv")])
+        .to_pandas()
+        .set_index("k")["sv"]
+    )
+    assert agg["a"] == 60 and agg["b"] == 30
+    assert agg[pd.isna(agg.index)].iloc[0] == 60  # both NULL rows, one group
+    dd = distinct(rd.from_arrow(t), ["ki"]).to_pandas()
+    assert len(dd) == 3  # 1, 2, NULL
+
+
+def test_global_aggregate_null_semantics(ray_session):
+    """COUNT(col)/AVG(col) skip nulls (SQL), not Ray row-count semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import global_aggregate
+
+    t = pa.table({"x": pa.array([1.0, None, 3.0], type=pa.float64())})
+    out = global_aggregate(
+        rd.from_arrow(t), [("count", "x", "n"), ("mean", "x", "m")]
+    ).to_pandas()
+    assert out["n"][0] == 2
+    assert out["m"][0] == 2.0

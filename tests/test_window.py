@@ -132,3 +132,37 @@ def test_ntile_sql_semantics(ray_session):
         "FROM df ORDER BY uid"
     ).df()
     assert (out["nt"].values == want["nt"].values).all()
+
+
+def test_null_partition_and_order_keys(ray_session):
+    """SQL window semantics over NULL keys: one NULL partition; NULL order
+    values are tied peers."""
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", None, None, None, "b"],
+            "o": [1.0, None, 2.0, None, None, 1.0],
+            "uid": range(6),
+        }
+    )
+    import ray.data as rd
+
+    out = (
+        windowed(
+            rd.from_arrow(pa.Table.from_pandas(df)),
+            ["k"],
+            ["o"],
+            [("row_number", None, "rn"), ("rank", None, "rk")],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT uid, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) rn, "
+        "RANK() OVER (PARTITION BY k ORDER BY o) rk FROM df ORDER BY uid"
+    ).df()
+    assert (out["rn"].values == want["rn"].values).all()
+    assert (out["rk"].values == want["rk"].values).all()
