@@ -17,6 +17,7 @@ from terrier_ray.pipelines import orderagg as orderaggq
 from terrier_ray.pipelines import specdemo
 from terrier_ray.pipelines import window as windowq
 from terrier_ray.pipelines.dedup import (
+    approx_distinct_custkeys,
     dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
     q["exact_dedup"] = exact_dedup
+    q["approx_distinct_custkeys"] = approx_distinct_custkeys
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
     q["simhash_signatures"] = simhash_signatures
     q["knn_cosine"] = knn_cosine

@@ -33,6 +33,17 @@ def _text_hash(texts: list[str]) -> np.ndarray:
     return out
 
 
+def approx_distinct_custkeys(sf_dir: str):
+    """HyperLogLog COUNT(DISTINCT o_custkey): one streaming pass, O(2^p)
+    state — the 1e12-row alternative to an exact distinct shuffle (±1.6%
+    std error at p=12; accuracy-bounded in tests/test_sketch.py)."""
+    from terrier_ray.ops.sketch import hll_count_distinct
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+    est = hll_count_distinct(ds, "o_custkey", p=12)
+    return pa.table({"approx_distinct_custkeys": pa.array([est], type=pa.int64())})
+
+
 def exact_dedup(sf_dir: str):
     """Exact dedup: (min doc_id, copy count) per distinct text.
 
