@@ -20,6 +20,7 @@ from terrier_ray.pipelines.dedup import (
     approx_distinct_custkeys,
     dup_clusters,
     exact_dedup,
+    heavy_hitter_terms,
     minhash_lsh_pairs,
     simhash_signatures,
 )
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprints"] = textops.fingerprints
     q["exact_dedup"] = exact_dedup
     q["approx_distinct_custkeys"] = approx_distinct_custkeys
+    q["heavy_hitter_terms"] = heavy_hitter_terms
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
     q["simhash_signatures"] = simhash_signatures
     q["knn_cosine"] = knn_cosine

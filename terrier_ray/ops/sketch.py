@@ -79,6 +79,40 @@ def hll_estimate(registers: np.ndarray, p: int = 12) -> float:
     return float(est)
 
 
+def mg_heavy_hitters(ds, col: str, k: int = 10, capacity_factor: int = 64):
+    """Approximate top-k frequent values (Misra–Gries style, mergeable).
+
+    Reference analog: the reserved AGGREGATE_TOP_K ANALYZE statistic
+    (/root/reference/src/include/parser/expression_defs.h:55).
+
+    Per batch: exact value_counts, keep the ``k * capacity_factor`` largest
+    (a truncated MG summary; each kept counter lower-bounds the true batch
+    count).  Merge: one small groupby summing partial counts, then top-k.
+    Guarantee: any value with true global count > n_rows / (k *
+    capacity_factor) survives every truncation, so sufficiently-heavy
+    hitters are EXACT; returned ``count`` is always a lower bound.
+
+    Returns a pa.Table (value, count) of the k heaviest, count descending.
+    """
+    from terrier_ray.ops.relational import grouped_aggregate, topk
+
+    cap = k * capacity_factor
+
+    def local(batch: pa.Table) -> pa.Table:
+        vc = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        vc = vc.rename_columns([col, "__c"])
+        if vc.num_rows > cap:
+            vc = vc.sort_by([("__c", "descending")]).slice(0, cap)
+        return vc
+
+    merged = grouped_aggregate(
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True),
+        [col],
+        [("sum", "__c", "count")],
+    )
+    return topk(merged, ["count", col], k, descending=[True, False])
+
+
 def hll_count_distinct(ds, col: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT col) — one streaming pass, O(2^p) state."""
     from ray.data.aggregate import Max

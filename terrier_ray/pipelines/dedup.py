@@ -44,6 +44,26 @@ def approx_distinct_custkeys(sf_dir: str):
     return pa.table({"approx_distinct_custkeys": pa.array([est], type=pa.int64())})
 
 
+def heavy_hitter_terms(sf_dir: str):
+    """Approximate top-10 most frequent tokens over the documents corpus
+    (Misra–Gries style mergeable summary).  Zipf-distributed tokens are the
+    sketch's home turf: the head terms dominate every batch, so the top-k is
+    exact in practice (guarantee: count > n_tokens/(k*capacity_factor))."""
+    from terrier_ray.ops.sketch import mg_heavy_hitters
+    from terrier_ray.text.tokenize import TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(TOKEN_RE.findall(t.lower()))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    tokens = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return mg_heavy_hitters(tokens, "token", k=10, capacity_factor=64)
+
+
 def exact_dedup(sf_dir: str):
     """Exact dedup: (min doc_id, copy count) per distinct text.
 

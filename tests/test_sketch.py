@@ -34,3 +34,22 @@ def test_hll_string_keys(ray_session):
     )
     est = hll_count_distinct(ds, "s", p=12)
     assert abs(est - 777) / 777 < 0.065
+
+
+def test_mg_heavy_hitters_zipf(ray_session):
+    """Heavy hitters over a zipf stream: top-k match exact counts."""
+    import ray.data as rd
+
+    from terrier_ray.ops.sketch import mg_heavy_hitters
+
+    rng = np.random.default_rng(23)
+    data = rng.zipf(1.3, 50_000)
+    data = data[data < 10_000].astype(np.int64)
+    out = mg_heavy_hitters(
+        rd.from_arrow(pa.table({"v": data})), "v", k=10, capacity_factor=64
+    ).to_pandas()
+    vals, counts = np.unique(data, return_counts=True)
+    order = np.lexsort((vals, -counts))
+    want_vals, want_counts = vals[order[:10]], counts[order[:10]]
+    assert (out["v"].values == want_vals).all()
+    assert (out["count"].values == want_counts).all()
