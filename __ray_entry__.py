@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, extra, functions2, functions3, textops, tpch, tpch2
+from terrier_ray.pipelines import analyze, extra, functions2, functions3, textops, tpch, tpch2, tpch3
 from terrier_ray.pipelines import orderagg as orderaggq
 from terrier_ray.pipelines import specdemo
 from terrier_ray.pipelines import window as windowq
@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(tpch.QUERIES)
     q.update(tpch2.QUERIES)
+    q.update(tpch3.QUERIES)
     q.update(windowq.QUERIES)
     q.update(orderaggq.QUERIES)
     q.update(specdemo.QUERIES)
@@ -78,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql.update(tpch.SQL)
     sql.update(tpch2.SQL)
+    sql.update(tpch3.SQL)
     sql.update(windowq.SQL)
     sql.update(orderaggq.SQL)
     sql.update(specdemo.SQL)
