@@ -46,6 +46,11 @@ KINDS = (
     "lag",
     "lead",
     "ntile",
+    "moving_sum",
+    "moving_avg",
+    "first_value",
+    "last_value",
+    "nth_value",
 )
 
 
@@ -91,10 +96,22 @@ def windowed(
       inclusive of the current row (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
     - ``lag`` / ``lead``: value of ``col`` one row before/after within the
       partition, null at the partition edge.
+    - ``moving_sum`` / ``moving_avg``: frame ROWS BETWEEN (param-1) PRECEDING
+      AND CURRENT ROW over an INTEGER ``col`` (the 4-tuple spec
+      ``(kind, col, alias, w)`` carries the window width); avg is the exact
+      integer frame sum / frame count, one float64 divide.
+    - ``first_value`` / ``last_value`` / ``nth_value``: frame ROWS BETWEEN
+      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING (whole partition — mirror
+      that frame explicitly in SQL: default RANGE..CURRENT ROW differs for
+      last/nth); ``nth_value`` takes n via the 4th spec element and is null
+      when the partition has fewer than n rows.
     """
     partition_by = list(partition_by)
     order_by = list(order_by)
-    for kind, _col, _alias in specs:
+    specs = [
+        (s[0], s[1], s[2], s[3] if len(s) > 3 else None) for s in specs
+    ]
+    for kind, _col, _alias, _param in specs:
         if kind not in KINDS:
             raise ValueError(f"unknown window kind {kind!r}")
     if isinstance(descending, bool):
@@ -121,7 +138,30 @@ def windowed(
         seg_start = np.maximum.accumulate(np.where(starts, idx, 0))
         out = t
         full_starts: np.ndarray | None = None
-        for kind, col, alias in specs:
+        seg_end: np.ndarray | None = None
+
+        def _seg_end() -> np.ndarray:
+            # per-row index of the LAST row of its partition segment
+            nonlocal seg_end
+            if seg_end is None:
+                seg_id = np.cumsum(starts) - 1
+                starts_idx = np.flatnonzero(starts)
+                ends_per_seg = np.append(starts_idx[1:], n) - 1
+                seg_end = ends_per_seg[seg_id]
+            return seg_end
+
+        def _int_prefix(colname: str) -> np.ndarray:
+            arr = t.column(colname).combine_chunks()
+            if not pa.types.is_integer(arr.type):
+                raise ValueError(
+                    "moving_sum/moving_avg require an integer column; scale "
+                    "floats first (scaled_int) per the repo float recipe"
+                )
+            if arr.null_count > 0:
+                arr = pc.fill_null(arr, 0)
+            return np.cumsum(arr.to_numpy(zero_copy_only=False))
+
+        for kind, col, alias, param in specs:
             if kind == "row_number":
                 vals = pa.array(idx - seg_start + 1)
             elif kind == "rank":
@@ -190,6 +230,26 @@ def windowed(
                 cum = np.cumsum(v)
                 base = cum[seg_start] - v[seg_start]
                 vals = pa.array(cum - base)
+            elif kind in ("moving_sum", "moving_avg"):
+                w = int(param)
+                cum = _int_prefix(col)
+                lo = np.maximum(idx - w + 1, seg_start)
+                pre = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+                msum = cum - pre
+                if kind == "moving_sum":
+                    vals = pa.array(msum)
+                else:
+                    vals = pa.array(msum.astype(np.float64) / (idx - lo + 1))
+            elif kind == "first_value":
+                vals = t.column(col).combine_chunks().take(pa.array(seg_start))
+            elif kind == "last_value":
+                vals = t.column(col).combine_chunks().take(pa.array(_seg_end()))
+            elif kind == "nth_value":
+                nth = int(param)
+                pos = seg_start + nth - 1
+                vals = t.column(col).combine_chunks().take(
+                    pa.array(pos, mask=pos > _seg_end())
+                )
             elif kind == "lag":
                 take_idx = pa.array(idx - 1, mask=starts)
                 vals = t.column(col).combine_chunks().take(take_idx)

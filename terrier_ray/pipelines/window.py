@@ -115,7 +115,86 @@ def window_percentiles(sf_dir: str):
     )
 
 
+def window_moving_spend(sf_dir: str):
+    """3-order moving SUM/AVG of spend per customer (frame ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW) — exact integer-cents frame sums."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    orders = with_columns(
+        orders, {"tp_c": lambda b: scaled_int(b.column("o_totalprice"), 100)}
+    )
+    w = windowed(
+        orders,
+        ["o_custkey"],
+        _ORDER,
+        [("moving_sum", "tp_c", "msum_c", 3), ("moving_avg", "tp_c", "mv_avg_c", 3)],
+    )
+    return w.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "mv_sum": unscale(b.column("msum_c"), 100),
+                "mv_avg_c": b.column("mv_avg_c"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def window_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) of the customer's order keys
+    in date order (whole-partition frame; nth is null for 1-order
+    customers)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    w = windowed(
+        orders,
+        ["o_custkey"],
+        _ORDER,
+        [
+            ("first_value", "o_orderkey", "first_ord", None),
+            ("last_value", "o_orderkey", "last_ord", None),
+            ("nth_value", "o_orderkey", "second_ord", 2),
+        ],
+    )
+    return w.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "first_ord", "last_ord", "second_ord"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 SQL = {
+    "window_moving_spend": """
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+                   AS mv_sum,
+               AVG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mv_avg_c
+        FROM orders
+    """,
+    "window_first_last": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS first_ord,
+               LAST_VALUE(o_orderkey)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_ord,
+               NTH_VALUE(o_orderkey, 2)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_ord
+        FROM orders
+    """,
     "window_percentiles": """
         SELECT o_orderkey, o_orderpriority,
                PERCENT_RANK() OVER (PARTITION BY o_orderpriority
@@ -162,4 +241,6 @@ QUERIES = {
     "window_ntile": window_ntile,
     "window_percentiles": window_percentiles,
     "window_order_gap_days": window_order_gap_days,
+    "window_moving_spend": window_moving_spend,
+    "window_first_last": window_first_last,
 }

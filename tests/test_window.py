@@ -166,3 +166,41 @@ def test_null_partition_and_order_keys(ray_session):
     ).df()
     assert (out["rn"].values == want["rn"].values).all()
     assert (out["rk"].values == want["rk"].values).all()
+
+
+def test_moving_frame_vs_pandas(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [("moving_sum", "v", "ms", 4), ("moving_avg", "v", "ma", 4)],
+        ["ord", "uid"],
+    )
+    s = keyed_df.sort_values(["ord", "uid"])
+    g = s.groupby("k")["v"]
+    want_ms = g.rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    want_ma = g.rolling(4, min_periods=1).mean().reset_index(level=0, drop=True)
+    want = s.assign(ms=want_ms, ma=want_ma).sort_values("uid")
+    assert (out["ms"].values == want["ms"].values.astype(np.int64)).all()
+    assert np.allclose(out["ma"].values, want["ma"].values, rtol=0, atol=0)
+
+
+def test_first_last_nth_vs_pandas(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [
+            ("first_value", "uid", "fv", None),
+            ("last_value", "uid", "lv", None),
+            ("nth_value", "uid", "nv", 3),
+        ],
+        ["ord", "uid"],
+    )
+    s = keyed_df.sort_values(["ord", "uid"])
+    g = s.groupby("k")["uid"]
+    want = s.assign(
+        fv=g.transform("first"),
+        lv=g.transform("last"),
+        nv=g.transform(lambda x: x.iloc[2] if len(x) >= 3 else np.nan),
+    ).sort_values("uid")
+    assert (out["fv"].values == want["fv"].values).all()
+    assert (out["lv"].values == want["lv"].values).all()
+    got_nv = out["nv"].astype("float64").values
+    assert np.array_equal(got_nv, want["nv"].values, equal_nan=True)
