@@ -14,7 +14,7 @@ from typing import Any
 
 from terrier_ray.pipelines import analyze, extra, functions2, functions3, textops, tpch, tpch2, tpch3
 from terrier_ray.pipelines import orderagg as orderaggq
-from terrier_ray.pipelines import specdemo
+from terrier_ray.pipelines import sampling, specdemo
 from terrier_ray.pipelines import window as windowq
 from terrier_ray.pipelines.dedup import (
     approx_distinct_custkeys,
@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(windowq.QUERIES)
     q.update(orderaggq.QUERIES)
     q.update(specdemo.QUERIES)
+    q.update(sampling.QUERIES)
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
     q.update(functions2.QUERIES)
@@ -83,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(windowq.SQL)
     sql.update(orderaggq.SQL)
     sql.update(specdemo.SQL)
+    sql.update(sampling.SQL)
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
     sql.update(functions2.SQL)

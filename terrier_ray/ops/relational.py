@@ -449,23 +449,29 @@ def grouped_count_distinct(ds, keys: Sequence[str], col: str, alias: str):
     return grouped_aggregate(dd, keys, [("sum", "__c", alias)])
 
 
-def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]]):
-    """GROUP BY CUBE(keys): every subset of ``keys`` as a grouping set,
-    rolled-up key columns null-filled (SQL CUBE semantics).
+def grouping_sets_aggregate(
+    ds,
+    keys: Sequence[str],
+    specs: Sequence[tuple[str, str, str]],
+    sets: Sequence[Sequence[str]],
+):
+    """GROUP BY GROUPING SETS(sets): rolled-up key columns null-filled.
 
-    ONE distributed finest-level ``grouped_aggregate`` does all the heavy
-    lifting; every coarser grouping set is derived from the (small) finest
-    result driver-side by re-aggregating partials (sum of sums, count as sum,
-    min of mins, max of maxes) — no second pass over the input.
-    specs ops: sum | count | min | max (mean is not re-aggregable from
-    finals; derive it from sum+count columns instead).
+    ONE distributed finest-level ``grouped_aggregate`` over all ``keys``
+    does the heavy lifting; every requested grouping set (each ⊆ keys) is
+    derived from the (small) finest result driver-side by re-aggregating
+    partials (sum of sums, count as sum, min of mins, max of maxes) — no
+    second pass over the input.  specs ops: sum | count | min | max (mean
+    is not re-aggregable from finals; derive it from sum+count columns).
     """
-    from itertools import combinations
-
     keys = list(keys)
+    sets = [list(s) for s in sets]
     for op, _c, _a in specs:
         if op not in ("sum", "count", "min", "max"):
-            raise ValueError(f"cube_aggregate cannot re-aggregate {op!r}")
+            raise ValueError(f"grouping sets cannot re-aggregate {op!r}")
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys")
 
     finest_ds = grouped_aggregate(ds, keys, specs)
     batches = list(finest_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -475,33 +481,53 @@ def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]
     #: how to fold finals one more level
     refold = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
-    out_tables = [finest.select(keys + aliases)]
-    for r in range(len(keys) - 1, -1, -1):
-        for subset in combinations(keys, r):
-            subset = list(subset)
-            if subset:
-                gb = finest.group_by(subset).aggregate(
-                    [(alias, refold[op]) for (op, _c, alias) in specs]
-                )
-                gb = gb.rename_columns(subset + aliases)
-            else:  # grand total
-                cols = {}
-                for op, _c, alias in specs:
-                    fn = {"sum": pc.sum, "count": pc.sum, "min": pc.min, "max": pc.max}[
-                        refold[op] if op == "count" else op
-                    ]
-                    cols[alias] = pa.array([fn(finest.column(alias)).as_py()])
-                gb = pa.table(cols)
-            n = gb.num_rows
-            full = {}
-            for k in keys:
-                full[k] = (
-                    gb.column(k) if k in subset else pa.nulls(n, type=key_types[k])
-                )
-            for alias in aliases:
-                full[alias] = gb.column(alias)
-            out_tables.append(pa.table(full))
+    out_tables = []
+    for subset in sets:
+        if subset == keys:
+            out_tables.append(finest.select(keys + aliases))
+            continue
+        if subset:
+            gb = finest.group_by(subset).aggregate(
+                [(alias, refold[op]) for (op, _c, alias) in specs]
+            )
+            gb = gb.rename_columns(subset + aliases)
+        else:  # grand total
+            cols = {}
+            for op, _c, alias in specs:
+                fn = {"sum": pc.sum, "count": pc.sum, "min": pc.min, "max": pc.max}[
+                    refold[op] if op == "count" else op
+                ]
+                cols[alias] = pa.array([fn(finest.column(alias)).as_py()])
+            gb = pa.table(cols)
+        n = gb.num_rows
+        full = {}
+        for k in keys:
+            full[k] = (
+                gb.column(k) if k in subset else pa.nulls(n, type=key_types[k])
+            )
+        for alias in aliases:
+            full[alias] = gb.column(alias)
+        out_tables.append(pa.table(full))
     return pa.concat_tables(out_tables)
+
+
+def cube_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]]):
+    """GROUP BY CUBE(keys): every subset of ``keys`` as a grouping set."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [list(keys)]
+    for r in range(len(keys) - 1, -1, -1):
+        sets += [list(s) for s in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, specs, sets)
+
+
+def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple[str, str, str]]):
+    """GROUP BY ROLLUP(keys): the prefix grouping sets (k0..kn, k0..kn-1,
+    …, ()) — the hierarchy drill-up."""
+    keys = list(keys)
+    sets = [keys[:r] for r in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, specs, sets)
 
 
 def global_aggregate(ds, specs: Sequence[tuple[str, str, str]]):

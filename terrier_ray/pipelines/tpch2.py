@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from terrier_ray.ops.relational import (
+    rollup_aggregate,
     broadcast_join,
     cube_aggregate,
     filter_batches,
@@ -311,6 +312,30 @@ def cube_order_stats(sf_dir: str):
     )
 
 
+def rollup_order_stats(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): the prefix grouping sets only
+    (hierarchy drill-up), refolded from one distributed finest aggregate."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    orders = with_columns(
+        orders, {"tp_c": lambda b: scaled_int(b.column("o_totalprice"), 100)}
+    )
+    roll = rollup_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        [("count", "tp_c", "n"), ("sum", "tp_c", "total_c")],
+    )
+    return pa.table(
+        {
+            "o_orderpriority": roll.column("o_orderpriority"),
+            "o_orderstatus": roll.column("o_orderstatus"),
+            "n": roll.column("n"),
+            "total": unscale(roll.column("total_c"), 100),
+        }
+    )
+
+
 def left_join_order_counts(sf_dir: str):
     """LEFT OUTER join (cogroup shuffle): every customer with its count of
     pre-1996-06 orders, 0 for customers with none (null-extended then
@@ -438,6 +463,11 @@ SQL["cube_order_stats"] = """
            SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
+SQL["rollup_order_stats"] = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
 SQL["left_join_order_counts"] = """
     SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
     FROM customer LEFT JOIN (
@@ -460,6 +490,7 @@ SQL["full_join_nation_presence"] = """
 
 QUERIES = {
     "cube_order_stats": cube_order_stats,
+    "rollup_order_stats": rollup_order_stats,
     "left_join_order_counts": left_join_order_counts,
     "full_join_nation_presence": full_join_nation_presence,
     "q7_volume_shipping": q7_volume_shipping,

@@ -71,3 +71,17 @@ def export_arrow_ipc(ds, out_path: str) -> str:
 def read_arrow_ipc(path: str) -> pa.Table:
     with pa_ipc.open_file(path) as r:
         return r.read_all()
+
+
+def read_json_table(path: str, **arrow_json_kwargs):
+    """NDJSON scan: ray.data.read_json (newline-delimited JSON; Arrow JSON
+    reader under the hood, schema inferred per file block)."""
+    import ray.data as rd
+
+    return rd.read_json(path, **arrow_json_kwargs)
+
+
+def write_json(ds, out_dir: str):
+    """NDJSON sink (one .json part per block — line-delimited records)."""
+    ds.write_json(out_dir)
+    return out_dir

@@ -85,3 +85,31 @@ def test_dup_clusters_finds_groups(ray_session, tmp_root):
     assert len(trio) == 3
     assert trio["cluster_id"].nunique() == 1
     assert (trio["cluster_size"] == 3).all()
+
+
+def test_json_roundtrip(ray_session, sf_smoke, tmp_root):
+    import json
+
+    from terrier_ray.sources.io import read_json_table, write_json
+
+    src = pq.read_table(f"{sf_smoke}/nation.parquet")
+    json_path = os.path.join(str(tmp_root), "nation.jsonl")
+    with open(json_path, "w") as f:
+        for row in src.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    got = (
+        read_json_table(json_path)
+        .to_pandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    want = src.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    for c in want.columns:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+
+    out_dir = os.path.join(str(tmp_root), "json_out")
+    import ray.data as rd
+
+    write_json(rd.from_arrow(src), out_dir)
+    back = read_json_table(out_dir).to_pandas()
+    assert len(back) == src.num_rows
