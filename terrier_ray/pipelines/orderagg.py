@@ -79,6 +79,23 @@ def window_dense_rank(sf_dir: str):
     )
 
 
+def approx_percentiles_order_value(sf_dir: str):
+    """t-digest approximate p50/p90/p99 of o_totalprice (rows-only: the
+    estimate is approximate by design; the error bound is unit-tested in
+    tests/test_sketch.py and the exact counterparts are the oracled
+    median_order_value / p90_order_value).  Only O(δ) centroid summaries
+    ever leave a block — the 1e12-row percentile path."""
+    import pyarrow as pa
+
+    from terrier_ray.ops.relational import read_table
+    from terrier_ray.ops.sketch import approx_percentile
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    qs = [0.5, 0.9, 0.99]
+    est = approx_percentile(orders, "o_totalprice", qs)
+    return pa.table({"q": pa.array(qs), "approx_value": pa.array(est)})
+
+
 SQL = {
     "median_order_value": """
         SELECT o_orderpriority,
@@ -109,4 +126,5 @@ QUERIES = {
     "p90_order_value": p90_order_value,
     "nations_csv": nations_csv,
     "window_dense_rank": window_dense_rank,
+    "approx_percentiles_order_value": approx_percentiles_order_value,
 }

@@ -53,3 +53,47 @@ def test_mg_heavy_hitters_zipf(ray_session):
     want_vals, want_counts = vals[order[:10]], counts[order[:10]]
     assert (out["v"].values == want_vals).all()
     assert (out["count"].values == want_counts).all()
+
+
+def test_tdigest_rank_error_and_mergeability():
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.ops.sketch import tdigest_partials, tdigest_quantile
+
+    rng = np.random.default_rng(5)
+    v = rng.lognormal(0.0, 1.5, 100_000)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    sv = np.sort(v)
+
+    # single-shot digest
+    t1 = tdigest_partials(pa.array(v))
+    est1 = tdigest_quantile(
+        t1.column("mean").to_numpy(), t1.column("weight").to_numpy(), qs
+    )
+    # merged from 10 disjoint partials (the distributed shape)
+    parts = [tdigest_partials(pa.array(c)) for c in np.array_split(v, 10)]
+    merged = pa.concat_tables(parts)
+    est2 = tdigest_quantile(
+        merged.column("mean").to_numpy(), merged.column("weight").to_numpy(), qs
+    )
+    for q, e1, e2 in zip(qs, est1, est2):
+        for e in (e1, e2):
+            rank_err = abs(np.searchsorted(sv, e) / len(v) - q)
+            assert rank_err < 0.01, (q, e, rank_err)
+
+
+def test_approx_percentile_matches_exact_on_orders(ray_session, sf_smoke):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from terrier_ray.ops.relational import read_table
+    from terrier_ray.ops.sketch import approx_percentile
+
+    ds = read_table(sf_smoke, "orders", columns=["o_totalprice"])
+    est = approx_percentile(ds, "o_totalprice", [0.5, 0.9])
+    v = pq.read_table(f"{sf_smoke}/orders.parquet", columns=["o_totalprice"])
+    sv = np.sort(v.column("o_totalprice").to_numpy())
+    for q, e in zip([0.5, 0.9], est):
+        rank_err = abs(np.searchsorted(sv, e) / len(sv) - q)
+        assert rank_err < 0.02, (q, e, rank_err)
