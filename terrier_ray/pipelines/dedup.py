@@ -412,11 +412,46 @@ class SimHasher:
             acc += 2 * bitarr - 1
         return int(np.packbits((acc > 0).astype(np.uint8), bitorder="little").view("<u8")[0])
 
+    def _batch_simhash(self, texts: "list[str]") -> np.ndarray:
+        """Vectorized batch simhash, bit-identical to simhash64 per text:
+        token hashes come from an actor-lifetime memo (Zipf vocab → mostly
+        hits after the first batches; misses pay one blake2b), bit counting
+        is one unpackbits + add.reduceat over the whole batch."""
+        cache = getattr(self, "_tok_cache", None)
+        if cache is None:
+            cache = self._tok_cache = {}
+        toks_per = [t.lower().split() for t in texts]
+        lens = np.array([len(t) for t in toks_per], dtype=np.int64)
+        hs = np.zeros(len(texts), dtype=np.uint64)  # empty doc → 0 (as before)
+        nonempty = np.flatnonzero(lens)
+        if len(nonempty) == 0:
+            return hs
+        n_total = int(lens.sum())
+        th = np.empty(n_total, dtype=np.uint64)
+        i = 0
+        for toks in toks_per:
+            for tok in toks:
+                h = cache.get(tok)
+                if h is None:
+                    h = cache[tok] = int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                th[i] = h
+                i += 1
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ne_lens = lens[nonempty]
+        offs = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+        ones = np.add.reduceat(bits, offs, axis=0)
+        cond = (2 * ones - ne_lens[:, None]) > 0
+        packed = np.packbits(cond.astype(np.uint8), axis=1, bitorder="little")
+        hs[nonempty] = packed.view("<u8").ravel()
+        return hs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = np.array(
-            [self.simhash64(t) for t in batch.column("text").to_pylist()],
-            dtype=np.uint64,
-        )
+        hs = self._batch_simhash(batch.column("text").to_pylist())
         out = {"doc_id": batch.column("doc_id")}
         out["simhash"] = pa.array(hs.view(np.int64))
         for c in range(4):
