@@ -85,3 +85,67 @@ def write_json(ds, out_dir: str):
     """NDJSON sink (one .json part per block — line-delimited records)."""
     ds.write_json(out_dir)
     return out_dir
+
+
+def write_range_partitioned(ds, out_dir: str, col: str, boundaries):
+    """Range-partitioned parquet layout: rows are bucketed by
+    ``searchsorted(boundaries, col)`` into one directory per contiguous key
+    range, and a ``_range_manifest.json`` records the boundaries so readers
+    can prune.  This is the 100 TB data-layout lever: a time- or key-range
+    query touches only the overlapping partitions instead of every file
+    (plus parquet row-group min/max pruning within them).
+
+    ``boundaries`` must be sorted ascending; partition i holds rows with
+    ``boundaries[i-1] <= col < boundaries[i]`` (open-ended at both extremes).
+    """
+    import json
+
+    import numpy as np
+    import pyarrow.compute as pc_
+
+    bounds = list(boundaries)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(np.asarray(bounds), v, side="right")
+        return batch.append_column("__range_part", pa.array(part.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tagged.write_parquet(out_dir, partition_cols=["__range_part"])
+    manifest = {
+        "col": col,
+        "boundaries": [str(b) for b in bounds],
+        "n_partitions": len(bounds) + 1,
+    }
+    with open(os.path.join(out_dir, "_range_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return out_dir
+
+
+def read_range_pruned(out_dir: str, col: str, lo, hi, boundaries, **read_kwargs):
+    """Read ONLY the partitions of a ``write_range_partitioned`` layout that
+    can contain ``lo <= col < hi`` (pass the same ``boundaries``).  Returns
+    (dataset, n_partitions_read, n_partitions_total); the residual exact
+    filter still applies — pruning is a superset guarantee.
+    """
+    import bisect
+
+    import pyarrow.dataset as pads_
+
+    import ray.data as rd
+
+    bounds = list(boundaries)
+    n_parts = len(bounds) + 1
+    first = bisect.bisect_right(bounds, lo)
+    last = bisect.bisect_left(bounds, hi)  # partition idx containing hi-ε
+    keep = [p for p in range(first, min(last, n_parts - 1) + 1)]
+    paths = [
+        p
+        for part in keep
+        for p in sorted(
+            glob.glob(os.path.join(out_dir, f"__range_part={part}", "*.parquet"))
+        )
+    ]
+    expr = (pads_.field(col) >= lo) & (pads_.field(col) < hi)
+    ds = rd.read_parquet(paths, filter=expr, **read_kwargs)
+    return ds, len(keep), n_parts

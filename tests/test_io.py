@@ -113,3 +113,31 @@ def test_json_roundtrip(ray_session, sf_smoke, tmp_root):
     write_json(rd.from_arrow(src), out_dir)
     back = read_json_table(out_dir).to_pandas()
     assert len(back) == src.num_rows
+
+
+def test_range_partition_prune(ray_session, sf_smoke, tmp_root):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from terrier_ray.sources.io import read_range_pruned, write_range_partitioned
+
+    src = pq.read_table(
+        f"{sf_smoke}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    out = os.path.join(str(tmp_root), "orders_by_date")
+    bounds = [
+        dt.datetime(1997, 1, 1),
+        dt.datetime(1999, 1, 1),
+        dt.datetime(2001, 1, 1),
+    ]
+    write_range_partitioned(rd.from_arrow(src), out, "o_orderdate", bounds)
+
+    lo, hi = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+    ds, n_read, n_total = read_range_pruned(out, "o_orderdate", lo, hi, bounds)
+    got = ds.to_pandas()
+    # pruning must touch only the middle partition
+    assert (n_read, n_total) == (1, 4)
+    want = src.to_pandas()
+    want = want[(want["o_orderdate"] >= lo) & (want["o_orderdate"] < hi)]
+    assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
