@@ -24,7 +24,12 @@ from terrier_ray.pipelines.dedup import (
     minhash_lsh_pairs,
     simhash_signatures,
 )
-from terrier_ray.pipelines.fulltext import bm25_topk, bm25_topk_distributed, index_corpus_stats
+from terrier_ray.pipelines.fulltext import (
+    bm25_topk,
+    bm25_topk_distributed,
+    boolean_matches,
+    index_corpus_stats,
+)
 from terrier_ray.pipelines.multimodal import media_features
 from terrier_ray.pipelines.similarity import (
     embedding_near_dup_pairs,
@@ -72,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_topk"] = bm25_topk
     q["bm25_topk_distributed"] = bm25_topk_distributed
     q["index_corpus_stats"] = index_corpus_stats
+    q["boolean_matches"] = boolean_matches
     q["media_features"] = lambda sf_dir: media_features(200)
     return q
 

@@ -310,6 +310,56 @@ class BM25Index:
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-d, s) for s, d in out]
 
+    # ------------------------------------------------------------------
+    # boolean retrieval (unranked set algebra over sorted docid lists)
+    # ------------------------------------------------------------------
+
+    def search_boolean(
+        self,
+        must: "list[str] | None" = None,
+        should: "list[str] | None" = None,
+        must_not: "list[str] | None" = None,
+    ) -> np.ndarray:
+        """Unranked boolean retrieval: docids satisfying
+        (AND of ``must``) ∧ (OR of ``should``, when given) ∧ ¬(ANY of
+        ``must_not``), ascending.  Posting lists are docid-sorted, so the
+        set algebra is vectorized numpy intersect/union/setdiff — the
+        classic conjunctive/disjunctive query path next to ranked BM25
+        (reference analog: IndexScan Exact/range kinds,
+        src/include/planner/plannodes/plan_node_defs.h:143-152).
+
+        Terms are normalized with the index tokenizer; an unindexed MUST
+        term yields the empty result (AND with ∅)."""
+        must = [t for q in (must or []) for t in _query_terms(q)]
+        should = [t for q in (should or []) for t in _query_terms(q)]
+        must_not = [t for q in (must_not or []) for t in _query_terms(q)]
+        post = self.lookup(list(dict.fromkeys(must + should + must_not)))
+
+        def dids(term: str) -> np.ndarray:
+            p = post.get(term)
+            return np.empty(0, dtype=np.uint64) if p is None else p[1]
+
+        acc: np.ndarray | None = None
+        # rarest-first: every later intersection works on the smallest set
+        for t in sorted(must, key=lambda t: len(dids(t))):
+            d = dids(t)
+            acc = d if acc is None else acc[np.isin(acc, d, assume_unique=True)]
+            if len(acc) == 0:
+                break
+        if should:
+            uni = (
+                np.unique(np.concatenate([dids(t) for t in should]))
+                if should
+                else np.empty(0, dtype=np.uint64)
+            )
+            acc = uni if acc is None else acc[np.isin(acc, uni, assume_unique=True)]
+        if acc is None:  # pure NOT query: complement over the corpus docids
+            acc = self._dl_docids.astype(np.uint64)  # sorted, unique
+        if must_not and len(acc):
+            excl = np.unique(np.concatenate([dids(t) for t in must_not]))
+            acc = acc[~np.isin(acc, excl, assume_unique=True)]
+        return np.sort(acc)
+
     def _score_doc(self, docid: int, terms: list[str], post: dict) -> float:
         """Exact score of one doc, accumulated in query-term order."""
         dl = float(self.doc_len(np.asarray([docid]))[0])

@@ -69,6 +69,38 @@ def bm25_topk_distributed(sf_dir: str, k: int = 10, num_queries: int = 20):
     )
 
 
+def boolean_matches(sf_dir: str, num_queries: int = 10):
+    """Unranked boolean retrieval over the same inverted index: for each
+    generated query "t1 t2 t3 ..." run MUST=t1 ∧ SHOULD=(t2|t3) ∧ NOT=last
+    term; returns (query_id, docid) match rows (rows-only: verified exactly
+    vs a naive corpus scan in tests/test_index_bm25.py)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    queries = generate_queries(num_queries)
+    qids, docids = [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        terms = text.split()
+        hits = idx.search_boolean(
+            must=terms[:1],
+            should=terms[1:3] or None,
+            must_not=terms[3:4] or None,
+        )
+        qids.extend([qid] * len(hits))
+        docids.extend(int(d) for d in hits)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+        }
+    )
+
+
 def index_corpus_stats(sf_dir: str):
     """Corpus-level stats of the built index (docs, postings, terms)."""
     import pandas as pd

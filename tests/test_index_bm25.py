@@ -160,3 +160,45 @@ def test_ef_path_rank_identical(ray_session, webtext_small, tmp_root, oracle):
         mine = idx.search(q, 10)
         want = oracle.search(q, 10)
         assert [(d, s) for d, s in mine] == [(d, s) for d, s in want], q
+
+
+def test_boolean_search_vs_naive(built_index):
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    out, _stats = built_index
+    idx = BM25Index(out)
+    corpus = pads.dataset(os.path.join(out, "corpus")).to_table(
+        columns=["docid", "terms"]
+    )
+    docsets = {
+        int(d): set(ts)
+        for d, ts in zip(
+            corpus.column("docid").to_pylist(), corpus.column("terms").to_pylist()
+        )
+    }
+    # pick live vocabulary from the corpus itself
+    from collections import Counter
+
+    cnt = Counter(t for s in docsets.values() for t in s)
+    common = [t for t, _ in cnt.most_common(3)]
+    rare = [t for t, c in cnt.items() if c <= 3][:2]
+    cases = [
+        dict(must=[common[0], common[1]]),
+        dict(must=[common[0]], must_not=[common[1]]),
+        dict(should=[rare[0], common[2]] if rare else [common[2]]),
+        dict(must=[common[0]], should=[common[1], common[2]], must_not=rare[:1]),
+        dict(must_not=[common[0]]),  # pure NOT → corpus complement
+    ]
+    for case in cases:
+        got = set(int(x) for x in idx.search_boolean(**case))
+        want = set()
+        for d, terms in docsets.items():
+            ok = all(t in terms for t in case.get("must", []))
+            if ok and case.get("should"):
+                ok = any(t in terms for t in case["should"])
+            if ok and case.get("must_not"):
+                ok = not any(t in terms for t in case["must_not"])
+            if ok:
+                want.add(d)
+        assert got == want, case
