@@ -378,6 +378,65 @@ class BM25Index:
         return score
 
 
+class SegmentedBM25:
+    """Append-only segmented index — the incremental-update pattern (new
+    documents build a DELTA segment with ``build_index``; no monolithic
+    rebuild).  Queries merge segments at read time with EXACT global stats:
+    n_docs and total_dl sum as integers, per-term df sums across segments,
+    so every posting's contribution is bit-identical to an index built over
+    the union corpus, and the per-doc float accumulation order (query-term
+    major) is unchanged because within a term each doc contributes exactly
+    one posting from exactly one segment.  ``search`` is therefore
+    rank-AND-score-identical to the monolithic index (asserted in
+    tests/test_index_bm25.py).
+
+    Contract: segment doc sets are DISJOINT (append-only ingest; an updated
+    url belongs in a compaction, not a delta).  When segment count makes the
+    per-query fan-out hurt, compact: build one index over the union corpus
+    (terrier_ray.index.segments.compact_segments).
+    """
+
+    def __init__(self, segment_dirs: "list[str]"):
+        if not segment_dirs:
+            raise ValueError("need at least one segment")
+        self.segments = [BM25Index(d) for d in segment_dirs]
+        self.n_docs = sum(s.n_docs for s in self.segments)
+        total_dl = sum(int(s.stats["total_dl"]) for s in self.segments)
+        self.avgdl = (total_dl / self.n_docs) if self.n_docs else 0.0
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = _query_terms(query)
+        posts = [seg.lookup(terms) for seg in self.segments]
+        chunks_d, chunks_c = [], []
+        for t in terms:
+            df_total = sum(p[t][0] for p in posts if p.get(t) is not None)
+            if df_total == 0:
+                continue
+            w = idf(self.n_docs, df_total)
+            for seg, post in zip(self.segments, posts):
+                p = post.get(t)
+                if p is None:
+                    continue
+                _df, dids, tfs, _, _ = p
+                dl = seg.doc_len(dids)
+                tf = tfs.astype(np.float64)
+                contrib = w * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+                chunks_d.append(dids.astype(np.int64))
+                chunks_c.append(contrib)
+        if not chunks_d:
+            return []
+        all_d = np.concatenate(chunks_d)
+        all_c = np.concatenate(chunks_c)
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)
+        kk = min(k, len(uniq))
+        order = np.lexsort((uniq, -acc))[:kk]
+        return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
 def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
     """Remote-side posting fetch+decode for one bucket (IO-bound shard work).
 

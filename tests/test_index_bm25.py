@@ -202,3 +202,62 @@ def test_boolean_search_vs_naive(built_index):
             if ok:
                 want.add(d)
         assert got == want, case
+
+
+def test_segmented_index_rank_and_score_identical(
+    ray_session, built_index, webtext_small, tmp_root
+):
+    """Delta-segment queries must be bit-identical to the monolithic index."""
+    import pyarrow.parquet as pq
+
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.segments import add_segment, compact_segments
+
+    out, _stats = built_index
+    # split the corpus rows into two disjoint "ingest batches"
+    src = sorted(
+        f
+        for f in os.listdir(webtext_small)
+        if f.endswith(".parquet")
+    )
+    tab = pq.read_table(os.path.join(webtext_small, src[0]))
+    # split by url hash so the generator's planted DUPLICATE urls land in the
+    # same segment (segments must hold disjoint docids — the ingest contract)
+    from terrier_ray.datagen.webtext import url_doc_id
+
+    side = url_doc_id(tab.column("url")) % 2 == 0
+    import pyarrow as pa_
+
+    mask = pa_.array(side)
+    roots = os.path.join(str(tmp_root), "segments")
+    parts = []
+    for name, sl in [
+        ("batch_a", tab.filter(mask)),
+        ("batch_b", tab.filter(pa_.compute.invert(mask))),
+    ]:
+        d = os.path.join(str(tmp_root), name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sl, os.path.join(d, "webtext-000.parquet"))
+        parts.append(d)
+    segs = [
+        add_segment(roots, p, num_pkeys=8, num_buckets=4, num_salts=3,
+                    heavy_min_df=20)
+        for p in parts
+    ]
+    seg_idx = SegmentedBM25(segs)
+    mono = BM25Index(out)
+    assert seg_idx.n_docs == mono.n_docs
+    assert seg_idx.avgdl == mono.avgdl
+    for q in generate_queries(15).column("text").to_pylist():
+        a = mono.search(q, k=10)
+        b = seg_idx.search(q, k=10)
+        assert a == b, q  # docids AND float64 scores, exact
+
+    # compaction over the union corpus reproduces the monolithic results too
+    comp = compact_segments(parts, os.path.join(str(tmp_root), "compacted"),
+                            num_pkeys=8, num_buckets=4, num_salts=3,
+                            heavy_min_df=20)
+    comp_idx = BM25Index(comp)
+    for q in generate_queries(5).column("text").to_pylist():
+        assert comp_idx.search(q, k=10) == mono.search(q, k=10), q
