@@ -23,6 +23,7 @@ from terrier_ray.ops.relational import (
     grouped_aggregate,
     read_table,
     rescale_round,
+    scaled_int,
     with_columns,
 )
 
@@ -273,7 +274,80 @@ def events_hopping(sf_dir: str):
     return out.map_batches(unscale_total, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sliding_windows():
+    """29 OVERLAPPING 180-day windows at 90-day stride over the order-date
+    domain (deterministic; each order falls in ~2 windows — an equi-join
+    cannot express this)."""
+    import datetime as dt
+
+    ids, los, his = [], [], []
+    start, i = dt.datetime(1995, 1, 1), 0
+    while start < dt.datetime(2002, 1, 1):
+        ids.append(i)
+        los.append(start)
+        his.append(start + dt.timedelta(days=180))
+        start += dt.timedelta(days=90)
+        i += 1
+    return pa.table(
+        {
+            "window_id": pa.array(ids, type=pa.int64()),
+            "lo": pa.array(los, type=pa.timestamp("us")),
+            "hi": pa.array(his, type=pa.timestamp("us")),
+        }
+    )
+
+
+def range_join_order_windows(sf_dir: str):
+    """Range (interval) join: orders × overlapping sliding windows
+    (lo <= o_orderdate < hi), then count + revenue per window."""
+    from terrier_ray.ops.rangejoin import range_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    orders = with_columns(
+        orders, {"tp_c": lambda b: scaled_int(b.column("o_totalprice"), 100)}
+    )
+    j = range_join(
+        orders, _sliding_windows(), "o_orderdate", "lo", "hi", ["window_id"]
+    )
+    out = grouped_aggregate(
+        j, ["window_id"], [("count", "o_orderkey", "n_orders"), ("sum", "tp_c", "tot_c")]
+    )
+    return _unscale(out)
+
+
+def _unscale(out):
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_id": b.column("window_id"),
+                "n_orders": b.column("n_orders"),
+                "total": pc.divide(
+                    pc.cast(b.column("tot_c"), pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _windows_values_sql() -> str:
+    w = _sliding_windows()
+    rows = ", ".join(
+        f"({i}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for i, lo, hi in zip(
+            w.column("window_id").to_pylist(),
+            w.column("lo").to_pylist(),
+            w.column("hi").to_pylist(),
+        )
+    )
+    return f"(VALUES {rows}) AS w(window_id, lo, hi)"
+
+
 QUERIES = {
+    "range_join_order_windows": range_join_order_windows,
     "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
@@ -348,3 +422,12 @@ SQL = {
         SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
     """,
 }
+
+SQL["range_join_order_windows"] = f"""
+    SELECT window_id, COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total
+    FROM orders JOIN {_windows_values_sql()}
+      ON o_orderdate >= lo AND o_orderdate < hi
+    GROUP BY window_id
+"""
