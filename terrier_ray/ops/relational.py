@@ -746,3 +746,31 @@ def stable_bucket(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarr
     if null_mask is not None:
         out[null_mask] = 0
     return out
+
+
+def unpivot(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    name_col: str = "name",
+    value_col: str = "value",
+):
+    """UNPIVOT/melt: wide columns → (name, value) long rows, one output row
+    per (input row, value column).  Purely per-batch (no shuffle); value
+    columns are cast to a common type by Arrow concat."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            t = pa.table(
+                {
+                    **{k: batch.column(k) for k in id_cols},
+                    name_col: pa.array([c] * batch.num_rows, type=pa.string()),
+                    value_col: batch.column(c),
+                }
+            )
+            parts.append(t)
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

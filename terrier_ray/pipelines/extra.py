@@ -346,8 +346,40 @@ def _windows_values_sql() -> str:
     return f"(VALUES {rows}) AS w(window_id, lo, hi)"
 
 
+def unpivot_nation_counts(sf_dir: str):
+    """UNPIVOT: per-nation (n_supp, n_cust) wide columns melted into
+    (nationkey, side, n) long rows — one output row per (row, value col)."""
+    from terrier_ray.ops.relational import unpivot
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    ns = grouped_aggregate(supp, ["s_nationkey"], [("count", "s_suppkey", "n_supp")])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nc = grouped_aggregate(cust, ["c_nationkey"], [("count", "c_custkey", "n_cust")])
+    from terrier_ray.ops.relational import partitioned_join
+
+    j = partitioned_join(
+        ns, nc, on=["s_nationkey"], right_on=["c_nationkey"],
+        join_type="full_outer", num_partitions=4,
+    )
+    j = j.map_batches(
+        lambda b: pa.table(
+            {
+                # partitioned_join full_outer already coalesces the key into
+                # the left column name
+                "nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+                "n_supp": pc.fill_null(b.column("n_supp"), 0),
+                "n_cust": pc.fill_null(b.column("n_cust"), 0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return unpivot(j, ["nationkey"], ["n_supp", "n_cust"], "side", "n")
+
+
 QUERIES = {
     "range_join_order_windows": range_join_order_windows,
+    "unpivot_nation_counts": unpivot_nation_counts,
     "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
@@ -422,6 +454,20 @@ SQL = {
         SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
     """,
 }
+
+SQL["unpivot_nation_counts"] = """
+    UNPIVOT (
+        SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+               COALESCE(n_supp, 0) AS n_supp,
+               COALESCE(n_cust, 0) AS n_cust
+        FROM (SELECT s_nationkey, COUNT(s_suppkey) AS n_supp
+              FROM supplier GROUP BY s_nationkey) s
+        FULL OUTER JOIN
+             (SELECT c_nationkey, COUNT(c_custkey) AS n_cust
+              FROM customer GROUP BY c_nationkey) c
+        ON s_nationkey = c_nationkey
+    ) ON n_supp, n_cust INTO NAME side VALUE n
+"""
 
 SQL["range_join_order_windows"] = f"""
     SELECT window_id, COUNT(o_orderkey) AS n_orders,
