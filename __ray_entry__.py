@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(functions2.QUERIES)
     q.update(functions3.QUERIES)
     q["token_counts"] = textops.token_counts
+    q["term_doc_frequency"] = textops.term_doc_frequency
+    q["tfidf_top_terms"] = textops.tfidf_top_terms
     q["docs_by_lang"] = textops.docs_by_lang
     q["bpe_token_counts"] = textops.bpe_token_counts
     q["json_extract_props"] = textops.json_extract_props

@@ -133,3 +133,44 @@ def test_knn_exact_vs_numpy_oracle(ray_session, sf_smoke):
     order = np.lexsort((ids[mask], -np.round(sims[mask] * 10000) / 10000))
     want = ids[mask][order][:5]
     assert list(got["vec_id"]) == list(want)
+
+
+def test_tfidf_top_terms_matches_direct(ray_session, tmp_root):
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.textops import tfidf_top_terms
+    from terrier_ray.text.tokenize import TOKEN_RE
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple apple apple unique",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_root), "tfidf_docs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    got = tfidf_top_terms(d, top=2).to_pandas()
+
+    # direct reference
+    toks = [TOKEN_RE.findall(t.lower()) for t in texts]
+    df = {}
+    for ts in toks:
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    for did, ts in enumerate(toks):
+        uniq, cnt = np.unique(np.asarray(ts, dtype=object), return_counts=True)
+        w = (cnt / len(ts)) * np.array([math.log(len(texts) / df[t]) for t in uniq])
+        sel = np.argsort(-w, kind="stable")[:2]
+        mine = got[got["doc_id"] == did].sort_values("tfidf", ascending=False)
+        assert list(mine["term"]) == [uniq[i] for i in sel], did
+        assert np.allclose(mine["tfidf"].values, w[sel], rtol=0, atol=0)
