@@ -85,7 +85,17 @@ def main() -> None:
         topk,
         with_columns,
     )
+    from terrier_ray.ops.bloom import bloom_prefilter, build_bloom
+    from terrier_ray.ops.rangejoin import range_join
+    from terrier_ray.ops.sample import bernoulli_sample
+    from terrier_ray.ops.sketch import approx_percentile
     from terrier_ray.ops.window import windowed
+
+    # 32 overlapping intervals over the v∈[0,1) domain
+    _lo = np.linspace(0.0, 0.9, 32)
+    _intervals32 = pa.table(
+        {"ivl": np.arange(32, dtype=np.int64), "lo": _lo, "hi": _lo + 0.1}
+    )
 
     rows = [int(x) for x in args.rows.split(",")]
     keyset = [int(x) for x in args.keys.split(",")]
@@ -135,6 +145,21 @@ def main() -> None:
                 ).count(),
                 "grouped_median": lambda: grouped_quantile(
                     ds0, ["k"], "w", 0.5, "m"
+                ).count(),
+                "window_moving_avg": lambda: windowed(
+                    ds0, ["k"], ["v"], [("moving_avg", "w", "ma", 8)]
+                ).count(),
+                "bernoulli_sample": lambda: bernoulli_sample(
+                    ds0, "k", 100
+                ).count(),
+                "bloom_build_filter": lambda: bloom_prefilter(
+                    ds0, "k", build_bloom(ds0, "k", num_bits=1 << 18)
+                ).count(),
+                "tdigest_p50_p99": lambda: len(
+                    approx_percentile(ds0, "v", [0.5, 0.99])
+                ),
+                "range_join_32ivl": lambda: range_join(
+                    ds0, _intervals32, "v", "lo", "hi"
                 ).count(),
             }
             for name, fn in cases.items():
