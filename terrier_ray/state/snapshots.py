@@ -54,10 +54,12 @@ def create_snapshot(root: str, ds) -> int:
     return 1
 
 
-def scan(root: str, **kwargs):
+def scan(root: str, version: int | None = None, **kwargs):
+    """Read a snapshot; ``version`` time-travels to an older published one
+    (snapshots are immutable — every append/delete publishes a new vN)."""
     import ray.data as rd
 
-    return rd.read_parquet(snapshot_dir(root), **kwargs)
+    return rd.read_parquet(snapshot_dir(root, version), **kwargs)
 
 
 def append_rows(root: str, ds) -> int:

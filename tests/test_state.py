@@ -59,3 +59,19 @@ def test_snapshot_insert_delete(ray_session, sf_smoke, tmp_root):
     import ray.data as rd2
 
     assert rd2.read_parquet(snap.snapshot_dir(root, 2)).count() == 50
+
+
+def test_snapshot_time_travel(ray_session, tmp_root):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.state.snapshots import append_rows, create_snapshot, scan
+
+    root = os.path.join(str(tmp_root), "tt_snap")
+    create_snapshot(root, rd.from_arrow(pa.table({"x": [1, 2, 3]})))
+    v2 = append_rows(root, rd.from_arrow(pa.table({"x": [4, 5]})))
+    assert v2 == 2
+    assert scan(root).count() == 5  # latest
+    assert scan(root, version=1).count() == 3  # time travel
