@@ -1,0 +1,86 @@
+"""Hypothesis property tests — the reference's randomized-unit-test strategy
+(test/execution/sql_*_test.cpp randomizes inputs against C++ reference
+semantics; SURVEY.md §5).  Pure-kernel properties only: no Ray session, so
+these shrink fast."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from terrier_ray.index.codec import decode_posting_list, encode_posting_list
+from terrier_ray.ops.relational import rescale_round, scaled_int, unscale
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e7,
+            max_value=1e7,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_scaled_int_sum_order_independent(vals):
+    """The float recipe's core guarantee: integer-scaled sums are EXACT in
+    any order (the reason every oracled aggregate survives engine reordering)."""
+    arr = pa.array(vals, type=pa.float64())
+    c = scaled_int(arr, 100).to_numpy(zero_copy_only=False)
+    assert c.sum() == c[::-1].sum() == np.random.default_rng(0).permutation(c).sum()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=6),
+)
+def test_rescale_round_idempotent(vals, nd):
+    """Rounding through the integer recipe is a projection: applying it twice
+    equals once (no double-rounding drift)."""
+    arr = pa.array(vals, type=pa.float64())
+    once = rescale_round(arr, nd)
+    twice = rescale_round(once, nd)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True),
+    st.lists(st.integers(min_value=1, max_value=255), min_size=1, max_size=300),
+)
+def test_posting_codec_roundtrip_any_gaps(docids, tfs):
+    """Codec round-trip for arbitrary docid gap patterns (delta+varbyte or
+    Elias–Fano container, whichever the encoder picks)."""
+    docids = np.sort(np.asarray(docids, dtype=np.uint64))
+    tfs = np.asarray((tfs * (len(docids) // len(tfs) + 1))[: len(docids)], dtype=np.uint32)
+    blob = encode_posting_list(docids, tfs)
+    d2, t2 = decode_posting_list(blob)
+    assert np.array_equal(d2, docids)
+    assert np.array_equal(t2, tfs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-100, max_value=100), min_size=2, max_size=200),
+    st.integers(min_value=1, max_value=8),
+)
+def test_moving_sum_equals_pandas(vals, w):
+    """windowed moving_sum kernel logic vs pandas rolling (single segment)."""
+    import pandas as pd
+
+    v = np.asarray(vals, dtype=np.int64)
+    n = len(v)
+    idx = np.arange(n)
+    seg_start = np.zeros(n, dtype=np.int64)
+    cum = np.cumsum(v)
+    lo = np.maximum(idx - w + 1, seg_start)
+    pre = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+    got = cum - pre
+    want = pd.Series(v).rolling(w, min_periods=1).sum().astype(np.int64).values
+    assert np.array_equal(got, want)
