@@ -30,7 +30,7 @@ from terrier_ray.pipelines.fulltext import (
     boolean_matches,
     index_corpus_stats,
 )
-from terrier_ray.pipelines.multimodal import media_features
+from terrier_ray.pipelines.multimodal import media_features, media_frames, media_resized
 from terrier_ray.pipelines.similarity import (
     embedding_near_dup_pairs,
     knn_cosine,
@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["index_corpus_stats"] = index_corpus_stats
     q["boolean_matches"] = boolean_matches
     q["media_features"] = lambda sf_dir: media_features(200)
+    q["media_resized"] = lambda sf_dir: media_resized(200)
+    q["media_frames"] = lambda sf_dir: media_frames(200)
     return q
 
 

@@ -105,3 +105,97 @@ def media_features(num_rows: int = 200):
         batch_size=32,  # byte-capped: blobs are wide
         concurrency=2,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: nearest-neighbor resampling of the synthetic
+    raster to a fixed output length (the gather/index math is the real part;
+    a real JPEG/PNG resize would swap the decode+encode around the same
+    gather).  Emits a correctly-sized binary payload + updated metadata."""
+
+    def __init__(self, out_len: int = 128):
+        self.out_len = out_len
+
+    def _resize(self, blob: bytes) -> bytes:
+        if blob[:4] != _MAGIC:
+            raise NotImplementedError(
+                "real media codecs are unavailable here; synthetic TRMM only"
+            )
+        payload = np.frombuffer(blob, dtype=np.uint8, offset=9)
+        if len(payload) == 0:
+            return bytes(self.out_len)
+        idx = np.minimum(
+            (np.arange(self.out_len) * len(payload)) // self.out_len,
+            len(payload) - 1,
+        )
+        return payload[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [self._resize(b) for b in batch.column("blob").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "blob": pa.array(resized, type=pa.binary()),
+                "out_len": pa.array(
+                    np.full(batch.num_rows, self.out_len, dtype=np.int32)
+                ),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame sampling for video blobs: the payload is treated as
+    ``n_frames`` equal strides; every ``stride``-th frame is emitted as its
+    own row (flat-map shape — one input row → several frame rows).  Non-video
+    rows pass through untouched downstream stages by being dropped here."""
+
+    def __init__(self, n_frames: int = 4, stride: int = 2):
+        self.n_frames = n_frames
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fnos, frames = [], [], []
+        for mid, kind, blob in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("blob").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            if blob[:4] != _MAGIC:
+                raise NotImplementedError("synthetic TRMM only")
+            payload = np.frombuffer(blob, dtype=np.uint8, offset=9)
+            per = max(1, len(payload) // self.n_frames)
+            for f in range(0, self.n_frames, self.stride):
+                ids.append(mid)
+                fnos.append(f)
+                frames.append(payload[f * per : (f + 1) * per].tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(fnos, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def media_resized(num_rows: int = 200, out_len: int = 128):
+    """media → actor-pool nearest-neighbor resize → fixed-size payloads."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(generate_media_table(num_rows))
+    return ds.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"out_len": out_len},
+    )
+
+
+def media_frames(num_rows: int = 200):
+    """video rows → actor-pool frame sampling (flat-map: rows multiply)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(generate_media_table(num_rows))
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2
+    )

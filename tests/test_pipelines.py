@@ -174,3 +174,50 @@ def test_tfidf_top_terms_matches_direct(ray_session, tmp_root):
         mine = got[got["doc_id"] == did].sort_values("tfidf", ascending=False)
         assert list(mine["term"]) == [uniq[i] for i in sel], did
         assert np.allclose(mine["tfidf"].values, w[sel], rtol=0, atol=0)
+
+
+def test_media_resize_and_frames(ray_session):
+    import numpy as np
+
+    from terrier_ray.pipelines.multimodal import (
+        FrameSampler,
+        MediaResizer,
+        generate_media_table,
+        media_frames,
+        media_resized,
+    )
+
+    out = media_resized(60, out_len=64).to_pandas()
+    assert len(out) == 60
+    assert (out["out_len"] == 64).all()
+    assert all(len(b) == 64 for b in out["blob"])
+
+    frames = media_frames(60).to_pandas()
+    tab = generate_media_table(60).to_pandas()
+    n_videos = (tab["kind"] == "video").sum()
+    assert len(frames) == n_videos * 2  # frames 0 and 2 of 4, stride 2
+    assert set(frames["frame_no"]) <= {0, 2}
+
+    # real formats must fail loudly, not silently decode
+    import pyarrow as pa_
+    import pytest as pt
+
+    fake = pa_.table(
+        {
+            "media_id": pa_.array([1], type=pa_.int64()),
+            "kind": pa_.array(["image"]),
+            "blob": pa_.array([b"\xff\xd8\xff\xe0JFIF-like"], type=pa_.binary()),
+        }
+    )
+    with pt.raises(NotImplementedError):
+        MediaResizer()(fake)
+    with pt.raises(NotImplementedError):
+        FrameSampler()(
+            pa_.table(
+                {
+                    "media_id": pa_.array([1], type=pa_.int64()),
+                    "kind": pa_.array(["video"]),
+                    "blob": pa_.array([b"\x00\x00\x00 ftypmp42"], type=pa_.binary()),
+                }
+            )
+        )
