@@ -11,6 +11,7 @@ driver's testdata schema, to complete the suite's plan-shape coverage:
 - Q15 — max-revenue view + equality against the max (scalar subquery);
 - Q17 — correlated per-part AVG threshold (broadcast threshold map);
 - Q20 — two-granularity aggregation + fraction-of-total semi join;
+- Q21 — multi-correlated EXISTS self-join → per-order distinct-count + semi joins;
 - Q22 — anti join + scalar-subquery threshold + substring grouping.
 
 Adaptations forced by the testdata schema (no partsupp, no
@@ -34,6 +35,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from terrier_ray.ops.relational import (
+    grouped_count_distinct,
+    topk,
     broadcast_join,
     distinct,
     filter_batches,
@@ -389,6 +392,46 @@ def q20_volume_suppliers(sf_dir: str):
     )
 
 
+def q21_sole_supplier_wait(sf_dir: str):
+    """Q21 shape (multi-correlated EXISTS self-join on lineitem): line items
+    of URGENT orders whose order had NO other supplier, counted per
+    supplier, top 10.  The NOT-EXISTS self-join becomes a per-order
+    COUNT(DISTINCT supplier) aggregate + a co-partitioned semi join of
+    lineitem against the sole-supplier orders."""
+    line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    per_order = grouped_count_distinct(line, ["l_orderkey"], "l_suppkey", "n_supp")
+    sole = filter_batches(
+        per_order, lambda b: pc.equal(b.column("n_supp"), 1)
+    ).drop_columns(["n_supp"])
+    urgent = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    ).drop_columns(["o_orderpriority"])
+    cand = partitioned_join(
+        line, urgent, on=["l_orderkey"], right_on=["o_orderkey"],
+        join_type="left_semi", num_partitions=8,
+    )
+    cand = partitioned_join(
+        cand, sole, on=["l_orderkey"], right_on=["l_orderkey"],
+        join_type="left_semi", num_partitions=8,
+    )
+    per_supp = grouped_aggregate(
+        cand, ["l_suppkey"], [("count", "l_orderkey", "numwait")]
+    )
+    top = topk(per_supp, ["numwait", "l_suppkey"], 10, descending=[True, False])
+    supp = _small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = top.join(supp, keys=["l_suppkey"], right_keys=["s_suppkey"])
+    return pa.table(
+        {
+            "s_suppkey": out.column("l_suppkey"),
+            "s_name": out.column("s_name"),
+            "numwait": out.column("numwait"),
+        }
+    )
+
+
 def q22_sales_opportunity(sf_dir: str):
     """Q22 shape: customers with above-(positive-)average balance and no
     URGENT order, grouped by a substring country code — anti join + exact
@@ -549,6 +592,18 @@ SQL = {
              JOIN supplier ON s_suppkey = l_suppkey
         WHERE q * 4 > tq
     """,
+    "q21_sole_supplier_wait": """
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 10
+    """,
     "q22_sales_opportunity": f"""
         SELECT SUBSTRING(c_name, 16, 2) AS cntrycode,
                COUNT(*) AS numcust,
@@ -572,5 +627,6 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_volume_suppliers": q20_volume_suppliers,
+    "q21_sole_supplier_wait": q21_sole_supplier_wait,
     "q22_sales_opportunity": q22_sales_opportunity,
 }
