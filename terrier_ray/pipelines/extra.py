@@ -274,6 +274,61 @@ def events_hopping(sf_dir: str):
     return out.map_batches(unscale_total, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000):
+    """Funnel / sequence matching: users with a 'click' followed by a
+    'purchase' within one hour.  Per-user-bucket shuffle, then FULLY
+    vectorized window matching: clicks and purchases are each sorted by
+    (user, ts) and encoded into one monotone composite key
+    ``user * S + (ts - t0)`` (S > ts span), so a single pair of
+    np.searchsorted calls answers "does user u have a click in
+    [tp - 1h, tp)" for every purchase at once — no per-user loop.
+    Buckets partition users, so the global user count is the sum of
+    per-bucket counts."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ev = filter_batches(
+        ev, lambda b: pc.is_in(b.column("event_type"), pa.array(["click", "purchase"]))
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("ubucket", pa.array((u % 16).astype(np.int32)))
+
+    ev = ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        kind = group.column("event_type").to_numpy(zero_copy_only=False)
+        is_click = kind == "click"
+        is_buy = kind == "purchase"
+        if not is_click.any() or not is_buy.any():
+            return pa.table({"n_users_part": pa.array([0], type=pa.int64())})
+        t0 = ts.min()
+        span = int(ts.max() - t0) + 2
+        uc, tc = u[is_click], ts[is_click] - t0
+        up, tp = u[is_buy], ts[is_buy] - t0
+        assert int(u.max()) * span < (1 << 62), "composite key would overflow"
+        ck = uc * span + tc
+        ck.sort()
+        q_lo = up * span + np.maximum(tp - window_us, 0)
+        q_hi = up * span + tp
+        hit = np.searchsorted(ck, q_lo, "left") < np.searchsorted(ck, q_hi, "left")
+        n = len(np.unique(up[hit]))
+        return pa.table({"n_users_part": pa.array([n], type=pa.int64())})
+
+    parts = ev.groupby("ubucket").map_groups(per_bucket, batch_format="pyarrow")
+    total = sum(
+        b.column("n_users_part").to_numpy(zero_copy_only=False).sum()
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pa.table({"n_users": pa.array([int(total)], type=pa.int64())})
+
+
 def _sliding_windows():
     """29 OVERLAPPING 180-day windows at 90-day stride over the order-date
     domain (deterministic; each order falls in ~2 windows — an equi-join
@@ -380,6 +435,7 @@ def unpivot_nation_counts(sf_dir: str):
 QUERIES = {
     "range_join_order_windows": range_join_order_windows,
     "unpivot_nation_counts": unpivot_nation_counts,
+    "funnel_click_purchase": funnel_click_purchase,
     "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
@@ -454,6 +510,13 @@ SQL = {
         SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
     """,
 }
+
+SQL["funnel_click_purchase"] = """
+    SELECT COUNT(DISTINCT a.user_id) AS n_users
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
 
 SQL["unpivot_nation_counts"] = """
     UNPIVOT (
