@@ -93,6 +93,51 @@ def grouped_quantile(
     )
 
 
+def grouped_quantile_disc(
+    ds,
+    keys: Sequence[str],
+    col: str,
+    q: float,
+    alias: str,
+    num_partitions: int = 32,
+):
+    """Exact PERCENTILE_DISC(q): the SMALLEST group value whose cumulative
+    ordered position covers q — an actual element of the group, never
+    interpolated (SQL spec / DuckDB quantile_disc: element at
+    ``ceil(q*n) - 1`` of the ascending sort, 0-indexed, for q>0; the first
+    element for q=0).  Same one-bucket-shuffle shape as grouped_quantile;
+    the output column keeps the INPUT type (no float cast — disc returns a
+    member, so value-hash matching needs no scaling recipe)."""
+    keys = list(keys)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__qbucket"]).sort_by(
+            [(k, "ascending") for k in keys] + [(col, "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: t.column(k) for k in keys},
+                    alias: pa.array([], type=t.schema.field(col).type),
+                }
+            )
+        starts = _change_mask(t, keys)
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(start_idx, n))
+        off = np.ceil(q * counts.astype(np.float64)).astype(np.int64) - 1
+        off = np.clip(off, 0, counts - 1)
+        vals = t.column(col).combine_chunks().take(pa.array(start_idx + off))
+        head = t.take(pa.array(start_idx)).select(keys)
+        return head.append_column(alias, vals)
+
+    return (
+        _tagged(ds, keys, num_partitions)
+        .groupby("__qbucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_string_agg(
     ds,
     keys: Sequence[str],

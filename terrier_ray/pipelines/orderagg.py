@@ -52,6 +52,17 @@ def p90_order_value(sf_dir: str):
     )
 
 
+def p75_disc_order_value(sf_dir: str):
+    """Exact PERCENTILE_DISC(0.75) per priority — an actual group member
+    (no interpolation, so raw doubles hash-match without scaling)."""
+    from terrier_ray.ops.orderagg import grouped_quantile_disc
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_quantile_disc(
+        orders, ["o_orderpriority"], "o_totalprice", 0.75, "p75_price"
+    )
+
+
 def nations_csv(sf_dir: str):
     """STRING_AGG(n_name, ',' ORDER BY n_name) per region."""
     nation = read_table(sf_dir, "nation", columns=["n_regionkey", "n_name"])
@@ -97,6 +108,12 @@ def approx_percentiles_order_value(sf_dir: str):
 
 
 SQL = {
+    "p75_disc_order_value": """
+        SELECT o_orderpriority,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p75_price
+        FROM orders GROUP BY o_orderpriority
+    """,
     "median_order_value": """
         SELECT o_orderpriority,
                MEDIAN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
@@ -127,4 +144,5 @@ QUERIES = {
     "nations_csv": nations_csv,
     "window_dense_rank": window_dense_rank,
     "approx_percentiles_order_value": approx_percentiles_order_value,
+    "p75_disc_order_value": p75_disc_order_value,
 }

@@ -79,3 +79,37 @@ def test_dense_rank_matches_pandas(ray_session, df):
     )
     want = df.groupby("k")["v"].rank(method="dense").astype(np.int64)
     assert (out["dr"].values == want.values).all()
+
+
+def test_quantile_disc_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.orderagg import grouped_quantile_disc
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "k": rng.integers(0, 7, 500),
+            "v": np.round(rng.normal(100, 30, 500), 2),
+        }
+    )
+    for q in (0.0, 0.25, 0.5, 0.75, 0.9, 1.0):
+        got = (
+            grouped_quantile_disc(rd.from_arrow(t), ["k"], "v", q, "dv", 4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.connect()
+            .execute(
+                f"SELECT k, PERCENTILE_DISC({q}) WITHIN GROUP (ORDER BY v) AS dv "
+                "FROM t GROUP BY k ORDER BY k"
+            )
+            .df()
+        )
+        assert (got["k"].values == want["k"].values).all(), q
+        assert (got["dv"].values == want["dv"].values).all(), q  # exact
