@@ -25,6 +25,7 @@ from terrier_ray.pipelines.dedup import (
     simhash_signatures,
 )
 from terrier_ray.pipelines.fulltext import (
+    bm25_snippets,
     bm25_topk,
     bm25_topk_distributed,
     boolean_matches,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_topk_distributed"] = bm25_topk_distributed
     q["index_corpus_stats"] = index_corpus_stats
     q["boolean_matches"] = boolean_matches
+    q["bm25_snippets"] = bm25_snippets
     q["media_features"] = lambda sf_dir: media_features(200)
     q["media_resized"] = lambda sf_dir: media_resized(200)
     q["media_frames"] = lambda sf_dir: media_frames(200)

@@ -120,3 +120,94 @@ def index_corpus_stats(sf_dir: str):
             "n_heavy_terms": [len(stats["heavy_terms"])],
         }
     )
+
+
+def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 20):
+    """Search-result snippets: BM25 top-k per query, then ONE pruned
+    distributed pass over the webtext corpus fetches just the hit docs'
+    texts (docid = url hash, computed per batch + is_in filter against the
+    tiny hit set — a broadcast semi join), and a per-hit vectorized window
+    pick maximizes distinct query terms inside ``window`` tokens.
+    Rows: (query_id, rank, docid, snippet); rows-only (free text), the
+    contains-a-query-term invariant is unit-tested."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.datagen.webtext import url_doc_id
+    from terrier_ray.index.bm25 import BM25Index, _query_terms
+    from terrier_ray.text.tokenize import TOKEN_RE
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    queries = generate_queries(num_queries)
+    hits: list[tuple[int, int, int]] = []  # (query_id, rank, docid)
+    terms_by_q: dict[int, list[str]] = {}
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        terms_by_q[qid] = _query_terms(text)
+        for rank, (docid, _s) in enumerate(idx.search_pruned(text, k=k), start=1):
+            hits.append((qid, rank, docid))
+    need = sorted({d for _q, _r, d in hits})
+    need_arr = pa.array(np.asarray(need, dtype=np.int64))
+
+    web = webtext_for_sf(sf_dir)
+    # most webtext rows carry only `html` — snippets must run the SAME
+    # extractor the index build used (filter to the tiny hit set FIRST so
+    # extraction touches k·queries docs, not the corpus)
+    from terrier_ray.extract.html import HtmlExtractor
+
+    ds = rd.read_parquet(web, columns=["url", "html", "text"])
+    extractor = HtmlExtractor()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        d = pa.array(url_doc_id(batch.column("url")).astype(np.int64))
+        batch = batch.append_column("docid", d)
+        batch = batch.filter(pc_.is_in(d, value_set=need_arr))
+        return extractor(batch).drop_columns(["url"])
+
+    texts_tbl = pa.concat_tables(
+        ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    text_of = dict(
+        zip(
+            texts_tbl.column("docid").to_pylist(),
+            texts_tbl.column("text").to_pylist(),
+        )
+    )
+
+    def best_window(text: str, terms: list[str]) -> str:
+        toks = TOKEN_RE.findall(text.lower())
+        if not toks:
+            return ""
+        tset = set(terms)
+        is_hit = np.array([t in tset for t in toks])
+        if not is_hit.any():
+            return " ".join(toks[:window])
+        # windowed count of distinct-ish hits: maximize hit count in a
+        # `window`-token span (cumsum difference), earliest best span wins
+        cs = np.concatenate(([0], np.cumsum(is_hit.astype(np.int64))))
+        n = len(toks)
+        starts = np.arange(max(1, n - window + 1))
+        score = cs[np.minimum(starts + window, n)] - cs[starts]
+        s = int(np.argmax(score))
+        return " ".join(toks[s : s + window])
+
+    qids, ranks, dids, snips = [], [], [], []
+    for qid, rank, docid in hits:
+        qids.append(qid)
+        ranks.append(rank)
+        dids.append(docid)
+        snips.append(best_window(text_of.get(docid, ""), terms_by_q[qid]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(dids, type=pa.int64()),
+            "snippet": pa.array(snips, type=pa.string()),
+        }
+    )

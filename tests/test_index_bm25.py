@@ -261,3 +261,25 @@ def test_segmented_index_rank_and_score_identical(
     comp_idx = BM25Index(comp)
     for q in generate_queries(5).column("text").to_pylist():
         assert comp_idx.search(q, k=10) == mono.search(q, k=10), q
+
+
+def test_bm25_snippets_contain_query_terms(ray_session):
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import _query_terms
+    from terrier_ray.pipelines.fulltext import bm25_snippets
+
+    out = bm25_snippets("/root/testdata/sf0.001", k=3, num_queries=4).to_pandas()
+    assert len(out) > 0
+    queries = generate_queries(4)
+    terms_by_q = {
+        qid: set(_query_terms(t))
+        for qid, t in zip(
+            queries.column("query_id").to_pylist(),
+            queries.column("text").to_pylist(),
+        )
+    }
+    for _, row in out.iterrows():
+        snip_toks = set(row["snippet"].split())
+        # every retrieved doc contains at least one query term, and the
+        # chosen window must surface it
+        assert snip_toks & terms_by_q[row["query_id"]], row["snippet"]
