@@ -311,6 +311,39 @@ class BM25Index:
         return [(-d, s) for s, d in out]
 
     # ------------------------------------------------------------------
+    # term-dictionary range scans (IndexScan Ascending* analog)
+    # ------------------------------------------------------------------
+
+    def terms_in_range(
+        self, lo: str | None = None, hi: str | None = None, prefix: str | None = None
+    ):
+        """Range / prefix scan over the term dictionary: returns a sorted
+        pa.Table (term, df, cf) for lo <= term < hi (or term LIKE
+        'prefix%').  Reference analog: IndexScanType AscendingClosed /
+        OpenHigh / OpenLow (src/include/planner/plannodes/
+        plan_node_defs.h:143-152).  Terms are hash-bucketed on disk, so a
+        range scan touches every bucket file — but ONLY the (term, df, cf)
+        columns with a parquet predicate pushdown, never the posting blobs;
+        at 1e12 docs a sorted term-dictionary sidecar per bucket would make
+        this a binary search, the layout hook is the same."""
+        import glob as _glob
+
+        import pyarrow.dataset as _pads
+
+        if prefix is not None:
+            lo, hi = prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        expr = None
+        if lo is not None:
+            expr = _pads.field("term") >= lo
+        if hi is not None:
+            e2 = _pads.field("term") < hi
+            expr = e2 if expr is None else (expr & e2)
+        files = sorted(_glob.glob(os.path.join(self.postings_dir, "bucket-*.parquet")))
+        dset = _pads.dataset(files)
+        t = dset.to_table(columns=["term", "df", "cf"], filter=expr)
+        return t.sort_by("term")
+
+    # ------------------------------------------------------------------
     # boolean retrieval (unranked set algebra over sorted docid lists)
     # ------------------------------------------------------------------
 

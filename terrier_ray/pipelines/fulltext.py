@@ -101,6 +101,16 @@ def boolean_matches(sf_dir: str, num_queries: int = 10):
     )
 
 
+def prefix_terms(sf_dir: str, prefix: str = "wi"):
+    """Term-dictionary prefix scan (IndexScan range analog): all indexed
+    terms starting with ``prefix``, with df/cf — column-pruned, predicate-
+    pushed reads of the posting buckets (posting blobs never touched)."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    return idx.terms_in_range(prefix=prefix)
+
+
 def index_corpus_stats(sf_dir: str):
     """Corpus-level stats of the built index (docs, postings, terms)."""
     import pandas as pd

@@ -283,3 +283,16 @@ def test_bm25_snippets_contain_query_terms(ray_session):
         # every retrieved doc contains at least one query term, and the
         # chosen window must surface it
         assert snip_toks & terms_by_q[row["query_id"]], row["snippet"]
+
+
+def test_terms_in_range_vs_df_map(built_index, oracle):
+    out, _ = built_index
+    idx = BM25Index(out)
+    t = idx.terms_in_range(prefix="w")
+    got = dict(zip(t.column("term").to_pylist(), t.column("df").to_pylist()))
+    want = {k: v for k, v in oracle.df.items() if k.startswith("w")}
+    assert got == want
+    assert t.column("term").to_pylist() == sorted(want)  # sorted contract
+    lo_hi = idx.terms_in_range(lo="m", hi="p")
+    terms = lo_hi.column("term").to_pylist()
+    assert terms and all("m" <= x < "p" for x in terms)
