@@ -183,6 +183,7 @@ def partitioned_join(
     join_type: str = "inner",
     num_partitions: int = 16,
     strategy: str = "cogroup",
+    post_fn: Callable[[pa.Table], pa.Table] | None = None,
 ):
     """Both-sides-large hash-shuffle join.
 
@@ -195,6 +196,12 @@ def partitioned_join(
     scale ``num_partitions`` bounds per-bucket memory.
     join_type: inner | left_semi | left_anti | left_outer | right_outer |
     full_outer.
+
+    ``post_fn`` (cogroup only) runs INSIDE each bucket task on that bucket's
+    join output — the join-aggregation fusion hook: when a downstream
+    GROUP BY's keys are functionally dependent on the join key (every key
+    row lives in exactly one bucket), a per-bucket Arrow group_by here is
+    COMPLETE, and the entire second all-to-all shuffle disappears.
     """
     rkeys = list(right_on) if right_on else list(on)
     lkeys = list(on)
@@ -277,7 +284,8 @@ def partitioned_join(
         joined = lt.join(
             rt, keys=lkeys, right_keys=lkeys, join_type=arrow_join_type
         )
-        return joined.select(out_cols)
+        out = joined.select(out_cols)
+        return post_fn(out) if post_fn is not None else out
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -198,16 +198,33 @@ def q3_shipping_priority(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pads.field("l_shipdate") > _ts("1998-01-01")),
     )
-    joined = partitioned_join(
-        line, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8
+    # join-aggregation fusion: the GROUP BY keys (l_orderkey, o_orderdate,
+    # o_orderpriority) are functionally dependent on the join key, so the
+    # per-bucket Arrow group_by inside the join task is COMPLETE — the
+    # second all-to-all shuffle disappears entirely (post_fn contract in
+    # partitioned_join)
+    def fuse_agg(t: pa.Table) -> pa.Table:
+        t = t.append_column("rev_c", _rev_cents(t))
+        gb = t.group_by(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+            [("rev_c", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": gb.column("l_orderkey"),
+                "o_orderdate": gb.column("o_orderdate"),
+                "o_orderpriority": gb.column("o_orderpriority"),
+                "revenue": unscale(gb.column("rev_c_sum"), 100),
+            }
+        )
+
+    agg = partitioned_join(
+        line,
+        orders,
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        num_partitions=8,
+        post_fn=fuse_agg,
     )
-    joined = with_columns(joined, {"rev_c": _rev_cents})
-    agg = grouped_aggregate(
-        joined,
-        ["l_orderkey", "o_orderdate", "o_orderpriority"],
-        [("sum", "rev_c", "revenue")],
-    )
-    agg = _unscale_cols(agg, {"revenue": 100})
     return topk(
         agg,
         ["revenue", "o_orderdate", "l_orderkey"],
