@@ -269,13 +269,22 @@ def partitioned_join(
         "inner": "inner",
         "left_semi": "left semi",
         "left_anti": "left anti",
+        "right_semi": "right semi",
+        "right_anti": "right anti",
         "left_outer": "left outer",
         "right_outer": "right outer",
         "full_outer": "full outer",
     }[join_type]
-    # semi/anti emit left columns only; outer joins null-extend the payload
-    # (key columns are coalesced across sides by Arrow since both carry lnames)
-    out_cols = lnames if join_type in ("left_semi", "left_anti") else lnames + r_payload
+    # semi/anti emit one side's columns only; outer joins null-extend the
+    # payload (key columns are coalesced across sides by Arrow since both
+    # carry lnames).  Right semi/anti emit the RIGHT side's columns (keys
+    # under the left key names — both sides carry lnames after padding).
+    if join_type in ("left_semi", "left_anti"):
+        out_cols = lnames
+    elif join_type in ("right_semi", "right_anti"):
+        out_cols = lkeys + r_payload
+    else:
+        out_cols = lnames + r_payload
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)

@@ -329,6 +329,49 @@ def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000):
     return pa.table({"n_users": pa.array([int(total)], type=pa.int64())})
 
 
+def discount_variance(sf_dir: str):
+    """Exact grouped VAR_POP / STDDEV_POP of l_discount per return flag via
+    integer moments: with d_c = round(discount*100) (≤10), Σd_c and Σd_c²
+    are exact int64 in any order, so var = (n·Σx² − (Σx)²)/n²/10⁴ is ONE
+    deterministic float expression mirrored verbatim in SQL (sqrt is
+    IEEE-correctly-rounded → stddev matches bit-for-bit too)."""
+    line = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_discount"])
+    line = with_columns(
+        line,
+        {
+            "d_c": lambda b: scaled_int(b.column("l_discount"), 100),
+        },
+    )
+    line = with_columns(
+        line, {"d2": lambda b: pc.multiply(b.column("d_c"), b.column("d_c"))}
+    )
+    agg = grouped_aggregate(
+        line,
+        ["l_returnflag"],
+        [("sum", "d_c", "s1"), ("sum", "d2", "s2"), ("count", "d_c", "n")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.float64())
+        num = pc.cast(
+            pc.subtract(
+                pc.multiply(b.column("n"), b.column("s2")),
+                pc.multiply(b.column("s1"), b.column("s1")),
+            ),
+            pa.float64(),
+        )
+        var = pc.divide(pc.divide(num, pc.multiply(n, n)), 10000.0)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "var_discount": var,
+                "stddev_discount": pc.sqrt(var),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _sliding_windows():
     """29 OVERLAPPING 180-day windows at 90-day stride over the order-date
     domain (deterministic; each order falls in ~2 windows — an equi-join
@@ -436,6 +479,7 @@ QUERIES = {
     "range_join_order_windows": range_join_order_windows,
     "unpivot_nation_counts": unpivot_nation_counts,
     "funnel_click_purchase": funnel_click_purchase,
+    "discount_variance": discount_variance,
     "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
@@ -510,6 +554,18 @@ SQL = {
         SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
     """,
 }
+
+SQL["discount_variance"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) * SUM(d_c * d_c) - SUM(d_c) * SUM(d_c) AS DOUBLE)
+               / (COUNT(*) * COUNT(*)) / 10000.0 AS var_discount,
+           SQRT(CAST(COUNT(*) * SUM(d_c * d_c) - SUM(d_c) * SUM(d_c) AS DOUBLE)
+               / (COUNT(*) * COUNT(*)) / 10000.0) AS stddev_discount
+    FROM (SELECT l_returnflag,
+                 CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d_c
+          FROM lineitem)
+    GROUP BY l_returnflag
+"""
 
 SQL["funnel_click_purchase"] = """
     SELECT COUNT(DISTINCT a.user_id) AS n_users

@@ -209,3 +209,30 @@ def test_global_aggregate_null_semantics(ray_session):
     ).to_pandas()
     assert out["n"][0] == 2
     assert out["m"][0] == 2.0
+
+
+def test_right_semi_anti_cogroup_join(ray_session):
+    """right_semi / right_anti emit the right side's rows filtered by
+    left-key existence (reference join-type enum has RIGHT_SEMI/RIGHT_ANTI,
+    plan_node_defs.h:99-110)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import partitioned_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"rk": [2, 3, 4, 5], "rv": [20, 30, 40, 50]})
+    semi = partitioned_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on=["k"], right_on=["rk"], join_type="right_semi", num_partitions=3,
+    ).to_pandas().sort_values("k")
+    assert list(semi["k"]) == [2, 3]
+    assert list(semi["rv"]) == [20, 30]  # right rows, never duplicated
+    anti = partitioned_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on=["k"], right_on=["rk"], join_type="right_anti", num_partitions=3,
+    ).to_pandas().sort_values("k")
+    assert list(anti["k"]) == [4, 5]
+    assert list(anti["rv"]) == [40, 50]
