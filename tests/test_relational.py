@@ -236,3 +236,14 @@ def test_right_semi_anti_cogroup_join(ray_session):
     ).to_pandas().sort_values("k")
     assert list(anti["k"]) == [4, 5]
     assert list(anti["rv"]) == [40, 50]
+
+
+def test_driver_contract_consistency():
+    """Every oracle_sql key must have a queries() entry, names must be
+    unique across modules, and no callable collides (driver contract)."""
+    q = entrymod.queries()
+    s = entrymod.oracle_sql()
+    assert set(s) <= set(q), set(s) - set(q)
+    assert len(q) >= 100
+    for name, fn in q.items():
+        assert callable(fn), name
