@@ -22,6 +22,9 @@ Spec shape::
        {"op": "window", "partition_by": [...], "order_by": [...],
         "specs": [[kind, col|null, alias], ...]},
        {"op": "sort", "keys": [...], "descending": bool, "limit": N},
+       {"op": "sample", "key": col, "permil": N},          # deterministic
+       {"op": "unpivot", "id_cols": [...], "value_cols": [...]},
+       {"op": "rollup", "keys": [...], "aggs": [[op, col, alias], ...]},
      ]}
 
 EXPR is a tree: ``{"col": name}`` | ``{"lit": value}`` |
@@ -127,6 +130,26 @@ def build(spec: Mapping[str, Any], sf_dir: str):
             ds = sort_limit(
                 ds, op["keys"],
                 descending=op.get("descending", False), limit=op.get("limit"),
+            )
+        elif kind == "sample":
+            from terrier_ray.ops.sample import bernoulli_sample
+
+            ds = bernoulli_sample(ds, op["key"], op["permil"])
+        elif kind == "unpivot":
+            from terrier_ray.ops.relational import unpivot
+
+            ds = unpivot(
+                ds,
+                op["id_cols"],
+                op["value_cols"],
+                op.get("name_col", "name"),
+                op.get("value_col", "value"),
+            )
+        elif kind == "rollup":
+            from terrier_ray.ops.relational import rollup_aggregate
+
+            ds = rollup_aggregate(
+                ds, op["keys"], [tuple(a) for a in op["aggs"]]
             )
         else:
             raise ValueError(f"unknown op {kind!r}")

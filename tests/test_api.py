@@ -62,3 +62,49 @@ def test_spec_window_and_sort(ray_session, sf_smoke):
     out = build(spec, sf_smoke).to_pandas()
     assert len(out) == 5
     assert (out["rn"] == 1).all()
+
+
+def test_spec_sample_unpivot_rollup(ray_session, sf_smoke):
+    from terrier_ray.api import build as run_spec
+
+    out = run_spec(
+        {
+            "scan": {"table": "orders", "columns": ["o_orderkey", "o_orderpriority", "o_orderstatus"]},
+            "ops": [
+                {"op": "sample", "key": "o_orderkey", "permil": 500},
+                {
+                    "op": "rollup",
+                    "keys": ["o_orderpriority"],
+                    "aggs": [["count", "o_orderkey", "n"]],
+                },
+            ],
+        },
+        sf_smoke,
+    )
+    t = out if hasattr(out, "num_rows") else out.to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    # rollup emits the per-priority rows plus one grand-total (null key) row
+    assert df["o_orderpriority"].isna().sum() == 1
+    total = df.loc[df["o_orderpriority"].isna(), "n"].iloc[0]
+    assert total == df.loc[~df["o_orderpriority"].isna(), "n"].sum()
+
+    out2 = run_spec(
+        {
+            "scan": {"table": "nation", "columns": ["n_nationkey", "n_regionkey"]},
+            "ops": [
+                {
+                    "op": "unpivot",
+                    "id_cols": ["n_nationkey"],
+                    "value_cols": ["n_regionkey"],
+                    "name_col": "attr",
+                    "value_col": "v",
+                }
+            ],
+        },
+        sf_smoke,
+    )
+    df2 = out2.to_pandas()
+    assert set(df2["attr"]) == {"n_regionkey"}
+    assert len(df2) == 25
