@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
     q["exact_dedup"] = exact_dedup
+    from terrier_ray.pipelines.curate import curate_documents
+
+    q["curate_documents"] = curate_documents
     q["approx_distinct_custkeys"] = approx_distinct_custkeys
     q["heavy_hitter_terms"] = heavy_hitter_terms
     q["minhash_lsh_pairs"] = minhash_lsh_pairs

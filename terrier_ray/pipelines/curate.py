@@ -1,0 +1,129 @@
+"""End-to-end training-data curation: the composed pipeline a 100 TB text
+corpus actually runs — language filter → quality filter → exact dedup →
+near-dup removal → curated parquet + funnel accounting.
+
+Every stage is one of the engine's existing operators wired together:
+annotate (stateless vectorized map) → filter (pc masks) → bucket-shuffled
+grouped-min + co-partitioned semi join (exact dedup at any scale — the
+winner table is never collected) → MinHash-LSH pair list (rare by
+construction) → broadcast anti-filter.  The output is written as
+partitioned parquet; the returned one-row table is the drop-nothing funnel
+account (brief: log what was dropped, never silently truncate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from terrier_ray.ops.relational import (
+    filter_batches,
+    grouped_aggregate,
+    partitioned_join,
+    read_table,
+)
+from terrier_ray.pipelines.dedup import _text_hash, minhash_lsh_pairs
+from terrier_ray.text.analysis import LangId, QualityScorer
+
+
+def curate_documents(
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_quality: float = 0.2,
+    min_words: int = 10,
+    keep_lang: str = "en",
+):
+    # the language gate combines the upstream metadata (`lang` column, the
+    # crawl's claim) with the n-gram LangId prediction: keep rows where
+    # either agrees with the target — the synthetic corpus has gibberish
+    # vocabulary, so the heuristic model alone predicts "unk" (documented
+    # stand-in; a real fasttext-style model slots into the same stage)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_in = docs.count()
+
+    scorer = QualityScorer()
+    langid = LangId()
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        # stage outputs are row-aligned with the input batch
+        q = scorer(batch)
+        l = langid(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+                "quality": q.column("quality"),
+                "n_words": q.column("n_words"),
+                "lang_pred": l.column("lang_pred"),
+            }
+        )
+
+    ann = docs.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+    lang_ok = filter_batches(
+        ann,
+        lambda b: pc.or_(
+            pc.equal(b.column("lang"), keep_lang),
+            pc.equal(b.column("lang_pred"), keep_lang),
+        ),
+    ).materialize()
+    n_lang = lang_ok.count()
+    qual_ok = filter_batches(
+        lang_ok,
+        lambda b: pc.and_(
+            pc.greater_equal(b.column("quality"), min_quality),
+            pc.greater_equal(b.column("n_words"), min_words),
+        ),
+    ).materialize()
+    n_qual = qual_ok.count()
+
+    # exact dedup, fully distributed: min doc_id per content hash, then a
+    # co-partitioned semi join keeps only the winners (the winner table is
+    # itself a dataset — nothing is collected)
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__h", pa.array(_text_hash(batch.column("text").to_pylist()))
+        )
+
+    hashed = qual_ok.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    winners = grouped_aggregate(hashed, ["__h"], [("min", "doc_id", "keep_id")])
+    exact = partitioned_join(
+        hashed,
+        winners,
+        on=["__h", "doc_id"],
+        right_on=["__h", "keep_id"],
+        join_type="left_semi",
+        num_partitions=8,
+    ).materialize()
+    n_exact = exact.count()
+
+    # near-dup removal: LSH pair list over the corpus (rare by
+    # construction), drop the larger doc_id of each surviving pair
+    pairs = minhash_lsh_pairs(sf_dir)
+    drop = np.unique(pairs.column("doc_b").to_numpy(zero_copy_only=False))
+    near = filter_batches(
+        exact,
+        lambda b: pc.invert(
+            pc.is_in(b.column("doc_id"), value_set=pa.array(drop))
+        ),
+    ).materialize()
+    n_out = near.count()
+
+    if out_dir is not None:
+        near.drop_columns(["__h"]).write_parquet(out_dir)
+
+    return pa.table(
+        {
+            "n_in": pa.array([n_in], type=pa.int64()),
+            "n_lang_ok": pa.array([n_lang], type=pa.int64()),
+            "n_quality_ok": pa.array([n_qual], type=pa.int64()),
+            "n_exact_unique": pa.array([n_exact], type=pa.int64()),
+            "n_curated": pa.array([n_out], type=pa.int64()),
+        }
+    )
+
+
+QUERIES = {"curate_documents": curate_documents}

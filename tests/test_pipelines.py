@@ -221,3 +221,33 @@ def test_media_resize_and_frames(ray_session):
                 }
             )
         )
+
+
+def test_curate_documents_funnel(ray_session, tmp_root):
+    import os
+
+    from terrier_ray.pipelines.curate import curate_documents
+    from terrier_ray.sources.io import read_json_table  # noqa: F401 (env check)
+
+    out_dir = os.path.join(str(tmp_root), "curated")
+    t = curate_documents("/root/testdata/sf0.001", out_dir=out_dir)
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    # monotone funnel, drop-nothing accounting
+    assert (
+        row["n_in"]
+        >= row["n_lang_ok"]
+        >= row["n_quality_ok"]
+        >= row["n_exact_unique"]
+        >= row["n_curated"]
+        > 0
+    )
+    # curated parquet exists and matches the final count
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    assert n == row["n_curated"]
+    # deterministic across runs
+    t2 = curate_documents("/root/testdata/sf0.001")
+    assert {c: t2.column(c)[0].as_py() for c in t2.column_names} == row
