@@ -98,7 +98,7 @@ def media_features(num_rows: int = 200):
     import ray.data as rd
 
     tab = generate_media_table(num_rows)
-    ds = rd.from_arrow(tab)
+    ds = rd.from_arrow(tab).repartition(4)
     return ds.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
@@ -184,7 +184,7 @@ def media_resized(num_rows: int = 200, out_len: int = 128):
     """media → actor-pool nearest-neighbor resize → fixed-size payloads."""
     import ray.data as rd
 
-    ds = rd.from_arrow(generate_media_table(num_rows))
+    ds = rd.from_arrow(generate_media_table(num_rows)).repartition(4)
     return ds.map_batches(
         MediaResizer, batch_format="pyarrow", batch_size=32, concurrency=2,
         fn_constructor_kwargs={"out_len": out_len},
@@ -195,7 +195,7 @@ def media_frames(num_rows: int = 200):
     """video rows → actor-pool frame sampling (flat-map: rows multiply)."""
     import ray.data as rd
 
-    ds = rd.from_arrow(generate_media_table(num_rows))
+    ds = rd.from_arrow(generate_media_table(num_rows)).repartition(4)
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=2
     )
