@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_cosine"] = knn_cosine
     q["knn_cosine_lsh"] = knn_cosine_lsh
     q["knn_cosine_ivf"] = knn_cosine_ivf
+    from terrier_ray.pipelines.similarity import knn_cosine_ivf_indexed
+
+    q["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
     q["dup_clusters"] = dup_clusters
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
     q["bm25_topk"] = bm25_topk

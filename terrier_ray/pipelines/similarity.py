@@ -248,3 +248,110 @@ def embedding_near_dup_pairs(
     # a pair can be found by several tables → dedupe; max is a no-op on the
     # identical recomputed sims, it just carries the column through
     return grouped_aggregate(found, ["vec_a", "vec_b"], [("max", "sim", "sim")])
+
+
+def build_ivf_index(
+    sf_dir: str,
+    out_dir: str | None = None,
+    nlist: int = 16,
+    sample_rows: int = 10_000,
+):
+    """Materialized IVF index: train the coarse quantizer on a bounded
+    driver-side sample, assign every vector to its cell DISTRIBUTED
+    (map_batches), and write one parquet partition per cell plus the
+    centroid matrix — after this one-time build, a query reads ONLY its
+    ``nprobe`` cell files (the posting-bucket pattern applied to vectors).
+    Idempotent per (sf_dir, nlist) via a meta manifest."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = out_dir or os.path.join(
+        "/tmp/terrier_ray_ivf", os.path.basename(sf_dir.rstrip("/")) + f"-{nlist}"
+    )
+    meta_path = os.path.join(out_dir, "_meta.json")
+    meta = {"sf_dir": sf_dir, "nlist": nlist, "v": 1}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    emb = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["embedding"]
+    )
+    sample = np.asarray(
+        emb.column("embedding").to_pylist()[:sample_rows], dtype=np.float64
+    )
+    cent = _kmeans(sample, nlist)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cell", pa.array(d.argmin(axis=1).astype(np.int32))
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def knn_cosine_ivf_indexed(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, nprobe: int = 4
+):
+    """ANN over the MATERIALIZED IVF index: load centroids, pick the
+    ``nprobe`` nearest cells, read ONLY those parquet partitions, score.
+    Same recall/cost trade as knn_cosine_ivf but the cell assignment is
+    amortized into the one-time build (the 1e12-vector serving shape)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    idx = build_ivf_index(sf_dir)
+    cent = np.load(os.path.join(idx, "centroids.npy"))
+    emb = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = np.asarray(emb.column("vec_id").to_pylist())
+    q = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[
+        ids_all == query_vec_id
+    ][0]
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(qd)[:nprobe].tolist()
+    qn = q / np.linalg.norm(q)
+
+    import ray.data as rd
+
+    paths = [
+        p
+        for c in probe
+        for p in sorted(glob.glob(os.path.join(idx, f"cell={c}", "*.parquet")))
+    ]
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(batch)
+        keep = ids != query_vec_id
+        m = m[keep]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "sim": rescale_round(pa.array(sims), 4),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])

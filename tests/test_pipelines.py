@@ -251,3 +251,17 @@ def test_curate_documents_funnel(ray_session, tmp_root):
     # deterministic across runs
     t2 = curate_documents("/root/testdata/sf0.001")
     assert {c: t2.column(c)[0].as_py() for c in t2.column_names} == row
+
+
+def test_ivf_indexed_matches_inline(ray_session):
+    from terrier_ray.pipelines.similarity import (
+        knn_cosine_ivf,
+        knn_cosine_ivf_indexed,
+    )
+
+    inline = knn_cosine_ivf("/root/testdata/sf0.001", nprobe=4, k=10)
+    indexed = knn_cosine_ivf_indexed("/root/testdata/sf0.001", nprobe=4, k=10)
+    # identical centroid training (same seed, same sample) → identical cells
+    # → identical candidate sets → identical top-k
+    assert inline.column("vec_id").to_pylist() == indexed.column("vec_id").to_pylist()
+    assert inline.column("sim").to_pylist() == indexed.column("sim").to_pylist()
