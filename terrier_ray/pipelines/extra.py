@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from terrier_ray.ops.relational import (
+    global_aggregate,
     filter_batches,
     grouped_aggregate,
     read_table,
@@ -329,6 +330,39 @@ def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000):
     return pa.table({"n_users": pa.array([int(total)], type=pa.int64())})
 
 
+def events_watermark(sf_dir: str):
+    """Watermark semantics over the events stream (the reference has no
+    streaming constructs at all — SURVEY.md §2.6): watermark = MAX(ts) − 1h
+    (one tiny global aggregate, the scalar-subquery shape); each tumbling
+    hour window is flagged final iff window_end <= watermark — the
+    batch-engine rendering of on-time/late window closing."""
+    import datetime as dt
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    mx = global_aggregate(ev, [("max", "ts", "mx")]).column("mx")[0].as_py()
+    watermark = mx - dt.timedelta(hours=1)
+    ev = with_columns(
+        ev, {"hour_ts": lambda b: pc.floor_temporal(b.column("ts"), unit="hour")}
+    )
+    agg = grouped_aggregate(ev, ["hour_ts"], [("count", "event_id", "n_events")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        end = pc.add(
+            b.column("hour_ts"), pa.scalar(3_600_000_000, type=pa.duration("us"))
+        )
+        return pa.table(
+            {
+                "hour_ts": b.column("hour_ts"),
+                "n_events": b.column("n_events"),
+                "is_final": pc.less_equal(
+                    end, pa.scalar(watermark, type=pa.timestamp("us"))
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def discount_variance(sf_dir: str):
     """Exact grouped VAR_POP / STDDEV_POP of l_discount per return flag via
     integer moments: with d_c = round(discount*100) (≤10), Σd_c and Σd_c²
@@ -480,6 +514,7 @@ QUERIES = {
     "unpivot_nation_counts": unpivot_nation_counts,
     "funnel_click_purchase": funnel_click_purchase,
     "discount_variance": discount_variance,
+    "events_watermark": events_watermark,
     "events_hopping": events_hopping,
     "asof_purchase_view": asof_purchase_view,
     "cross_join_mismatched": cross_join_mismatched,
@@ -554,6 +589,14 @@ SQL = {
         SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
     """,
 }
+
+SQL["events_watermark"] = """
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           COUNT(event_id) AS n_events,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR
+               <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events) AS is_final
+    FROM events GROUP BY hour_ts
+"""
 
 SQL["discount_variance"] = """
     SELECT l_returnflag,
