@@ -75,3 +75,14 @@ def test_snapshot_time_travel(ray_session, tmp_root):
     assert v2 == 2
     assert scan(root).count() == 5  # latest
     assert scan(root, version=1).count() == 3  # time travel
+
+
+def test_settings_registry(monkeypatch):
+    from terrier_ray.settings import get_settings
+
+    assert get_settings().num_partitions == 32
+    monkeypatch.setenv("GRAFT_NUM_PARTITIONS", "8")
+    monkeypatch.setenv("GRAFT_BUCKETS", "16")
+    s = get_settings()
+    assert s.num_partitions == 8
+    assert s.posting_buckets == 16
