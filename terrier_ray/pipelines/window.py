@@ -166,7 +166,31 @@ def window_first_last(sf_dir: str):
     )
 
 
+def top2_orders_per_priority(sf_dir: str):
+    """Top-2 most expensive orders per priority via the dedicated
+    grouped_topk operator (map-side per-key prune BEFORE the shuffle —
+    the window-function plan ships every row; this ships ≤2 per key per
+    batch).  Tie-break: o_totalprice DESC then set semantics — the test
+    data's prices are unique within the top ranks at every SF."""
+    from terrier_ray.ops.relational import grouped_topk
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return grouped_topk(
+        orders, ["o_orderpriority"], "o_totalprice", 2, descending=True
+    )
+
+
 SQL = {
+    "top2_orders_per_priority": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC) AS rn
+            FROM orders)
+        WHERE rn <= 2
+    """,
     "window_moving_spend": """
         SELECT o_custkey, o_orderkey,
                SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
@@ -243,4 +267,5 @@ QUERIES = {
     "window_order_gap_days": window_order_gap_days,
     "window_moving_spend": window_moving_spend,
     "window_first_last": window_first_last,
+    "top2_orders_per_priority": top2_orders_per_priority,
 }

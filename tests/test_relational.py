@@ -247,3 +247,34 @@ def test_driver_contract_consistency():
     assert len(q) >= 100
     for name, fn in q.items():
         assert callable(fn), name
+
+
+def test_grouped_topk_vs_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import grouped_topk
+
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "k": rng.integers(0, 23, 5000),
+            "v": rng.permutation(5000).astype(np.int64),  # unique → no ties
+        }
+    )
+    out = (
+        grouped_topk(rd.from_arrow(t).repartition(8), ["k"], "v", 3)
+        .to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .groupby("k")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert (out["k"].values == want["k"].values).all()
+    assert (out["v"].values == want["v"].values).all()
