@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from terrier_ray.index.build import BLOCK_SIZE, decode_final_postings, term_hash
+from terrier_ray.index.build import decode_final_postings, term_hash
 from terrier_ray.text.tokenize import tokenize
 
 K1 = 1.2

@@ -11,7 +11,7 @@ one row per column — the corpus-stats shape BM25 itself needs (avgdl, N).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 from terrier_ray.ops.relational import distinct, global_aggregate, read_table
 

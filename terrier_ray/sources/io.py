@@ -101,7 +101,6 @@ def write_range_partitioned(ds, out_dir: str, col: str, boundaries):
     import json
 
     import numpy as np
-    import pyarrow.compute as pc_
 
     bounds = list(boundaries)
 
