@@ -77,6 +77,7 @@ def main() -> None:
 
     from terrier_ray.ops.orderagg import grouped_quantile
     from terrier_ray.ops.relational import (
+        grouped_topk,
         broadcast_join,
         distinct,
         filter_batches,
@@ -160,6 +161,17 @@ def main() -> None:
                 ),
                 "range_join_32ivl": lambda: range_join(
                     ds0, _intervals32, "v", "lo", "hi"
+                ).count(),
+                # same semantics two ways: the dedicated operator prunes to
+                # <=3 rows/key/batch BEFORE the shuffle; the window plan
+                # ships every row
+                "top3_per_key_grouped": lambda: grouped_topk(
+                    ds0, ["k"], "v", 3
+                ).count(),
+                "top3_per_key_window": lambda: filter_batches(
+                    windowed(ds0, ["k"], ["v"], [("row_number", None, "rn")],
+                             descending=True),
+                    lambda b: pc.less_equal(b.column("rn"), 3),
                 ).count(),
             }
             for name, fn in cases.items():
