@@ -84,3 +84,46 @@ def test_moving_sum_equals_pandas(vals, w):
     got = cum - pre
     want = pd.Series(v).rolling(w, min_periods=1).sum().astype(np.int64).values
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=80),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.floats(min_value=0, max_value=50, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_range_join_kernel_vs_bruteforce(vals, spans):
+    """The range-join batch kernel (mask+take) vs an O(n·m) reference."""
+    los = np.array([lo for lo, _w in spans])
+    his = np.array([lo + w for lo, w in spans])
+    ivl = pa.table(
+        {"ivl_id": np.arange(len(spans), dtype=np.int64), "lo": los, "hi": his}
+    )
+    batch = pa.table({"v": pa.array(vals, type=pa.float64())})
+
+    # reuse the op's inner kernel by running it as a plain function
+    from terrier_ray.ops.rangejoin import range_join
+
+    class FakeDS:
+        def map_batches(self, fn, **kw):
+            self.out = fn(batch)
+            return self
+
+    got = FakeDS()
+    range_join(got, ivl, "v", "lo", "hi").out
+    pairs = set(
+        zip(got.out.column("v").to_pylist(), got.out.column("ivl_id").to_pylist())
+    )
+    want = {
+        (v, i)
+        for v in vals
+        for i, (lo, hi) in enumerate(zip(los, his))
+        if lo <= v < hi
+    }
+    assert pairs == want
