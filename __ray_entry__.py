@@ -22,6 +22,7 @@ from terrier_ray.pipelines.dedup import (
     exact_dedup,
     heavy_hitter_terms,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_signatures,
 )
 from terrier_ray.pipelines.fulltext import (
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["approx_distinct_custkeys"] = approx_distinct_custkeys
     q["heavy_hitter_terms"] = heavy_hitter_terms
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
     q["simhash_signatures"] = simhash_signatures
     q["knn_cosine"] = knn_cosine
     q["knn_cosine_lsh"] = knn_cosine_lsh

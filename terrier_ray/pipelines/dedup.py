@@ -526,3 +526,48 @@ def ngram_jaccard_exact(text_a: str, text_b: str, width: int = 5) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT n-gram Jaccard over the LSH candidate pairs: minhash estimates
+    propose (cheap, approximate), the true shingle-set Jaccard disposes —
+    the verify side fetches only the candidate docs' texts (broadcast is_in
+    filter; candidates are rare by construction).  Returns
+    (doc_a, doc_b, jaccard) with the exact similarity."""
+    cand = minhash_lsh_pairs(sf_dir, jaccard_threshold=0.0)
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    da = cand.column("doc_a").to_numpy(zero_copy_only=False)
+    db = cand.column("doc_b").to_numpy(zero_copy_only=False)
+    need = pa.array(np.unique(np.concatenate([da, db])))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = pa.concat_tables(
+        docs.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=need)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    text_of = dict(
+        zip(rows.column("doc_id").to_pylist(), rows.column("text").to_pylist())
+    )
+    jac = np.array(
+        [
+            ngram_jaccard_exact(text_of[int(a)], text_of[int(b)])
+            for a, b in zip(da, db)
+        ]
+    )
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(da[keep]),
+            "doc_b": pa.array(db[keep]),
+            "jaccard": pa.array(jac[keep]),
+        }
+    )
