@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
     q["simhash_signatures"] = simhash_signatures
+    from terrier_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    q["simhash_near_dup_pairs"] = simhash_near_dup_pairs
     q["knn_cosine"] = knn_cosine
     q["knn_cosine_lsh"] = knn_cosine_lsh
     q["knn_cosine_ivf"] = knn_cosine_ivf

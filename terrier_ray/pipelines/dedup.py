@@ -468,6 +468,95 @@ def simhash_signatures(sf_dir: str):
     )
 
 
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: by the pigeonhole principle, two 64-bit
+    hashes within hamming distance 3 share at least one of four 16-bit
+    chunks — so candidates come from four chunk-keyed groupbys (the same
+    banded-LSH shuffle shape as minhash, exact rather than probabilistic
+    for the distance bound), then a vectorized popcount verify.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    sigs = simhash_signatures(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for c in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "ck": pc.add(
+                            pc.multiply(
+                                pc.cast(batch.column(f"chunk{c}"), pa.int64()), 4
+                            ),
+                            c,
+                        ),
+                        "doc_id": batch.column("doc_id"),
+                        "simhash": batch.column("simhash"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    banded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch.column("ck").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array((_mix64(ck.astype(np.uint64)) % np.uint64(16)).astype(np.int64))
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__bucket"]).sort_by(
+            [("ck", "ascending"), ("doc_id", "ascending")]
+        )
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ck = t.column("ck").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        change = np.concatenate(([True], ck[1:] != ck[:-1]))
+        starts = np.flatnonzero(change)
+        seg_lens = np.diff(np.append(starts, n))
+        multi = seg_lens >= 2
+        if not multi.any():
+            return empty
+        a_list, b_list = [], []
+        for s0, ln in zip(starts[multi], seg_lens[multi]):
+            ai, bi = np.triu_indices(ln, k=1)
+            a_list.append(s0 + ai)
+            b_list.append(s0 + bi)
+        a_idx = np.concatenate(a_list)
+        b_idx = np.concatenate(b_list)
+        x = hs[a_idx] ^ hs[b_idx]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(ids[a_idx], ids[b_idx])[keep]),
+                "doc_b": pa.array(np.maximum(ids[a_idx], ids[b_idx])[keep]),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        banded.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair found via several chunks → dedupe (small bucket shuffle)
+    return grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [("min", "hamming", "hamming")]
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification (exact, for candidate pairs)
 # ---------------------------------------------------------------------------

@@ -265,3 +265,29 @@ def test_ivf_indexed_matches_inline(ray_session):
     # → identical candidate sets → identical top-k
     assert inline.column("vec_id").to_pylist() == indexed.column("vec_id").to_pylist()
     assert inline.column("sim").to_pylist() == indexed.column("sim").to_pylist()
+
+
+def test_simhash_pairs_find_planted_dups(ray_session, tmp_root):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 20
+    # one swapped word: hamming distance 2 (verified) — a true near-dup
+    texts = [base, base.replace("dog", "cat", 1), "unrelated words entirely different " * 8]
+    texts += [f"filler document number {i} with its very own words" for i in range(15)]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_root), "shdocs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    pairs = simhash_near_dup_pairs(d).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)).any()
+    assert (pairs["hamming"] <= 3).all()
