@@ -30,6 +30,7 @@ verbatim in every SQL oracle (never ROUND(x, d) on a compared float).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -399,26 +400,56 @@ def q21_sole_supplier_wait(sf_dir: str):
     COUNT(DISTINCT supplier) aggregate + a co-partitioned semi join of
     lineitem against the sole-supplier orders."""
     line = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    per_order = grouped_count_distinct(line, ["l_orderkey"], "l_suppkey", "n_supp")
-    sole = filter_batches(
-        per_order, lambda b: pc.equal(b.column("n_supp"), 1)
-    ).drop_columns(["n_supp"])
     urgent = read_table(
         sf_dir,
         "orders",
         columns=["o_orderkey", "o_orderpriority"],
         filter=(pads.field("o_orderpriority") == "1-URGENT"),
-    ).drop_columns(["o_orderpriority"])
-    cand = partitioned_join(
-        line, urgent, on=["l_orderkey"], right_on=["o_orderkey"],
-        join_type="left_semi", num_partitions=8,
     )
-    cand = partitioned_join(
-        cand, sole, on=["l_orderkey"], right_on=["l_orderkey"],
-        join_type="left_semi", num_partitions=8,
+    urgent = urgent.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "u": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # ONE cogroup does everything orderkey-local (all three predicates are
+    # functions of the join key): per order, distinct-supplier count,
+    # urgency flag, and line count — was 3 shuffles (count-distinct + two
+    # semi joins), now 1 + a tiny per-supplier refold
+    def fuse(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("l_suppkey", "count"), ("u", "max")]
+        )
+        # per-order distinct suppliers = rows per l_orderkey in gb
+        gb2 = gb.group_by(["l_orderkey"]).aggregate([("l_suppkey", "count")])
+        sole = gb2.filter(pc.equal(gb2.column("l_suppkey_count"), 1)).select(
+            ["l_orderkey"]
+        )
+        keep = gb.join(sole, keys=["l_orderkey"], join_type="left semi")
+        keep = keep.filter(pc.equal(keep.column("u_max"), 1))
+        return pa.table(
+            {
+                "l_suppkey": keep.column("l_suppkey"),
+                "n_lines": keep.column("l_suppkey_count"),
+            }
+        )
+
+    fused = partitioned_join(
+        line,
+        urgent,
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        join_type="left_outer",  # keep ALL lineitems: sole-ness uses every row
+        num_partitions=8,
+        post_fn=fuse,
     )
     per_supp = grouped_aggregate(
-        cand, ["l_suppkey"], [("count", "l_orderkey", "numwait")]
+        fused, ["l_suppkey"], [("sum", "n_lines", "numwait")]
     )
     top = topk(per_supp, ["numwait", "l_suppkey"], 10, descending=[True, False])
     supp = _small(sf_dir, "supplier", ["s_suppkey", "s_name"])
