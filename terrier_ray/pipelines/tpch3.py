@@ -36,7 +36,6 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from terrier_ray.ops.relational import (
-    grouped_count_distinct,
     topk,
     broadcast_join,
     distinct,
@@ -259,23 +258,32 @@ def q13_customer_distribution(sf_dir: str):
         "orders",
         columns=["o_custkey", "o_orderkey", "o_orderpriority"],
         filter=(pads.field("o_orderpriority") != "4-NOT SPECIFIED"),
-    )
-    counts = grouped_aggregate(
-        orders, ["o_custkey"], [("count", "o_orderkey", "c_count")]
-    )
+    ).drop_columns(["o_orderpriority"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
-    j = partitioned_join(
+
+    # join-aggregation fusion: per-customer order counts are join-key-local,
+    # so the cogroup's post_fn counts AND pre-folds the distribution inside
+    # each bucket — the separate orders aggregation shuffle disappears
+    def fuse(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["c_custkey"]).aggregate([("o_orderkey", "count")])
+        dist = gb.group_by(["o_orderkey_count"]).aggregate([("c_custkey", "count")])
+        return pa.table(
+            {
+                "c_count": dist.column("o_orderkey_count"),
+                "custdist_p": dist.column("c_custkey_count"),
+            }
+        )
+
+    partials = partitioned_join(
         cust,
-        counts,
+        orders,
         on=["c_custkey"],
         right_on=["o_custkey"],
         join_type="left_outer",
         num_partitions=8,
+        post_fn=fuse,
     )
-    j = with_columns(
-        j, {"c_count": lambda b: pc.fill_null(b.column("c_count"), 0)}
-    )
-    return grouped_aggregate(j, ["c_count"], [("count", "c_custkey", "custdist")])
+    return grouped_aggregate(partials, ["c_count"], [("sum", "custdist_p", "custdist")])
 
 
 def q15_top_supplier(sf_dir: str):
