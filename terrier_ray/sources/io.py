@@ -148,3 +148,65 @@ def read_range_pruned(out_dir: str, col: str, lo, hi, boundaries, **read_kwargs)
     expr = (pads_.field(col) >= lo) & (pads_.field(col) < hi)
     ds = rd.read_parquet(paths, filter=expr, **read_kwargs)
     return ds, len(keep), n_parts
+
+
+def read_orc_table(path: str):
+    """ORC scan: one Ray task per file decodes stripes straight to Arrow
+    (Ray 2.49 has no native ORC datasource; the path list fans out as a
+    Dataset and each map task emits its file's Table — batch-level, never
+    per-row)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    paths = (
+        sorted(_glob.glob(os.path.join(path, "*.orc")))
+        if os.path.isdir(path)
+        else [path]
+    )
+
+    def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as _orc
+
+        tabs = [_orc.read_table(p) for p in batch.column("p").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    ds = rd.from_arrow(pa.table({"p": pa.array(paths)})).repartition(len(paths))
+    return ds.map_batches(load, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_orc(ds, out_path: str) -> str:
+    """ORC sink: stream batches into one ORC file (interchange path, like
+    the Arrow IPC export; big data stays on the parquet sink)."""
+    import pyarrow.orc as _orc
+
+    batches = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    tab = pa.concat_tables(batches)
+    _orc.write_table(tab, out_path)
+    return out_path
+
+
+def write_sorted_parquet(
+    ds, out_dir: str, sort_col: str, row_group_rows: int = 4096
+):
+    """Cluster-by-key layout: globally sort by ``sort_col`` and write with
+    small row groups so every row group's min/max statistics span a narrow
+    key range — point/range scans then prune most row groups (the zone-map
+    companion to write_range_partitioned's file-level pruning)."""
+    import pyarrow.parquet as _pq
+
+    sorted_ds = ds.sort(sort_col)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "part-0.parquet")
+    writer = None
+    try:
+        # stream block-by-block in sorted order — the driver never holds
+        # more than one block
+        for b in sorted_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if writer is None:
+                writer = _pq.ParquetWriter(path, b.schema)
+            writer.write_table(b, row_group_size=row_group_rows)
+    finally:
+        if writer is not None:
+            writer.close()
+    return path

@@ -141,3 +141,43 @@ def test_range_partition_prune(ray_session, sf_smoke, tmp_root):
     want = src.to_pandas()
     want = want[(want["o_orderdate"] >= lo) & (want["o_orderdate"] < hi)]
     assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
+
+
+def test_orc_roundtrip(ray_session, sf_smoke, tmp_root):
+    import ray.data as rd
+
+    from terrier_ray.sources.io import read_orc_table, write_orc
+
+    src = pq.read_table(f"{sf_smoke}/nation.parquet")
+    p = os.path.join(str(tmp_root), "nation.orc")
+    write_orc(rd.from_arrow(src), p)
+    got = (
+        read_orc_table(p).to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    )
+    want = src.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    for c in want.columns:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+
+
+def test_sorted_parquet_rowgroup_pruning(ray_session, sf_smoke, tmp_root):
+    import ray.data as rd
+
+    from terrier_ray.sources.io import write_sorted_parquet
+
+    src = pq.read_table(f"{sf_smoke}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = os.path.join(str(tmp_root), "orders_sorted")
+    path = write_sorted_parquet(rd.from_arrow(src), out, "o_orderkey", row_group_rows=256)
+    md = pq.read_metadata(path)
+    assert md.num_row_groups >= 4
+    # row-group zone maps: key ranges must be narrow and non-overlapping
+    ranges = []
+    for i in range(md.num_row_groups):
+        col = md.row_group(i).column(0)
+        ranges.append((col.statistics.min, col.statistics.max))
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # sorted layout
+    # a point read prunes to one row group via the statistics
+    hit = [i for i, (lo, hi) in enumerate(ranges) if lo <= 42 <= hi]
+    assert len(hit) == 1
+    got = pq.read_table(path, filters=[("o_orderkey", "=", 42)])
+    assert got.num_rows == 1
