@@ -278,3 +278,53 @@ def test_grouped_topk_vs_pandas(ray_session):
     )
     assert (out["k"].values == want["k"].values).all()
     assert (out["v"].values == want["v"].values).all()
+
+
+def test_unpivot_null_and_type_promotion(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import unpivot
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "a": pa.array([10, None], type=pa.int64()),
+            "b": pa.array([None, 2.5], type=pa.float64()),
+        }
+    )
+    out = (
+        unpivot(rd.from_arrow(t), ["id"], ["a", "b"], "attr", "val")
+        .to_pandas()
+        .sort_values(["id", "attr"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert list(out["attr"]) == ["a", "b", "a", "b"]
+    # int64 + float64 promote; nulls survive
+    assert out["val"].isna().sum() == 2
+    assert out.loc[(out["id"] == 2) & (out["attr"] == "b"), "val"].iloc[0] == 2.5
+
+
+def test_bernoulli_sample_permil_bounds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.sample import bernoulli_sample
+
+    ds = rd.from_arrow(pa.table({"k": np.arange(2000, dtype=np.int64)}))
+    assert bernoulli_sample(ds, "k", 0).count() == 0  # permil=0 → nothing
+    assert bernoulli_sample(ds, "k", 1000).count() == 2000  # 1000 → all
+
+
+def test_grouping_sets_rejects_bad_set(ray_session):
+    import pyarrow as pa
+    import pytest as pt
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import grouping_sets_aggregate
+
+    ds = rd.from_arrow(pa.table({"a": [1], "b": [2], "v": [3]}))
+    with pt.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a"], [("sum", "v", "s")], [["b"]])
