@@ -72,3 +72,24 @@ def test_bloom_partial_merge_equals_single(ray_session):
     a.add(keys[:500])
     b.add(keys[500:])
     assert np.array_equal(single.bits, a.bits | b.bits)  # OR-mergeable
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session, sf_smoke):
+    """The bloom pre-filter must be invisible in the result: identical rows
+    to the plain EXISTS semi join (FPs removed by the exact join, no FNs)."""
+    from terrier_ray.pipelines.sampling import bloom_semi_join_urgent
+    from terrier_ray.pipelines.tpch import semi_join_urgent
+
+    a = (
+        bloom_semi_join_urgent(sf_smoke)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        semi_join_urgent(sf_smoke)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert (a["c_custkey"].values == b["c_custkey"].values).all()

@@ -204,3 +204,20 @@ def test_first_last_nth_vs_pandas(ray_session, keyed_df):
     assert (out["lv"].values == want["lv"].values).all()
     got_nv = out["nv"].astype("float64").values
     assert np.array_equal(got_nv, want["nv"].values, equal_nan=True)
+
+
+def test_window_desc_order_with_ties(ray_session, keyed_df):
+    out = _run(
+        keyed_df,
+        [("rank", None, "r"), ("row_number", None, "rn")],
+        ["ord"],
+        descending=True,
+    )
+    want_r = (
+        keyed_df.groupby("k")["ord"].rank(method="min", ascending=False).astype(np.int64)
+    )
+    assert (out["r"].values == want_r.values).all()
+    # row_number is a permutation of 1..group_size per key
+    g = out.assign(k=keyed_df["k"]).groupby("k")["rn"]
+    assert (g.max() == g.count()).all()
+    assert (g.min() == 1).all()
