@@ -296,3 +296,47 @@ def test_terms_in_range_vs_df_map(built_index, oracle):
     lo_hi = idx.terms_in_range(lo="m", hi="p")
     terms = lo_hi.column("term").to_pylist()
     assert terms and all("m" <= x < "p" for x in terms)
+
+
+def test_three_segment_incremental_ingest(ray_session, webtext_small, tmp_root):
+    """Three delta ingests, idempotent re-add, still exact vs monolithic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terrier_ray.datagen.webtext import generate_queries, url_doc_id
+    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.segments import add_segment, list_segments
+
+    src = sorted(f for f in os.listdir(webtext_small) if f.endswith(".parquet"))
+    tab = pq.read_table(os.path.join(webtext_small, src[0]))
+    side = url_doc_id(tab.column("url")) % 3
+    roots = os.path.join(str(tmp_root), "segments3")
+    parts = []
+    for i in range(3):
+        d = os.path.join(str(tmp_root), f"ingest_{i}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tab.filter(pa.array(side == i)), os.path.join(d, "webtext-000.parquet")
+        )
+        parts.append(d)
+    segs = [
+        add_segment(roots, p, num_pkeys=8, num_buckets=4, num_salts=3,
+                    heavy_min_df=20)
+        for p in parts
+    ]
+    # idempotent: re-adding an already-built segment is a no-op resume
+    assert add_segment(roots, parts[0], num_pkeys=8, num_buckets=4,
+                       num_salts=3, heavy_min_df=20) == segs[0]
+    assert list_segments(roots) == sorted(segs)
+
+    from terrier_ray.index.build import build_index
+
+    mono_dir = os.path.join(str(tmp_root), "mono3")
+    build_index(webtext_small, mono_dir, num_pkeys=8, num_buckets=4,
+                num_salts=3, heavy_min_df=20)
+    from terrier_ray.index.bm25 import BM25Index
+
+    mono = BM25Index(mono_dir)
+    seg = SegmentedBM25(segs)
+    for q in generate_queries(10).column("text").to_pylist():
+        assert seg.search(q, k=10) == mono.search(q, k=10), q
