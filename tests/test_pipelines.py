@@ -291,3 +291,70 @@ def test_simhash_pairs_find_planted_dups(ray_session, tmp_root):
     assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
     assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 2)).any()
     assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_near_dup_pairs_above_threshold(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs("/root/testdata/sf0.001", threshold=0.35).to_pandas()
+    assert len(out) > 0
+    assert (out["sim"] >= 0.35).all()
+    # verify a sample of reported pairs against brute-force cosine
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    for _, r in out.head(20).iterrows():
+        true = float(mn[pos[int(r["doc_a"])] if "doc_a" in out.columns else pos[int(r["vec_a"])]] @ mn[pos[int(r["vec_b"])]])
+        assert abs(true - r["sim"]) < 1e-3
+
+
+def test_fingerprints_whitespace_invariant(ray_session, tmp_root):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.textops import fingerprints
+
+    texts = ["hello   world", "hello world", "HELLO WORLD", "different text"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_root), "fpdocs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    fp = fingerprints(d).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1] == fp[2]  # whitespace + case normalized
+    assert fp[3] != fp[0]
+
+
+def test_ngram_jaccard_pairs_pipeline(ray_session, tmp_root):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    texts = [base, base + "iota", "completely different words here entirely " * 8]
+    texts += [f"filler doc {i} own content words" for i in range(10)]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_root), "njdocs")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).to_pandas()
+    hit = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert len(hit) == 1
+    assert hit["jaccard"].iloc[0] > 0.8  # one extra shingle in ~80
