@@ -358,3 +358,25 @@ def test_ngram_jaccard_pairs_pipeline(ray_session, tmp_root):
     hit = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
     assert len(hit) == 1
     assert hit["jaccard"].iloc[0] > 0.8  # one extra shingle in ~80
+
+
+def test_knn_lsh_subset_of_exact(ray_session, sf_smoke):
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.similarity import knn_cosine_lsh
+
+    got = knn_cosine_lsh(sf_smoke, query_vec_id=0, k=10).to_pandas()
+    assert len(got) > 0
+    # every reported similarity must equal the brute-force value (the LSH
+    # filter only restricts the CANDIDATE set, never distorts scores)
+    emb = pq.read_table(f"{sf_smoke}/embeddings.parquet")
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    m = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    q = m[ids == 0][0]
+    qn = q / np.linalg.norm(q)
+    sims = (m @ qn) / np.linalg.norm(m, axis=1)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    for _, r in got.iterrows():
+        assert abs(sims[pos[int(r["vec_id"])]] - r["sim"]) < 1e-3
+    # descending sim order
+    assert (got["sim"].values[:-1] >= got["sim"].values[1:]).all()
