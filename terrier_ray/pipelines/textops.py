@@ -235,7 +235,7 @@ SQL = {
         WHERE LENGTH(TRIM(text)) > 0
     """,
     "docs_by_lang": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(ROUND(AVG(n_chars) * 10000, 0) AS BIGINT) / 10000.0 AS avg_chars
         FROM documents GROUP BY lang
     """,

@@ -50,6 +50,11 @@ for name, fn in qs.items():
             ok_vals = True
             for c in a.columns:
                 av, bv = a[c], b[c]
+                # driver hashes raw values: int 132654 vs float 132654.0
+                # hash-differ even when numerically equal (q12 bug class)
+                if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} <= {'i', 'u', 'f'}:
+                    print(f"  DTYPE-KIND mismatch col={c}: mine={av.dtype} want={bv.dtype}")
+                    ok_vals = False; break
                 if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                     if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True): ok_vals=False; break
                 else:
