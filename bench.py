@@ -14,9 +14,38 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
+import threading
 import time
+
+
+def _install_stderr_filter() -> None:
+    """Drop known-noise Ray lines from fd 2 so real regressions stay visible.
+
+    The only filtered line is the per-actor-pool core_worker E-log about
+    constructor args in the object store (ray-project/ray#53727) — emitted
+    by the C++ layer for EVERY Ray Data actor-pool stage on this Ray
+    version, unconditionally, and not addressable from Python without
+    giving up actor restarts. Everything else passes through verbatim.
+    """
+    noise = re.compile(
+        r"has constructor arguments in the object store and max_restarts"
+    )
+    r, w = os.pipe()
+    orig = os.dup(2)
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump() -> None:
+        with os.fdopen(r, "r", errors="replace") as f:
+            for line in f:
+                if not noise.search(line):
+                    os.write(orig, line.encode("utf-8", "replace"))
+
+    threading.Thread(target=pump, daemon=True).start()
+
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -271,7 +300,10 @@ def run_scaling() -> None:
 
 
 if __name__ == "__main__":
+    _install_stderr_filter()
     if "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))
+        sys.stderr.flush()
+        time.sleep(0.3)  # let the filter thread drain forwarded worker logs

@@ -74,12 +74,15 @@ def read_table(
     inputs don't shatter into overhead-dominated shuffle tasks."""
     import ray.data as rd
 
+    from terrier_ray.sources.io import hashable_schema
+
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     return rd.read_parquet(
         path,
         columns=list(columns) if columns else None,
         filter=filter,
         override_num_blocks=_read_blocks_for(path),
+        schema=hashable_schema(path, columns),
     )
 
 

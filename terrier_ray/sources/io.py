@@ -23,6 +23,33 @@ import pyarrow as pa
 import pyarrow.ipc as pa_ipc
 
 
+def hashable_schema(path: str, columns=None) -> "pa.Schema | None":
+    """Metadata-stripped (and column-pruned) schema for a parquet path.
+
+    Pandas-written parquet carries a ``b'pandas'`` schema-metadata blob that
+    makes ``pa.Schema`` unhashable on this pyarrow build; Ray Data's block
+    unify then logs a per-task warning storm ("Failed to hash the schemas").
+    Passing an explicit stripped ``schema=`` to ``read_parquet`` restores
+    schema hashability (and the early-exit fast path in unify_schemas).
+    Returns None when no parquet footer can be found.
+    """
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        found = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        if not found:
+            return None
+        p = found[0]
+    try:
+        full = pq.read_schema(p).remove_metadata()
+    except Exception:
+        return None
+    if columns:
+        return pa.schema([full.field(c) for c in columns])
+    return full
+
+
 def read_csv_table(path: str, **arrow_csv_kwargs):
     """CSVScan: ray.data.read_csv (Arrow CSV reader under the hood)."""
     import ray.data as rd
