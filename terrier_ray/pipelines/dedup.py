@@ -68,9 +68,14 @@ def exact_dedup(sf_dir: str):
     """Exact dedup: (min doc_id, copy count) per distinct text.
 
     Hash-partitioned: the shuffle key is a 63-bit content hash, never the
-    text itself, so only 16 bytes/row move through the exchange.
+    text itself, so only 16 bytes/row move through the exchange.  The
+    grouping key is ~one-distinct-per-row, the exact cardinality regime
+    where Ray's native sort-shuffle groupby degrades (cost grows with NDV,
+    measured ~22x in MICROBENCH.json) — so route through grouped_aggregate's
+    bucket shuffle: hash(__h) % P int key, one vectorized Arrow group_by per
+    bucket.
     """
-    from ray.data.aggregate import Count, Min
+    from terrier_ray.ops.relational import grouped_aggregate
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -81,8 +86,10 @@ def exact_dedup(sf_dir: str):
         )
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    out = hashed.groupby("__h").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    out = grouped_aggregate(
+        hashed,
+        ["__h"],
+        [("min", "doc_id", "doc_id"), ("count", "doc_id", "n_copies")],
     )
     return out.drop_columns(["__h"])
 

@@ -202,6 +202,29 @@ def main() -> None:
             timed(lambda: rd.from_arrow(t).sort("v").materialize(), args.repeat),
         )
 
+        # exact-dedup shape: min+count grouped on a ~one-distinct-per-row
+        # hash key — the high-NDV regime where the native sort-shuffle
+        # groupby cost grows with cardinality while the bucket path doesn't
+        th = t.append_column(
+            "h", pa.array(np.random.default_rng(3).permutation(n))
+        )
+        ds_h = rd.from_arrow(th)
+        for variant in ("bucket", "ray"):
+            record(
+                f"exact_dedup_{variant}",
+                n,
+                {"n_keys": n},
+                timed(
+                    lambda v=variant: grouped_aggregate(
+                        ds_h,
+                        ["h"],
+                        [("min", "w", "mn"), ("count", "w", "c")],
+                        shuffle=v,
+                    ).count(),
+                    args.repeat,
+                ),
+            )
+
     print(json.dumps(out))
     ray.shutdown()
 
