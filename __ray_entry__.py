@@ -120,10 +120,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
     """
+    # the DOUBLE[] casts make DuckDB compute the cosine in float64 like the
+    # engine (bare list_cosine_similarity over list<float> runs in float32,
+    # a ~1e-7 relative divergence that can flip the 4-decimal rounding)
     sql["knn_cosine"] = """
         SELECT e2.vec_id AS vec_id,
-               CAST(ROUND(CAST(list_cosine_similarity(e1.embedding, e2.embedding)
-                               AS DOUBLE) * 10000, 0) AS BIGINT) / 10000.0 AS sim
+               CAST(ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                 CAST(e2.embedding AS DOUBLE[]))
+                          * 10000, 0) AS BIGINT) / 10000.0 AS sim
         FROM embeddings e1, embeddings e2
         WHERE e1.vec_id = 0 AND e2.vec_id <> 0
         ORDER BY sim DESC, vec_id

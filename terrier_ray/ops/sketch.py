@@ -79,7 +79,9 @@ def hll_estimate(registers: np.ndarray, p: int = 12) -> float:
     return float(est)
 
 
-def mg_heavy_hitters(ds, col: str, k: int = 10, capacity_factor: int = 64):
+def mg_heavy_hitters(
+    ds, col: str, k: int = 10, capacity_factor: int = 64, weight_col: str | None = None
+):
     """Approximate top-k frequent values (Misra–Gries style, mergeable).
 
     Reference analog: the reserved AGGREGATE_TOP_K ANALYZE statistic
@@ -92,6 +94,11 @@ def mg_heavy_hitters(ds, col: str, k: int = 10, capacity_factor: int = 64):
     capacity_factor) survives every truncation, so sufficiently-heavy
     hitters are EXACT; returned ``count`` is always a lower bound.
 
+    With ``weight_col``, input rows are (value, weight) PARTIAL counts (an
+    upstream stage already counted within its batch) and the local summary
+    sums weights instead of counting rows — same guarantee, applied to the
+    weighted totals.
+
     Returns a pa.Table (value, count) of the k heaviest, count descending.
     """
     from terrier_ray.ops.relational import grouped_aggregate, topk
@@ -99,7 +106,14 @@ def mg_heavy_hitters(ds, col: str, k: int = 10, capacity_factor: int = 64):
     cap = k * capacity_factor
 
     def local(batch: pa.Table) -> pa.Table:
-        vc = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        if weight_col is None:
+            vc = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        else:
+            vc = (
+                batch.select([col, weight_col])
+                .group_by([col])
+                .aggregate([(weight_col, "sum")])
+            )
         vc = vc.rename_columns([col, "__c"])
         if vc.num_rows > cap:
             vc = vc.sort_by([("__c", "descending")]).slice(0, cap)

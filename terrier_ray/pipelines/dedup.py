@@ -50,18 +50,29 @@ def heavy_hitter_terms(sf_dir: str):
     sketch's home turf: the head terms dominate every batch, so the top-k is
     exact in practice (guarantee: count > n_tokens/(k*capacity_factor))."""
     from terrier_ray.ops.sketch import mg_heavy_hitters
-    from terrier_ray.text.tokenize import TOKEN_RE
 
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(TOKEN_RE.findall(t.lower()))
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        """Vectorized tokenize + count: Arrow regex split (same [a-z0-9]+
+        token rule as text.tokenize.TOKEN_RE, expressed as a split on the
+        complement) then ONE group_by per batch — the exchange moves one
+        (token, count) partial per distinct token per batch, never one row
+        per token occurrence, and no Python-level token list is built."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pa.table({"token": flat}).group_by(["token"]).aggregate([([], "count_all")])
+        return vc.rename_columns(["token", "cnt"])
 
-    tokens = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    return mg_heavy_hitters(tokens, "token", k=10, capacity_factor=64)
+    partials = docs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mg_heavy_hitters(partials, "token", k=10, capacity_factor=64, weight_col="cnt")
 
 
 def exact_dedup(sf_dir: str):
@@ -402,6 +413,9 @@ class SimHasher:
     """64-bit simhash over whitespace tokens; emits hash + 4 16-bit chunks
     (near-dup candidates share at least one chunk at hamming distance <=3)."""
 
+    #: token-hash memo bound (vocabulary grows without limit at corpus scale)
+    TOK_CACHE_CAP = 1 << 20
+
     def __init__(self):
         pass
 
@@ -427,6 +441,10 @@ class SimHasher:
         cache = getattr(self, "_tok_cache", None)
         if cache is None:
             cache = self._tok_cache = {}
+        elif len(cache) > self.TOK_CACHE_CAP:
+            # bounded actor-lifetime memory: the Zipf head re-enters the
+            # memo within a batch or two, so a full reset is cheap
+            cache.clear()
         toks_per = [t.lower().split() for t in texts]
         lens = np.array([len(t) for t in toks_per], dtype=np.int64)
         hs = np.zeros(len(texts), dtype=np.uint64)  # empty doc → 0 (as before)

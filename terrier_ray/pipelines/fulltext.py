@@ -168,7 +168,7 @@ def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 2
     # extraction touches k·queries docs, not the corpus)
     from terrier_ray.extract.html import HtmlExtractor
 
-    ds = rd.read_parquet(web, columns=["url", "html", "text"])
+    ds = rd.read_parquet(web, columns=["url", "warc_ts", "html", "text"])
     extractor = HtmlExtractor()
 
     def fetch(batch: pa.Table) -> pa.Table:
@@ -177,16 +177,26 @@ def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 2
         d = pa.array(url_doc_id(batch.column("url")).astype(np.int64))
         batch = batch.append_column("docid", d)
         batch = batch.filter(pc_.is_in(d, value_set=need_arr))
-        return extractor(batch).drop_columns(["url"])
+        return extractor(batch)
 
     texts_tbl = pa.concat_tables(
         ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # ~2% of webtext urls are duplicated with DIFFERENT content; the index
+    # kept exactly one row per docid (max (warc_ts, dl, token-hash) — see
+    # build._dedup_group).  Apply the identical rule here so the snippet is
+    # cut from the text the index actually scored (a last-write-wins dict
+    # over unordered Ray blocks can pick the wrong duplicate).
+    from terrier_ray.index.build import _dedup_group
+    from terrier_ray.text.tokenize import Tokenizer
+
+    tok = Tokenizer()(texts_tbl)  # row-aligned with texts_tbl
+    winners = _dedup_group(tok.append_column("text", texts_tbl.column("text")))
     text_of = dict(
         zip(
-            texts_tbl.column("docid").to_pylist(),
-            texts_tbl.column("text").to_pylist(),
+            winners.column("docid").to_pylist(),
+            winners.column("text").to_pylist(),
         )
     )
 

@@ -16,11 +16,41 @@ from terrier_ray.ops.relational import grouped_aggregate, read_table, rescale_ro
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column.
+
+    Zero-copy path: fixed-width lists with no nulls expose their flat values
+    buffer directly — ``values.to_numpy().reshape`` touches no Python objects
+    (the 1e9-vector hot path; the old ``to_pylist`` built a Python list per
+    row).  The float32→float64 widening is the only copy.
+    """
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    lists = arr.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0:
+        offs = arr.offsets.to_numpy()
+        widths = np.diff(offs)
+        if (widths == widths[0]).all() and widths[0] > 0:
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                vals[offs[0] : offs[-1]]
+                .reshape(n, int(widths[0]))
+                .astype(np.float64, copy=False)
+            )
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _sq_dists_to(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances via the ‖a‖²−2a·b+‖b‖² expansion —
+    one matmul, O(n·k) memory (the broadcast (n, k, dim) temp is the thing
+    that OOMs at scale)."""
+    return (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
 
 
 def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
@@ -35,8 +65,8 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     emb = pq.read_table(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qmask = np.asarray(emb.column("vec_id").to_pylist()) == query_vec_id
-    q = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[qmask][0]
+    qmask = emb.column("vec_id").to_numpy() == query_vec_id
+    q = _batch_matrix(emb)[qmask][0]
     qn = q / np.linalg.norm(q)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -87,8 +117,8 @@ def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: in
     emb = pq.read_table(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids_all = np.asarray(emb.column("vec_id").to_pylist())
-    m_all = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ids_all = emb.column("vec_id").to_numpy()
+    m_all = _batch_matrix(emb)
     q = m_all[ids_all == query_vec_id][0]
     dim = m_all.shape[1]
     lsh = HyperplaneLSH(dim, n_planes)
@@ -122,8 +152,7 @@ def _kmeans(m: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> np.ndarray
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
     for _ in range(iters):
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists_to(m, cent).argmin(axis=1)
         for j in range(len(cent)):
             sel = m[assign == j]
             if len(sel):
@@ -147,13 +176,13 @@ def knn_cosine_ivf(
     emb = pq.read_table(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids_all = np.asarray(emb.column("vec_id").to_pylist())
-    m_all = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ids_all = emb.column("vec_id").to_numpy()
+    m_all = _batch_matrix(emb)
     q = m_all[ids_all == query_vec_id][0]
     # train on a bounded sample (all rows here; sample at scale)
     cent = _kmeans(m_all[: min(len(m_all), 10_000)], nlist)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
-    probe = set(np.argsort(qd)[:nprobe].tolist())
+    probe = np.sort(np.argsort(qd)[:nprobe])
     qn = q / np.linalg.norm(q)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -161,9 +190,8 @@ def knn_cosine_ivf(
     def score(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = _batch_matrix(batch)
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        cell = d.argmin(axis=1)
-        keep = np.isin(cell, list(probe)) & (ids != query_vec_id)
+        cell = _sq_dists_to(m, cent).argmin(axis=1)
+        keep = np.isin(cell, probe) & (ids != query_vec_id)
         m = m[keep]
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
@@ -261,40 +289,48 @@ def build_ivf_index(
     (map_batches), and write one parquet partition per cell plus the
     centroid matrix — after this one-time build, a query reads ONLY its
     ``nprobe`` cell files (the posting-bucket pattern applied to vectors).
-    Idempotent per (sf_dir, nlist) via a meta manifest."""
+    Idempotent per (sf_dir, nlist, input file size/mtime) via a meta
+    manifest written LAST; a stale or partial build (missing manifest or
+    fingerprint mismatch) is removed wholesale before rebuilding — the
+    index/build.py epoch pattern, so a crashed write can never leave
+    duplicate part files and regenerated input can never silently reuse a
+    stale index."""
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     out_dir = out_dir or os.path.join(
         "/tmp/terrier_ray_ivf", os.path.basename(sf_dir.rstrip("/")) + f"-{nlist}"
     )
     meta_path = os.path.join(out_dir, "_meta.json")
-    meta = {"sf_dir": sf_dir, "nlist": nlist, "v": 1}
+    st = os.stat(src)
+    meta = {
+        "sf_dir": sf_dir,
+        "nlist": nlist,
+        "v": 2,
+        "src_bytes": st.st_size,
+        "src_mtime_ns": st.st_mtime_ns,
+    }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
                 return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
-    emb = pq.read_table(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["embedding"]
-    )
-    sample = np.asarray(
-        emb.column("embedding").to_pylist()[:sample_rows], dtype=np.float64
-    )
+    emb = pq.read_table(src, columns=["embedding"])
+    sample = _batch_matrix(emb.slice(0, sample_rows))
     cent = _kmeans(sample, nlist)
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = _batch_matrix(batch)
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column(
-            "cell", pa.array(d.argmin(axis=1).astype(np.int32))
-        )
+        cell = _sq_dists_to(_batch_matrix(batch), cent).argmin(axis=1)
+        return batch.append_column("cell", pa.array(cell.astype(np.int32)))
 
     ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         out_dir, partition_cols=["cell"]
@@ -321,10 +357,8 @@ def knn_cosine_ivf_indexed(
     emb = pq.read_table(
         f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids_all = np.asarray(emb.column("vec_id").to_pylist())
-    q = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[
-        ids_all == query_vec_id
-    ][0]
+    ids_all = emb.column("vec_id").to_numpy()
+    q = _batch_matrix(emb)[ids_all == query_vec_id][0]
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(qd)[:nprobe].tolist()
     qn = q / np.linalg.norm(q)

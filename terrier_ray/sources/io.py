@@ -172,6 +172,15 @@ def read_range_pruned(out_dir: str, col: str, lo, hi, boundaries, **read_kwargs)
             glob.glob(os.path.join(out_dir, f"__range_part={part}", "*.parquet"))
         )
     ]
+    if not paths:
+        # every partition in [lo, hi) got zero rows at write time (no
+        # directory exists) — read_parquet([]) raises, so synthesize an
+        # empty dataset with the layout's schema instead
+        any_part = sorted(
+            glob.glob(os.path.join(out_dir, "__range_part=*", "*.parquet"))
+        )
+        schema = hashable_schema(any_part[0]) if any_part else pa.schema([])
+        return rd.from_arrow(schema.empty_table()), 0, n_parts
     expr = (pads_.field(col) >= lo) & (pads_.field(col) < hi)
     ds = rd.read_parquet(paths, filter=expr, **read_kwargs)
     return ds, len(keep), n_parts
