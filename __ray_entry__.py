@@ -46,6 +46,27 @@ def entry() -> Any:
     return bm25_topk("/root/testdata/sf0.001", k=10, num_queries=20)
 
 
+#: oracled queries ALSO executed from their SQL strings through the SQL
+#: front-end (terrier_ray/sql: parse → lower → rewrite → build).  Each
+#: ``sql_<name>`` entry runs the IDENTICAL string the oracle runs, so the
+#: driver compares the front-end end-to-end against DuckDB.
+_SQL_FRONTEND = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q12_priority_counts",
+    "q14_promo_revenue", "q16_supplier_cnt", "q19_disjunctive_revenue",
+    "top10_orders", "distinct_segments", "count_distinct_segments",
+    "string_functions", "like_filter", "date_functions", "date_functions3",
+    "events_hourly", "events_type_pivot", "case_expression",
+    "nation_balance_stats", "lineitem_global_stats", "cube_order_stats",
+    "rollup_order_stats", "spec_big_orders_by_nation",
+    "sample_bernoulli_customers", "sample_fixed_orders",
+    "cross_join_mismatched", "price_histogram", "cast_functions",
+    "in_between_filter", "trig_functions", "null_handling", "limit_offset",
+    "docs_by_lang", "exact_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     q.update(tpch.QUERIES)
@@ -99,6 +120,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_features"] = lambda sf_dir: media_features(200)
     q["media_resized"] = lambda sf_dir: media_resized(200)
     q["media_frames"] = lambda sf_dir: media_frames(200)
+
+    from terrier_ray.sql import sql as _sql
+
+    base_sql = oracle_sql()
+    for name in _SQL_FRONTEND:
+        q[f"sql_{name}"] = (
+            lambda sf_dir, s=base_sql[name]: _sql(s, sf_dir)
+        )
     return q
 
 
@@ -137,4 +166,6 @@ def oracle_sql() -> dict[str, str]:
     # simhash_signatures, knn_cosine_lsh, embedding_near_dup_pairs,
     # quality_scores, lang_id, fingerprints, bm25_topk, index_corpus_stats,
     # media_features → rows-only checks.
+    for name in _SQL_FRONTEND:
+        sql[f"sql_{name}"] = sql[name]
     return sql

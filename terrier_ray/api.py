@@ -54,13 +54,26 @@ from terrier_ray.ops.relational import (
 from terrier_ray.ops.window import windowed
 
 
+def _lit_value(e: Mapping[str, Any]):
+    v = e["lit"]
+    if e.get("type") == "timestamp":
+        import datetime as dt
+
+        return pa.scalar(dt.datetime.fromisoformat(v), type=pa.timestamp("us"))
+    return v
+
+
 def _compile_expr(e: Mapping[str, Any]):
-    """EXPR tree → fn(pa.Table) -> pa.Array, resolving pc kernels by name."""
+    """EXPR tree → fn(pa.Table) -> pa.Array, resolving pc kernels by name.
+
+    Literals may carry ``"type": "timestamp"`` (ISO string → pa.scalar).
+    The ``is_in`` kernel takes its value list via the ``__value_set``
+    option (JSON-able; compiled to a pa.array once)."""
     if "col" in e:
         name = e["col"]
         return lambda b: b.column(name)
     if "lit" in e:
-        v = e["lit"]
+        v = _lit_value(e)
         return lambda b: v
     if "fn" in e:
         fn_name = e["fn"]
@@ -68,15 +81,90 @@ def _compile_expr(e: Mapping[str, Any]):
             raise ValueError(f"unknown pyarrow.compute kernel {fn_name!r}")
         kernel = getattr(pc, fn_name)
         arg_fns = [_compile_expr(a) for a in e.get("args", [])]
-        opts = e.get("options", {})
+        opts = dict(e.get("options", {}))
+        if "__value_set" in opts:
+            opts["value_set"] = pa.array(opts.pop("__value_set"))
         return lambda b: kernel(*(f(b) for f in arg_fns), **opts)
     raise ValueError(f"bad expr node: {e!r}")
+
+
+#: filter-tree nodes pushable into a parquet scan (see rewrite.pushdown)
+_PUSH_CMP = {
+    "equal": "==",
+    "not_equal": "!=",
+    "less": "<",
+    "less_equal": "<=",
+    "greater": ">",
+    "greater_equal": ">=",
+}
+
+
+def compile_scan_filter(e: Mapping[str, Any]):
+    """EXPR tree (pushable subset) → pyarrow.dataset Expression, or None.
+
+    Pushable: comparisons of a column vs a literal, ``is_in``,
+    ``is_null``/``is_valid``, and AND/OR combinations thereof.  Returns
+    None when any node falls outside that subset (caller keeps the filter
+    as a batch op instead)."""
+    import pyarrow.dataset as pads
+
+    def walk(n: Mapping[str, Any]):
+        if "fn" not in n:
+            return None
+        fn = n["fn"]
+        args = n.get("args", [])
+        if fn in ("and_kleene", "and_"):
+            l, r = walk(args[0]), walk(args[1])
+            return (l & r) if l is not None and r is not None else None
+        if fn in ("or_kleene", "or_"):
+            l, r = walk(args[0]), walk(args[1])
+            return (l | r) if l is not None and r is not None else None
+        if fn in _PUSH_CMP and len(args) == 2:
+            a, b = args
+            if "col" in a and "lit" in b:
+                f, v = pads.field(a["col"]), _lit_value(b)
+            elif "lit" in a and "col" in b:
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                op = _PUSH_CMP[fn]
+                op = flip.get(op, op)
+                f, v = pads.field(b["col"]), _lit_value(a)
+                return _apply_cmp(f, op, v)
+            else:
+                return None
+            return _apply_cmp(f, _PUSH_CMP[fn], v)
+        if fn == "is_in" and "col" in args[0]:
+            return pads.field(args[0]["col"]).isin(
+                list(n.get("options", {}).get("__value_set", []))
+            )
+        if fn == "is_null" and "col" in args[0]:
+            return pads.field(args[0]["col"]).is_null()
+        if fn == "is_valid" and "col" in args[0]:
+            return ~pads.field(args[0]["col"]).is_null()
+        return None
+
+    return walk(e)
+
+
+def _apply_cmp(f, op: str, v):
+    return {
+        "==": lambda: f == v,
+        "!=": lambda: f != v,
+        "<": lambda: f < v,
+        "<=": lambda: f <= v,
+        ">": lambda: f > v,
+        ">=": lambda: f >= v,
+    }[op]()
 
 
 def build(spec: Mapping[str, Any], sf_dir: str):
     """Interpret ``spec`` into a (lazy) ``ray.data.Dataset``."""
     scan = spec["scan"]
-    ds = read_table(sf_dir, scan["table"], columns=scan.get("columns"))
+    scan_filter = (
+        compile_scan_filter(scan["filter"]) if scan.get("filter") else None
+    )
+    ds = read_table(
+        sf_dir, scan["table"], columns=scan.get("columns"), filter=scan_filter
+    )
     for op in spec.get("ops", []):
         kind = op["op"]
         if kind == "filter":
@@ -86,19 +174,41 @@ def build(spec: Mapping[str, Any], sf_dir: str):
             ds = with_columns(ds, {op["alias"]: _compile_expr(op["expr"])})
         elif kind == "project":
             ds = project(ds, op["columns"])
+        elif kind == "rename":
+            mapping = dict(op["map"])
+
+            def _rename(batch: pa.Table, m=mapping) -> pa.Table:
+                return batch.rename_columns(
+                    [m.get(c, c) for c in batch.column_names]
+                )
+
+            ds = ds.map_batches(
+                _rename, batch_format="pyarrow", zero_copy_batch=True
+            )
         elif kind == "join":
             right_spec = op["right"]
             how = op.get("how", "inner")
             if op.get("broadcast"):
-                import pyarrow.parquet as pq
+                import pyarrow.dataset as pads
 
                 rscan = right_spec["scan"]
-                if right_spec.get("ops"):
+                rops = right_spec.get("ops", [])
+                if any(o["op"] != "rename" for o in rops):
                     raise ValueError("broadcast right side must be a bare scan")
-                small = pq.read_table(
-                    f"{sf_dir.rstrip('/')}/{rscan['table']}.parquet",
+                small = pads.dataset(
+                    f"{sf_dir.rstrip('/')}/{rscan['table']}.parquet"
+                ).to_table(
                     columns=rscan.get("columns"),
+                    filter=(
+                        compile_scan_filter(rscan["filter"])
+                        if rscan.get("filter")
+                        else None
+                    ),
                 )
+                for o in rops:
+                    small = small.rename_columns(
+                        [o["map"].get(c, c) for c in small.column_names]
+                    )
                 arrow_how = {"inner": "inner", "left_outer": "left outer"}[how]
                 ds = broadcast_join(
                     ds, small, keys=op["on"],
@@ -113,6 +223,30 @@ def build(spec: Mapping[str, Any], sf_dir: str):
                     join_type=how,
                     num_partitions=op.get("num_partitions", 16),
                 )
+        elif kind == "cross_join":
+            import pyarrow.dataset as pads
+
+            from terrier_ray.ops.relational import cross_join
+
+            rscan = op["right"]["scan"]
+            rops = op["right"].get("ops", [])
+            if any(o["op"] != "rename" for o in rops):
+                raise ValueError("cross_join right side must be a bare scan")
+            small = pads.dataset(
+                f"{sf_dir.rstrip('/')}/{rscan['table']}.parquet"
+            ).to_table(
+                columns=rscan.get("columns"),
+                filter=(
+                    compile_scan_filter(rscan["filter"])
+                    if rscan.get("filter")
+                    else None
+                ),
+            )
+            for o in rops:
+                small = small.rename_columns(
+                    [o["map"].get(c, c) for c in small.column_names]
+                )
+            ds = cross_join(ds, small)
         elif kind == "group_agg":
             ds = grouped_aggregate(
                 ds, op["keys"], [tuple(a) for a in op["aggs"]]
@@ -145,12 +279,47 @@ def build(spec: Mapping[str, Any], sf_dir: str):
                 op.get("name_col", "name"),
                 op.get("value_col", "value"),
             )
-        elif kind == "rollup":
-            from terrier_ray.ops.relational import rollup_aggregate
+        elif kind in ("rollup", "cube"):
+            import ray.data as rd
 
-            ds = rollup_aggregate(
-                ds, op["keys"], [tuple(a) for a in op["aggs"]]
+            from terrier_ray.ops.relational import (
+                cube_aggregate,
+                rollup_aggregate,
             )
+
+            fn = rollup_aggregate if kind == "rollup" else cube_aggregate
+            out = fn(ds, op["keys"], [tuple(a) for a in op["aggs"]])
+            # grouping-sets refolds finish as a bounded-small arrow table
+            ds = rd.from_arrow(out) if isinstance(out, pa.Table) else out
+        elif kind == "global_agg":
+            import ray.data as rd
+
+            from terrier_ray.ops.relational import global_aggregate
+
+            ds = rd.from_arrow(
+                global_aggregate(ds, [tuple(a) for a in op["aggs"]])
+            )
+        elif kind == "distinct":
+            from terrier_ray.ops.relational import distinct as _distinct
+
+            ds = _distinct(ds, op["columns"])
+        elif kind == "limit":
+            # LIMIT n OFFSET m over the (already ordered) stream: the
+            # surviving n+m rows are bounded-small by construction, so the
+            # offset slice runs driver-side on an arrow table
+            import ray.data as rd
+
+            n, off = op["n"], op.get("offset", 0)
+            head = ds.limit(n + off)
+            tabs = list(
+                head.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            tab = (
+                pa.concat_tables(tabs)
+                if tabs
+                else pa.table({})
+            )
+            ds = rd.from_arrow(tab.slice(off, n))
         else:
             raise ValueError(f"unknown op {kind!r}")
     return ds

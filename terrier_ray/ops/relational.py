@@ -112,6 +112,10 @@ def with_columns(ds, builders: dict[str, Callable[[pa.Table], pa.Array]]):
     def apply(batch: pa.Table) -> pa.Table:
         for name, fn in builders.items():
             col = fn(batch)
+            if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                # scalar result (literal expr / pc scalar kernel): broadcast
+                v = col.as_py() if isinstance(col, pa.Scalar) else col
+                col = pa.array([v] * batch.num_rows)
             if name in batch.column_names:
                 batch = batch.set_column(
                     batch.column_names.index(name), name, col
@@ -176,6 +180,31 @@ def _get_broadcast(ref):
             _BCAST.pop(next(iter(_BCAST)))
         _BCAST[key] = ray.get(ref)
     return _BCAST[key]
+
+
+def cross_join(ds, small: pa.Table):
+    """NestLoop/cross product with a broadcast right side.
+
+    Reference analog: the nested-loop join plan node
+    (src/include/planner/plannodes/nested_loop_join_plan_node.h).  The
+    right table is ``ray.put`` once; every batch emits |batch| × |small|
+    rows — callers filter immediately after, and the right side must be
+    dimension-sized (the SQL lowering only reaches this for comma-FROM
+    tables with no equi condition)."""
+    import ray
+
+    ref = ray.put(small)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        right = _get_broadcast(ref)
+        n, r = batch.num_rows, right.num_rows
+        out = batch.take(pa.array(np.repeat(np.arange(n), r)))
+        ridx = pa.array(np.tile(np.arange(r), n))
+        for name in right.column_names:
+            out = out.append_column(name, right.column(name).take(ridx))
+        return out
+
+    return ds.map_batches(cross, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def partitioned_join(

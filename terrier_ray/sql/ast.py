@@ -1,0 +1,140 @@
+"""SQL AST node types (SELECT subset).
+
+Reference analog: the parser's expression/statement node hierarchy —
+/root/reference/src/include/parser/select_statement.h:20-120 and
+parser/expression_defs.h (ExpressionType).  Ours is a deliberately small,
+plain-dataclass tree: just enough SELECT to lower onto the spec API
+(terrier_ray/api.py) — projection, FROM/JOIN, WHERE, GROUP BY/HAVING,
+ORDER BY, LIMIT/OFFSET, scalar + aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+class Expr:
+    """Marker base for expression nodes."""
+
+
+@dataclass(frozen=True)
+class Col(Expr):
+    name: str
+    table: Optional[str] = None  # qualifier as written (alias or table)
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: Any
+    type: Optional[str] = None  # None | "timestamp" | "date" | "interval"
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    pass
+
+
+@dataclass(frozen=True)
+class BinOp(Expr):
+    op: str  # + - * / % = <> < <= > >= and or
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Unary(Expr):
+    op: str  # not | neg
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class Fn(Expr):
+    name: str  # canonical UPPERCASE SQL function name
+    args: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class Agg(Expr):
+    func: str  # sum | count | min | max | avg
+    arg: Optional[Expr]  # None for COUNT(*)
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    whens: tuple[tuple[Expr, Expr], ...]
+    default: Optional[Expr]
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    operand: Expr
+    to: str  # canonical UPPERCASE type name
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    operand: Expr
+    values: tuple[Expr, ...]  # literals
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Expr):
+    operand: Expr
+    lo: Expr
+    hi: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class TableRef:
+    table: str
+    alias: Optional[str] = None
+
+
+@dataclass
+class JoinClause:
+    table: TableRef
+    kind: str  # inner | left_outer | right_outer | full_outer
+    on: Optional[Expr]  # None only for comma-style FROM entries
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    descending: bool = False
+
+
+@dataclass
+class Select:
+    items: list[SelectItem] = field(default_factory=list)
+    distinct: bool = False
+    from_table: Optional[TableRef] = None
+    joins: list[JoinClause] = field(default_factory=list)
+    where: Optional[Expr] = None
+    group_by: list[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None

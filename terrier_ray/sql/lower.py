@@ -1,0 +1,829 @@
+"""Bind + lower a parsed SELECT onto the declarative spec API.
+
+Reference analog: binder::BindNodeVisitor + the query-to-operator
+transformer (/root/reference/src/include/binder/bind_node_visitor.h:38,
+src/optimizer/query_to_operator_transformer.cpp) — names are resolved
+against a catalog (parquet footers here), aggregates are split out of
+scalar expressions, and the statement becomes a linear operator spec that
+``terrier_ray.api.build`` executes.  The emitted spec is deliberately NAIVE
+(full-column scans, filters after joins, all joins partitioned):
+``terrier_ray.sql.rewrite.optimize`` is the optimizer pass that pushes
+filters/projections into scans and picks join strategies, mirroring the
+reference's rewrite rules (src/include/optimizer/rule.h:16-79).
+
+Value-semantics contract: every lowering choice mirrors DuckDB semantics so
+driver value-hashes match — ``/`` is float64 division, ROUND uses
+half-towards-infinity (ops/relational.ROUND_MODE), CAST(float AS BIGINT)
+rounds (DuckDB) rather than truncates (C), SUM over integers is widened to
+float64 exactly as DuckDB's HUGEINT lands in pandas, and AND/OR are Kleene.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import pyarrow as pa
+
+from terrier_ray.ops.relational import ROUND_MODE
+from terrier_ray.sql.ast import (
+    Agg,
+    Between,
+    BinOp,
+    Case,
+    Cast,
+    Col,
+    Expr,
+    Fn,
+    InList,
+    IsNull,
+    JoinClause,
+    Like,
+    Lit,
+    OrderItem,
+    Select,
+    SelectItem,
+    Star,
+    Unary,
+)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+
+class Catalog:
+    """Table → pa.Schema, from the sf_dir parquet footers (cached)."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self._schemas: dict[str, pa.Schema] = {}
+
+    def schema(self, table: str) -> pa.Schema:
+        if table not in self._schemas:
+            from terrier_ray.sources.io import hashable_schema
+
+            s = hashable_schema(f"{self.sf_dir.rstrip('/')}/{table}.parquet")
+            if s is None:
+                raise ValueError(f"unknown table {table!r}")
+            self._schemas[table] = s
+        return self._schemas[table]
+
+    def columns(self, table: str) -> list[str]:
+        return list(self.schema(table).names)
+
+
+class Binder:
+    """Resolves column names against the FROM entries (aliases honored).
+
+    A table appearing more than once (self-join: ``nation n1 JOIN nation
+    n2``) gets its columns disambiguated under PHYSICAL names
+    ``{alias}__{column}`` — the statement lowering inserts a ``rename`` op
+    after that entry's scan, so the physical name exists in the pipeline.
+    """
+
+    def __init__(self, catalog: Catalog, tables: list[tuple[str, Optional[str]]]):
+        self.catalog = catalog
+        self.tables = tables  # (table, alias) in FROM order
+        self.by_alias = {a or t: t for t, a in tables}
+        counts: dict[str, int] = {}
+        for t, _a in tables:
+            counts[t] = counts.get(t, 0) + 1
+        self.dup_tables = {t for t, n in counts.items() if n > 1}
+        self.col_owner: dict[str, str] = {}  # unqualified col → entry alias
+        ambiguous: set[str] = set()
+        for t, a in tables:
+            entry = a or t
+            for c in catalog.columns(t):
+                if c in self.col_owner and self.col_owner[c] != entry:
+                    ambiguous.add(c)
+                self.col_owner.setdefault(c, entry)
+        self.ambiguous = ambiguous
+
+    def resolve(self, col: Col) -> tuple[str, str]:
+        """→ (entry alias, column)."""
+        if col.table is not None:
+            t = self.by_alias.get(col.table)
+            if t is None:
+                raise ValueError(f"unknown table qualifier {col.table!r}")
+            if col.name not in self.catalog.columns(t):
+                raise ValueError(f"no column {col.name!r} in {t}")
+            return col.table, col.name
+        if col.name in self.ambiguous:
+            raise ValueError(f"ambiguous column {col.name!r}")
+        entry = self.col_owner.get(col.name)
+        if entry is None:
+            raise ValueError(f"unknown column {col.name!r}")
+        return entry, col.name
+
+    def physical(self, col: Col) -> str:
+        """Post-scan column name (``alias__col`` for duplicated tables)."""
+        entry, name = self.resolve(col)
+        if self.by_alias[entry] in self.dup_tables:
+            return f"{entry}__{name}"
+        return name
+
+    def rename_map(self, entry: str) -> Optional[dict[str, str]]:
+        """Scan-time rename for a duplicated table's entry, else None."""
+        t = self.by_alias[entry]
+        if t not in self.dup_tables:
+            return None
+        return {c: f"{entry}__{c}" for c in self.catalog.columns(t)}
+
+    def type_of(self, col: Col) -> pa.DataType:
+        entry, c = self.resolve(col)
+        return self.catalog.schema(self.by_alias[entry]).field(c).type
+
+
+# ---------------------------------------------------------------------------
+# type inference (just enough to mirror DuckDB result kinds)
+# ---------------------------------------------------------------------------
+
+_INT_FNS = {"YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "LENGTH",
+            "ASCII", "MILLISECOND", "MICROSECOND"}
+_FLOAT_FNS = {"ROUND", "SQRT", "LN", "LOG", "LOG10", "LOG2", "EXP", "SIN",
+              "COS", "TAN", "COT", "ASIN", "ACOS", "ATAN", "ATAN2", "ABS",
+              "FLOOR", "CEIL", "CEILING", "TRUNC", "SIGN", "POWER"}
+_STR_FNS = {"UPPER", "LOWER", "SUBSTR", "SUBSTRING", "CONCAT", "TRIM", "LTRIM",
+            "RTRIM", "REPLACE", "LPAD", "RPAD", "REVERSE", "LEFT", "RIGHT"}
+_TS_FNS = {"DATE_TRUNC"}
+
+_CAST_KIND = {
+    "BIGINT": "int", "INT": "int", "INTEGER": "int", "SMALLINT": "int",
+    "TINYINT": "int", "HUGEINT": "int",
+    "DOUBLE": "float", "FLOAT": "float", "REAL": "float", "DECIMAL": "float",
+    "VARCHAR": "str", "TEXT": "str", "STRING": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "BOOLEAN": "bool",
+}
+
+
+def _kind_of_pa(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    return "other"
+
+
+def infer_kind(e: Expr, binder: Binder) -> str:
+    """'int' | 'float' | 'str' | 'ts' | 'date' | 'bool' | 'other'."""
+    if isinstance(e, Col):
+        return _kind_of_pa(binder.type_of(e))
+    if isinstance(e, Lit):
+        if e.type == "timestamp":
+            return "ts"
+        if e.type == "date":
+            return "date"
+        if isinstance(e.value, bool):
+            return "bool"
+        if isinstance(e.value, int):
+            return "int"
+        if isinstance(e.value, float):
+            return "float"
+        if isinstance(e.value, str):
+            return "str"
+        return "other"
+    if isinstance(e, BinOp):
+        if e.op in ("and", "or", "=", "<>", "<", "<=", ">", ">="):
+            return "bool"
+        if e.op == "/":
+            return "float"
+        lk, rk = infer_kind(e.left, binder), infer_kind(e.right, binder)
+        if "float" in (lk, rk):
+            return "float"
+        if lk == rk == "int":
+            return "int"
+        return "float" if {"int"} & {lk, rk} else lk
+    if isinstance(e, Unary):
+        return "bool" if e.op == "not" else infer_kind(e.operand, binder)
+    if isinstance(e, Fn):
+        if e.name in _INT_FNS:
+            return "int"
+        if e.name in _FLOAT_FNS:
+            return infer_kind(e.args[0], binder) if e.name == "ABS" else "float"
+        if e.name in _STR_FNS:
+            return "str"
+        if e.name in _TS_FNS:
+            return "ts"
+        return "other"
+    if isinstance(e, Agg):
+        if e.func == "count":
+            return "int"
+        ak = infer_kind(e.arg, binder)
+        if e.func == "avg":
+            return "float"
+        if e.func == "sum":
+            # DuckDB SUM(int)→HUGEINT→float64 in pandas; lowering widens
+            return "float" if ak == "int" else ak
+        return ak
+    if isinstance(e, Case):
+        return infer_kind(e.whens[0][1], binder)
+    if isinstance(e, Cast):
+        return _CAST_KIND.get(e.to, "other")
+    if isinstance(e, (Like, InList, Between, IsNull)):
+        return "bool"
+    return "other"
+
+
+# ---------------------------------------------------------------------------
+# expression lowering → spec EXPR JSON (pyarrow.compute kernel trees)
+# ---------------------------------------------------------------------------
+
+_CMP_KERNEL = {
+    "=": "equal", "<>": "not_equal", "<": "less", "<=": "less_equal",
+    ">": "greater", ">=": "greater_equal",
+}
+
+_ARITH_KERNEL = {"+": "add", "-": "subtract", "*": "multiply"}
+
+
+def _lit_json(lit: Lit) -> Mapping[str, Any]:
+    if lit.type in ("timestamp", "date"):
+        return {"lit": lit.value, "type": "timestamp"}
+    return {"lit": lit.value}
+
+
+class _Lowerer:
+    """Expression → spec-EXPR JSON; Agg nodes become refs to agg columns.
+
+    Column refs lower to their AST names directly: the statement lowering
+    rebinds any join-dropped right key column (partitioned/broadcast joins
+    coalesce right keys under the left key name) with a zero-copy
+    ``compute`` op right after the join, so every logical name physically
+    exists downstream.
+    """
+
+    def __init__(
+        self,
+        binder: Binder,
+        agg_refs: Optional[dict[Agg, str]] = None,
+    ):
+        self.binder = binder
+        self.agg_refs = agg_refs or {}
+
+    def lower(self, e: Expr) -> Mapping[str, Any]:
+        if isinstance(e, Agg):
+            name = self.agg_refs.get(e)
+            if name is None:
+                raise ValueError("aggregate in unexpected position")
+            ref: Mapping[str, Any] = {"col": name}
+            # engine SUM(int) is int64; DuckDB's HUGEINT lands in pandas as
+            # float64 — widen so driver value-hashes agree (q12 bug class)
+            if e.func == "sum" and infer_kind(e.arg, self.binder) == "int":
+                ref = {"fn": "cast", "args": [ref],
+                       "options": {"target_type": "float64"}}
+            return ref
+        if isinstance(e, Col):
+            return {"col": self.binder.physical(e)}
+        if isinstance(e, Lit):
+            return _lit_json(e)
+        if isinstance(e, BinOp):
+            l, r = self.lower(e.left), self.lower(e.right)
+            if e.op in ("and", "or"):
+                return {"fn": f"{e.op}_kleene", "args": [l, r]}
+            if e.op in _CMP_KERNEL:
+                return {"fn": _CMP_KERNEL[e.op], "args": [l, r]}
+            if e.op in _ARITH_KERNEL:
+                return {"fn": _ARITH_KERNEL[e.op], "args": [l, r]}
+            if e.op == "/":
+                # DuckDB '/' is float64 division even on integers
+                return {"fn": "divide", "args": [
+                    {"fn": "cast", "args": [l], "options": {"target_type": "float64"}},
+                    {"fn": "cast", "args": [r], "options": {"target_type": "float64"}},
+                ]}
+            if e.op == "%":
+                # no pc modulo kernel on this build: x - (x // y) * y with
+                # Arrow integer divide (truncates toward zero, like DuckDB %)
+                if infer_kind(e.left, self.binder) != "int" or \
+                        infer_kind(e.right, self.binder) != "int":
+                    raise ValueError("MOD lowering supports integers only")
+                return {"fn": "subtract", "args": [
+                    l,
+                    {"fn": "multiply",
+                     "args": [{"fn": "divide", "args": [l, r]}, r]},
+                ]}
+            raise ValueError(f"unknown operator {e.op!r}")
+        if isinstance(e, Unary):
+            if e.op == "not":
+                return {"fn": "invert", "args": [self.lower(e.operand)]}
+            return {"fn": "negate", "args": [self.lower(e.operand)]}
+        if isinstance(e, Like):
+            if not isinstance(e.pattern, Lit) or not isinstance(e.pattern.value, str):
+                raise ValueError("LIKE pattern must be a string literal")
+            node = {"fn": "match_like", "args": [self.lower(e.operand)],
+                    "options": {"pattern": e.pattern.value}}
+            return {"fn": "invert", "args": [node]} if e.negated else node
+        if isinstance(e, InList):
+            vals = []
+            for v in e.values:
+                if not isinstance(v, Lit):
+                    raise ValueError("IN list must be literals")
+                vals.append(v.value)
+            node = {"fn": "is_in", "args": [self.lower(e.operand)],
+                    "options": {"__value_set": vals}}
+            return {"fn": "invert", "args": [node]} if e.negated else node
+        if isinstance(e, Between):
+            lo = {"fn": "greater_equal",
+                  "args": [self.lower(e.operand), self.lower(e.lo)]}
+            hi = {"fn": "less_equal",
+                  "args": [self.lower(e.operand), self.lower(e.hi)]}
+            node = {"fn": "and_kleene", "args": [lo, hi]}
+            return {"fn": "invert", "args": [node]} if e.negated else node
+        if isinstance(e, IsNull):
+            node = {"fn": "is_null", "args": [self.lower(e.operand)]}
+            return {"fn": "invert", "args": [node]} if e.negated else node
+        if isinstance(e, Case):
+            # right-fold into nested if_else
+            default: Mapping[str, Any] = (
+                self.lower(e.default) if e.default is not None else {"lit": None}
+            )
+            out = default
+            for cond, val in reversed(e.whens):
+                out = {"fn": "if_else",
+                       "args": [self.lower(cond), self.lower(val), out]}
+            return out
+        if isinstance(e, Cast):
+            return self._lower_cast(e)
+        if isinstance(e, Fn):
+            return self._lower_fn(e)
+        raise ValueError(f"cannot lower {e!r}")
+
+    def _lower_cast(self, e: Cast) -> Mapping[str, Any]:
+        kind = _CAST_KIND.get(e.to)
+        inner = self.lower(e.operand)
+        src = infer_kind(e.operand, self.binder)
+        if kind == "int":
+            if src == "float":
+                # DuckDB CAST(float AS BIGINT) rounds to nearest (ties away
+                # from zero); pc.cast truncates — round first
+                inner = {"fn": "round", "args": [inner],
+                         "options": {"ndigits": 0, "round_mode": ROUND_MODE}}
+            return {"fn": "cast", "args": [inner],
+                    "options": {"target_type": "int64"}}
+        if kind == "float":
+            return {"fn": "cast", "args": [inner],
+                    "options": {"target_type": "float64"}}
+        if kind == "str":
+            if src == "float":
+                raise ValueError(
+                    "CAST(float AS VARCHAR) unsupported (engine/DuckDB "
+                    "format divergence)"
+                )
+            return {"fn": "cast", "args": [inner],
+                    "options": {"target_type": "string"}}
+        if kind == "ts":
+            return {"fn": "cast", "args": [inner],
+                    "options": {"target_type": "timestamp[us]"}}
+        raise ValueError(f"unsupported CAST target {e.to!r}")
+
+    def _lower_fn(self, e: Fn) -> Mapping[str, Any]:
+        name, args = e.name, e.args
+        la = [self.lower(a) for a in args]
+        if name in ("UPPER", "LOWER"):
+            return {"fn": f"utf8_{name.lower()}", "args": la}
+        if name == "LENGTH":
+            return {"fn": "cast",
+                    "args": [{"fn": "utf8_length", "args": la}],
+                    "options": {"target_type": "int64"}}
+        if name in ("SUBSTR", "SUBSTRING"):
+            if len(args) != 3 or not isinstance(args[1], Lit) or not isinstance(args[2], Lit):
+                raise ValueError("SUBSTR needs literal start/length")
+            start = int(args[1].value) - 1
+            stop = start + int(args[2].value)
+            return {"fn": "utf8_slice_codeunits", "args": la[:1],
+                    "options": {"start": start, "stop": stop}}
+        if name == "CONCAT":
+            return {"fn": "binary_join_element_wise",
+                    "args": la + [{"lit": ""}],
+                    "options": {"null_handling": "replace",
+                                "null_replacement": ""}}
+        if name in ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"):
+            return {"fn": "cast",
+                    "args": [{"fn": name.lower(), "args": la}],
+                    "options": {"target_type": "int64"}}
+        if name == "DATE_TRUNC":
+            if not isinstance(args[0], Lit):
+                raise ValueError("DATE_TRUNC unit must be a literal")
+            return {"fn": "floor_temporal", "args": la[1:],
+                    "options": {"unit": str(args[0].value).lower()}}
+        if name == "ROUND":
+            nd = 0
+            if len(args) == 2:
+                if not isinstance(args[1], Lit):
+                    raise ValueError("ROUND ndigits must be a literal")
+                nd = int(args[1].value)
+            return {"fn": "round", "args": la[:1],
+                    "options": {"ndigits": nd, "round_mode": ROUND_MODE}}
+        if name == "ABS":
+            return {"fn": "abs", "args": la}
+        _DIRECT = {
+            "SIN": "sin", "COS": "cos", "TAN": "tan", "ASIN": "asin",
+            "ACOS": "acos", "ATAN": "atan", "ATAN2": "atan2", "EXP": "exp",
+            "LN": "ln", "LOG10": "log10", "LOG2": "log2", "SQRT": "sqrt",
+            "FLOOR": "floor", "CEIL": "ceil", "CEILING": "ceil",
+            "TRUNC": "trunc", "SIGN": "sign", "POWER": "power",
+            "TRIM": "utf8_trim_whitespace", "LTRIM": "utf8_ltrim_whitespace",
+            "RTRIM": "utf8_rtrim_whitespace", "REVERSE": "utf8_reverse",
+        }
+        if name in _DIRECT:
+            return {"fn": _DIRECT[name], "args": la}
+        if name == "COT":
+            return {"fn": "divide", "args": [{"lit": 1.0},
+                                             {"fn": "tan", "args": la}]}
+        if name in ("MILLISECOND", "MICROSECOND"):
+            # DuckDB's part fns are Postgres-composite: sec*1000+ms (+us)
+            def part(kernel: str) -> Mapping[str, Any]:
+                return {"fn": "cast",
+                        "args": [{"fn": kernel, "args": la}],
+                        "options": {"target_type": "int64"}}
+
+            ms = {"fn": "add", "args": [
+                {"fn": "multiply", "args": [part("second"), {"lit": 1000}]},
+                part("millisecond")]}
+            if name == "MILLISECOND":
+                return ms
+            return {"fn": "add", "args": [
+                {"fn": "multiply", "args": [ms, {"lit": 1000}]},
+                part("microsecond")]}
+        if name == "COALESCE":
+            return {"fn": "coalesce", "args": la}
+        if name == "NULLIF":
+            eq = {"fn": "equal", "args": la}
+            return {"fn": "if_else", "args": [eq, {"lit": None}, la[0]]}
+        raise ValueError(f"unsupported function {name}()")
+
+
+# ---------------------------------------------------------------------------
+# statement lowering → spec
+# ---------------------------------------------------------------------------
+
+
+def _conjuncts(e: Optional[Expr]) -> list[Expr]:
+    if e is None:
+        return []
+    if isinstance(e, BinOp) and e.op == "and":
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
+def _collect_aggs(e: Expr, out: list[Agg]) -> None:
+    if isinstance(e, Agg):
+        if e not in out:
+            out.append(e)
+        return
+    if isinstance(e, BinOp):
+        _collect_aggs(e.left, out)
+        _collect_aggs(e.right, out)
+    elif isinstance(e, Unary):
+        _collect_aggs(e.operand, out)
+    elif isinstance(e, Fn):
+        for a in e.args:
+            _collect_aggs(a, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _collect_aggs(c, out)
+            _collect_aggs(v, out)
+        if e.default is not None:
+            _collect_aggs(e.default, out)
+    elif isinstance(e, Cast):
+        _collect_aggs(e.operand, out)
+    elif isinstance(e, (Like, IsNull)):
+        _collect_aggs(e.operand, out)
+    elif isinstance(e, Between):
+        _collect_aggs(e.operand, out)
+        _collect_aggs(e.lo, out)
+        _collect_aggs(e.hi, out)
+    elif isinstance(e, InList):
+        _collect_aggs(e.operand, out)
+
+
+def _cols_in(e: Expr, out: set[str]) -> None:
+    if isinstance(e, Col):
+        out.add(e.name)
+    elif isinstance(e, BinOp):
+        _cols_in(e.left, out)
+        _cols_in(e.right, out)
+    elif isinstance(e, Unary):
+        _cols_in(e.operand, out)
+    elif isinstance(e, Fn):
+        for a in e.args:
+            _cols_in(a, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _cols_in(c, out)
+            _cols_in(v, out)
+        if e.default is not None:
+            _cols_in(e.default, out)
+    elif isinstance(e, Cast):
+        _cols_in(e.operand, out)
+    elif isinstance(e, (Like, IsNull)):
+        _cols_in(e.operand, out)
+    elif isinstance(e, Between):
+        _cols_in(e.operand, out)
+        _cols_in(e.lo, out)
+        _cols_in(e.hi, out)
+    elif isinstance(e, InList):
+        _cols_in(e.operand, out)
+    elif isinstance(e, Agg):
+        if e.arg is not None:
+            _cols_in(e.arg, out)
+
+
+def lower(sel: Select, catalog: Catalog) -> Mapping[str, Any]:
+    """Select AST → NAIVE spec (run ``rewrite.optimize`` before building)."""
+    if sel.from_table is None:
+        raise ValueError("SELECT without FROM is not supported")
+
+    tables: list[tuple[str, Optional[str]]] = [
+        (sel.from_table.table, sel.from_table.alias)
+    ] + [(j.table.table, j.table.alias) for j in sel.joins]
+    binder = Binder(catalog, tables)
+    lo = _Lowerer(binder)
+
+    # ---- join planning (all names PHYSICAL: alias__col for self-joins) ----
+    where_conj = _conjuncts(sel.where)
+    used_in_join: set[int] = set()
+    ops: list[dict[str, Any]] = []
+
+    root_entry = tables[0][1] or tables[0][0]
+    root_rename = binder.rename_map(root_entry)
+    if root_rename:
+        ops.append({"op": "rename", "map": root_rename})
+    joined_cols: set[str] = {
+        root_rename.get(c, c) if root_rename else c
+        for c in catalog.columns(tables[0][0])
+    }
+
+    def equi_sides(c: Expr, right_cols: set[str]) -> Optional[tuple[str, str]]:
+        """c is `a = b` joining right table to the joined-so-far set?"""
+        if not (isinstance(c, BinOp) and c.op == "="
+                and isinstance(c.left, Col) and isinstance(c.right, Col)):
+            return None
+        l, r = binder.physical(c.left), binder.physical(c.right)
+        if l in joined_cols and r in right_cols:
+            return l, r
+        if r in joined_cols and l in right_cols:
+            return r, l
+        return None
+
+    for j in sel.joins:
+        entry = j.table.alias or j.table.table
+        rename = binder.rename_map(entry)
+        right_cols = {
+            rename.get(c, c) if rename else c
+            for c in catalog.columns(j.table.table)
+        }
+        on_pairs: list[tuple[str, str]] = []
+        if j.on is not None:
+            for c in _conjuncts(j.on):
+                pair = equi_sides(c, right_cols)
+                if pair is None:
+                    raise ValueError(f"unsupported join condition: {c!r}")
+                on_pairs.append(pair)
+        else:  # comma-style FROM: pull equi conjuncts out of WHERE
+            for i, c in enumerate(where_conj):
+                if i in used_in_join:
+                    continue
+                pair = equi_sides(c, right_cols)
+                if pair is not None:
+                    on_pairs.append(pair)
+                    used_in_join.add(i)
+        right_spec: dict[str, Any] = {"scan": {"table": j.table.table}}
+        if rename:
+            right_spec["ops"] = [{"op": "rename", "map": rename}]
+        if not on_pairs:
+            if j.on is not None:
+                raise ValueError(
+                    f"unsupported join condition for table {j.table.table}"
+                )
+            # comma-FROM with no equi conjunct: cross product (broadcast
+            # right side; the residual WHERE filters it right after)
+            ops.append({"op": "cross_join", "right": right_spec})
+            joined_cols |= right_cols
+            continue
+        ops.append({
+            "op": "join",
+            "right": right_spec,
+            "on": [p[0] for p in on_pairs],
+            "right_on": [p[1] for p in on_pairs],
+            "how": j.kind,
+        })
+        # joins coalesce the right key under the left key's name; rebind the
+        # dropped right name (zero-copy column ref) so later expressions that
+        # reference it keep resolving
+        for lcol, rcol in on_pairs:
+            if rcol != lcol:
+                ops.append({"op": "compute", "alias": rcol,
+                            "expr": {"col": lcol}})
+        joined_cols |= right_cols
+
+    # ---- residual WHERE ----------------------------------------------------
+    for i, c in enumerate(where_conj):
+        if i in used_in_join:
+            continue
+        ops.append({"op": "filter", "expr": lo.lower(c)})
+
+    # ---- SELECT * ----------------------------------------------------------
+    if len(sel.items) == 1 and isinstance(sel.items[0].expr, Star):
+        if sel.joins or sel.group_by or sel.distinct:
+            raise ValueError("SELECT * only supported over a single table")
+        out_cols = catalog.columns(tables[0][0])
+        spec = {"scan": {"table": tables[0][0]}, "ops": ops}
+        _append_order_limit(spec, sel, out_cols, {}, lo)
+        return spec
+
+    alias_expr: dict[str, Expr] = {}
+    for it in sel.items:
+        if it.alias:
+            alias_expr[it.alias] = it.expr
+
+    def deref_alias(e: Expr) -> Expr:
+        """ORDER/GROUP BY may reference select aliases by name."""
+        if isinstance(e, Col) and e.table is None and e.name in alias_expr \
+                and e.name not in binder.col_owner:
+            return alias_expr[e.name]
+        return e
+
+    has_aggs = bool(sel.group_by)
+    all_aggs: list[Agg] = []
+    for it in sel.items:
+        _collect_aggs(it.expr, all_aggs)
+    if sel.having is not None:
+        _collect_aggs(sel.having, all_aggs)
+    for oi in sel.order_by:
+        _collect_aggs(deref_alias(oi.expr), all_aggs)
+    has_aggs = has_aggs or bool(all_aggs)
+
+    out_cols: list[str] = []
+    for it in sel.items:
+        if it.alias:
+            out_cols.append(it.alias)
+        elif isinstance(it.expr, Col):
+            out_cols.append(it.expr.name)
+        else:
+            raise ValueError("computed select item requires an alias")
+
+    if has_aggs:
+        # GROUP BY CUBE(...) / ROLLUP(...) parse as function calls
+        group_mode = "group"
+        gb_exprs = list(sel.group_by)
+        if len(gb_exprs) == 1 and isinstance(gb_exprs[0], Fn) \
+                and gb_exprs[0].name in ("CUBE", "ROLLUP"):
+            group_mode = gb_exprs[0].name.lower()
+            gb_exprs = list(gb_exprs[0].args)
+
+        # group keys: plain column | select alias | expression
+        key_names: list[str] = []
+        for gi, g in enumerate(gb_exprs):
+            g = deref_alias(g)
+            if isinstance(g, Col) and binder.physical(g) == g.name:
+                key_names.append(g.name)
+                continue
+            # computed key: name it after the select alias that carries the
+            # same expression, else a synthetic name
+            name = None
+            for it in sel.items:
+                if it.alias and deref_alias(it.expr) == g:
+                    name = it.alias
+                    break
+            name = name or f"__g{gi}"
+            ops.append({"op": "compute", "alias": name, "expr": lo.lower(g)})
+            key_names.append(name)
+
+        # aggregate inputs + specs
+        agg_refs: dict[Agg, str] = {}
+        agg_specs: list[list[str]] = []
+        _AGG_OP = {"sum": "sum", "count": "count", "min": "min",
+                   "max": "max", "avg": "mean"}
+        if any(a.distinct for a in all_aggs):
+            # AGG(DISTINCT col): dedup (keys, col) first, then aggregate —
+            # the reference's DistinctAggregationFilter
+            # (src/include/execution/sql/aggregators.h) as a two-level
+            # bucket-shuffle plan
+            if len(all_aggs) != 1 or group_mode != "group":
+                raise ValueError(
+                    "DISTINCT aggregate cannot mix with other aggregates"
+                )
+            a = all_aggs[0]
+            if not isinstance(a.arg, Col):
+                raise ValueError("DISTINCT aggregate argument must be a column")
+            phys = binder.physical(a.arg)
+            name = "__agg0"
+            agg_refs[a] = name
+            ops.append({"op": "distinct", "columns": key_names + [phys]})
+            agg_specs.append([_AGG_OP[a.func], phys, name])
+        else:
+            need_one = False
+            for ai, a in enumerate(all_aggs):
+                name = f"__agg{ai}"
+                agg_refs[a] = name
+                if a.arg is None:  # COUNT(*)
+                    need_one = True
+                    agg_specs.append(["count", "__one", name])
+                    continue
+                op = _AGG_OP[a.func]
+                if isinstance(a.arg, Col):
+                    agg_specs.append([op, binder.physical(a.arg), name])
+                else:
+                    tmp = f"__a{ai}"
+                    ops.append({"op": "compute", "alias": tmp,
+                                "expr": lo.lower(a.arg)})
+                    agg_specs.append([op, tmp, name])
+            if need_one:
+                ops.append(
+                    {"op": "compute", "alias": "__one", "expr": {"lit": 1}}
+                )
+
+        if key_names:
+            kind = {"group": "group_agg", "cube": "cube",
+                    "rollup": "rollup"}[group_mode]
+            ops.append({"op": kind, "keys": key_names, "aggs": agg_specs})
+        else:
+            ops.append({"op": "global_agg", "aggs": agg_specs})
+
+        # post-aggregation scalar expressions
+        post = _Lowerer(binder, agg_refs)
+        final_lower = post
+        for it, out_name in zip(sel.items, out_cols):
+            e = deref_alias(it.expr)
+            if isinstance(e, Col) and binder.physical(e) == e.name \
+                    and e.name in key_names:
+                continue  # key passthrough
+            if e in [deref_alias(g) for g in gb_exprs] and out_name in key_names:
+                continue  # computed key passthrough under its alias
+            ops.append({"op": "compute", "alias": out_name,
+                        "expr": post.lower(e)})
+        if sel.having is not None:
+            ops.append({"op": "filter", "expr": post.lower(sel.having)})
+    else:
+        final_lower = lo
+        for it, out_name in zip(sel.items, out_cols):
+            if isinstance(it.expr, Col) and \
+                    binder.physical(it.expr) == out_name:
+                continue
+            ops.append({"op": "compute", "alias": out_name,
+                        "expr": lo.lower(it.expr)})
+
+    if sel.distinct:
+        ops.append({"op": "distinct", "columns": out_cols})
+
+    spec = {"scan": {"table": tables[0][0]}, "ops": ops}
+    _append_order_limit(spec, sel, out_cols, alias_expr, final_lower)
+    spec["ops"].append({"op": "project", "columns": out_cols})
+    return spec
+
+
+def _append_order_limit(
+    spec: dict[str, Any],
+    sel: Select,
+    out_cols: list[str],
+    alias_expr: dict[str, Expr],
+    lowerer: Optional[_Lowerer] = None,
+) -> None:
+    ops = spec["ops"]
+    if sel.order_by:
+        keys, desc = [], []
+        for ki, oi in enumerate(sel.order_by):
+            e = oi.expr
+            if isinstance(e, Col) and (e.name in out_cols or e.name in alias_expr):
+                keys.append(e.name)
+            elif isinstance(e, Col):
+                # sortable pre-projection column (physical name)
+                keys.append(
+                    lowerer.binder.physical(e) if lowerer else e.name
+                )
+            else:
+                # expression: reuse the select alias carrying it, else sort
+                # by a hidden computed column (dropped by the final project)
+                name = None
+                for a, ae in alias_expr.items():
+                    if ae == e:
+                        name = a
+                        break
+                if name is None:
+                    if lowerer is None:
+                        raise ValueError(
+                            "ORDER BY expression must appear in SELECT"
+                        )
+                    name = f"__ord{ki}"
+                    ops.append({"op": "compute", "alias": name,
+                                "expr": lowerer.lower(e)})
+                keys.append(name)
+            desc.append(oi.descending)
+        sort_op: dict[str, Any] = {"op": "sort", "keys": keys,
+                                   "descending": desc}
+        if sel.limit is not None and not sel.offset:
+            sort_op["limit"] = sel.limit
+            ops.append(sort_op)
+            return
+        ops.append(sort_op)
+    if sel.limit is not None:
+        ops.append({"op": "limit", "n": sel.limit, "offset": sel.offset or 0})

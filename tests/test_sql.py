@@ -1,0 +1,277 @@
+"""terrier_ray.sql — parser, lowering, rewrite pass, end-to-end vs DuckDB.
+
+Reference analog of what's under test: postgresparser.cpp → binder →
+optimizer rewrite rules (src/include/optimizer/rule.h:16-79) → execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from terrier_ray.sql import Catalog, lower, optimize, parse, plan, sql
+from terrier_ray.sql.ast import Agg, BinOp, Col, Lit
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_precedence_and_aliases():
+    sel = parse(
+        "SELECT a + b * 2 AS x FROM t WHERE a = 1 AND b < 2 OR c = 3"
+    )
+    x = sel.items[0]
+    assert x.alias == "x"
+    assert isinstance(x.expr, BinOp) and x.expr.op == "+"
+    assert isinstance(x.expr.right, BinOp) and x.expr.right.op == "*"
+    w = sel.where
+    assert w.op == "or" and w.left.op == "and"
+
+
+def test_parse_join_kinds_and_clauses():
+    sel = parse(
+        """SELECT n_name, COUNT(*) AS n FROM nation
+           LEFT OUTER JOIN customer ON c_nationkey = n_nationkey
+           WHERE n_name LIKE 'A%' GROUP BY n_name
+           HAVING COUNT(*) > 2 ORDER BY n DESC LIMIT 5 OFFSET 1"""
+    )
+    assert sel.joins[0].kind == "left_outer"
+    assert sel.group_by == [Col("n_name")]
+    assert isinstance(sel.having.left, Agg)
+    assert sel.order_by[0].descending and sel.limit == 5 and sel.offset == 1
+
+
+def test_parse_case_cast_in_between():
+    sel = parse(
+        """SELECT CASE WHEN a IN (1, 2) THEN 'x' ELSE 'y' END AS k,
+                  CAST(b AS BIGINT) AS bb
+           FROM t WHERE c BETWEEN 1 AND 10 AND d IS NOT NULL"""
+    )
+    assert sel.items[0].alias == "k" and sel.items[1].alias == "bb"
+
+
+def test_parse_typed_literals_and_count_distinct():
+    sel = parse(
+        "SELECT COUNT(DISTINCT x) AS n FROM t "
+        "WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'"
+    )
+    agg = sel.items[0].expr
+    assert agg.distinct and agg.func == "count"
+    assert sel.where.right == Lit("1997-01-01 00:00:00", "timestamp")
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(SyntaxError):
+        parse("SELECT FROM WHERE")
+    with pytest.raises(SyntaxError):
+        parse("SELECT a FROM t extra tokens here ,")
+
+
+# ---------------------------------------------------------------------------
+# lowering (no Ray needed — spec JSON shape)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(sf_smoke):
+    return Catalog(sf_smoke)
+
+
+def test_lower_sum_int_widens_to_float64(catalog):
+    # DuckDB SUM(int) → HUGEINT → pandas float64; the engine's int64 sum
+    # must be widened or the driver value-hash diverges (q12 bug class)
+    spec = lower(
+        parse("SELECT o_orderpriority, SUM(o_custkey) AS s "
+              "FROM orders GROUP BY o_orderpriority"),
+        catalog,
+    )
+    computes = [o for o in spec["ops"] if o["op"] == "compute"
+                and o.get("alias") == "s"]
+    assert computes and computes[0]["expr"]["fn"] == "cast"
+    assert computes[0]["expr"]["options"]["target_type"] == "float64"
+
+
+def test_lower_join_rebinds_right_key(catalog):
+    spec = lower(
+        parse("SELECT o_orderkey FROM lineitem "
+              "JOIN orders ON l_orderkey = o_orderkey LIMIT 5"),
+        catalog,
+    )
+    join = next(o for o in spec["ops"] if o["op"] == "join")
+    assert join["on"] == ["l_orderkey"] and join["right_on"] == ["o_orderkey"]
+    rebind = next(o for o in spec["ops"] if o["op"] == "compute"
+                  and o["alias"] == "o_orderkey")
+    assert rebind["expr"] == {"col": "l_orderkey"}
+
+
+def test_lower_self_join_renames(catalog):
+    spec = lower(
+        parse("""SELECT n1.n_name AS a, n2.n_name AS b
+                 FROM nation n1 JOIN nation n2
+                 ON n1.n_regionkey = n2.n_regionkey LIMIT 5"""),
+        catalog,
+    )
+    assert spec["ops"][0]["op"] == "rename"  # root nation → n1__*
+    join = next(o for o in spec["ops"] if o["op"] == "join")
+    assert join["right"]["ops"][0]["map"]["n_name"] == "n2__n_name"
+    assert join["on"] == ["n1__n_regionkey"]
+
+
+def test_lower_division_is_float64(catalog):
+    spec = lower(
+        parse("SELECT o_orderkey / 2 AS h FROM orders LIMIT 1"), catalog
+    )
+    compute = next(o for o in spec["ops"] if o["op"] == "compute")
+    assert compute["expr"]["fn"] == "divide"
+    assert all(a["fn"] == "cast" for a in compute["expr"]["args"])
+
+
+def test_lower_unknown_column_rejected(catalog):
+    with pytest.raises(ValueError, match="unknown column"):
+        lower(parse("SELECT nope FROM orders"), catalog)
+
+
+# ---------------------------------------------------------------------------
+# rewrite pass: plan shape + value identity
+# ---------------------------------------------------------------------------
+
+NAIVE_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000 AND c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def test_rewrite_pushes_filters_and_prunes(catalog, sf_smoke):
+    naive = lower(parse(NAIVE_SQL), catalog)
+    # naive: filters sit after the join, scans are unpruned
+    assert any(o["op"] == "filter" for o in naive["ops"])
+    assert "columns" not in naive["scan"] and "filter" not in naive["scan"]
+
+    opt = optimize(naive, sf_smoke)
+    # o_totalprice predicate → root scan; c_mktsegment → customer scan
+    assert opt["scan"].get("filter") is not None
+    join = next(o for o in opt["ops"] if o["op"] == "join")
+    assert join["right"]["scan"].get("filter") is not None
+    assert not any(o["op"] == "filter" for o in opt["ops"])
+    # pruning: orders needs 3 columns, customer 2
+    assert sorted(opt["scan"]["columns"]) == [
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ]
+    assert sorted(join["right"]["scan"]["columns"]) == [
+        "c_custkey", "c_mktsegment"
+    ]
+    # tiny build side → broadcast
+    assert join.get("broadcast") is True
+
+
+def test_rewrite_respects_broadcast_threshold(catalog, sf_smoke):
+    opt = optimize(lower(parse(NAIVE_SQL), catalog), sf_smoke,
+                   broadcast_max_bytes=0)
+    join = next(o for o in opt["ops"] if o["op"] == "join")
+    assert not join.get("broadcast")
+
+
+def test_rewrite_keeps_filter_on_computed_column(catalog, sf_smoke):
+    naive = lower(
+        parse("SELECT o_orderkey, o_totalprice * 2 AS d FROM orders "
+              "WHERE o_totalprice * 2 > 100 LIMIT 5"),
+        catalog,
+    )
+    opt = optimize(naive, sf_smoke)
+    # expression filter is not dataset-pushable; it must stay a batch
+    # filter but may move to the scan-adjacent position
+    assert any(o["op"] == "filter" for o in opt["ops"])
+
+
+def test_rewrite_does_not_push_past_left_outer(catalog, sf_smoke):
+    naive = lower(
+        parse("""SELECT n_name, c_name FROM nation
+                 LEFT OUTER JOIN customer ON c_nationkey = n_nationkey
+                 WHERE c_acctbal > 0 LIMIT 5"""),
+        catalog,
+    )
+    opt = optimize(naive, sf_smoke)
+    # filter on the nullable side of a LEFT JOIN must NOT reach the scan
+    join = next(o for o in opt["ops"] if o["op"] == "join")
+    assert join["right"]["scan"].get("filter") is None
+    assert any(o["op"] == "filter" for o in opt["ops"])
+
+
+def test_rewrite_value_identity(ray_session, sf_smoke, catalog):
+    naive = lower(parse(NAIVE_SQL), catalog)
+    opt = optimize(naive, sf_smoke)
+    from terrier_ray.api import build
+
+    a = build(naive, sf_smoke).to_pandas()
+    b = build(opt, sf_smoke).to_pandas()
+    assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end vs DuckDB (exact values, driver-style)
+# ---------------------------------------------------------------------------
+
+E2E = [
+    # group+agg with scaled-int float recipe
+    """SELECT l_returnflag, COUNT(*) AS n,
+              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                  AS total
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    # join + filter + topk
+    """SELECT o_orderkey, c_name, o_totalprice FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       WHERE o_orderstatus = 'O'
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 7""",
+    # COUNT(DISTINCT) two-level plan
+    """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_seg
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    # self-join with alias qualification
+    """SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1
+       JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+       WHERE n1.n_nationkey < n2.n_nationkey
+       ORDER BY a, b LIMIT 20""",
+    # cross join (comma FROM, no equi condition)
+    """SELECT r_name, n_name FROM region, nation
+       WHERE n_regionkey <> r_regionkey ORDER BY r_name, n_name LIMIT 30""",
+    # scalar fns + CASE + BETWEEN
+    """SELECT o_orderkey, UPPER(o_orderpriority) AS pri,
+              CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 'lo'
+                   ELSE 'hi' END AS bucket
+       FROM orders ORDER BY o_orderkey LIMIT 50""",
+]
+
+
+@pytest.mark.parametrize("query", E2E, ids=range(len(E2E)))
+def test_sql_matches_duckdb_exactly(ray_session, sf_smoke, query):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    mine = sql(query, sf_smoke).to_pandas()
+    want = con.sql(query).df()
+    assert list(mine.columns) == list(want.columns)
+    mine = mine.sort_values(list(mine.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert len(mine) == len(want)
+    for c in mine.columns:
+        a, b = mine[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (a.astype(str).values == b.astype(str).values).all(), c
+
+
+def test_sql_explain_shows_pushed_plan(sf_smoke):
+    from terrier_ray.sql import explain
+
+    text = explain(NAIVE_SQL, sf_smoke)
+    assert "Scan orders" in text and "broadcast" in text
