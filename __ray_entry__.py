@@ -114,9 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["index_corpus_stats"] = index_corpus_stats
     q["boolean_matches"] = boolean_matches
     q["bm25_snippets"] = bm25_snippets
-    from terrier_ray.pipelines.fulltext import prefix_terms
+    from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms
+    q["terms_desc_limit"] = terms_desc_limit
     q["media_features"] = lambda sf_dir: media_features(200)
     q["media_resized"] = lambda sf_dir: media_resized(200)
     q["media_frames"] = lambda sf_dir: media_frames(200)

@@ -315,17 +315,28 @@ class BM25Index:
     # ------------------------------------------------------------------
 
     def terms_in_range(
-        self, lo: str | None = None, hi: str | None = None, prefix: str | None = None
+        self,
+        lo: str | None = None,
+        hi: str | None = None,
+        prefix: str | None = None,
+        descending: bool = False,
+        limit: int | None = None,
     ):
         """Range / prefix scan over the term dictionary: returns a sorted
         pa.Table (term, df, cf) for lo <= term < hi (or term LIKE
-        'prefix%').  Reference analog: IndexScanType AscendingClosed /
-        OpenHigh / OpenLow (src/include/planner/plannodes/
+        'prefix%'), ascending by default.  Reference analog: IndexScanType
+        AscendingClosed / OpenHigh / OpenLow plus Descending /
+        DescendingLimit (src/include/planner/plannodes/
         plan_node_defs.h:143-152).  Terms are hash-bucketed on disk, so a
         range scan touches every bucket file — but ONLY the (term, df, cf)
         columns with a parquet predicate pushdown, never the posting blobs;
         at 1e12 docs a sorted term-dictionary sidecar per bucket would make
-        this a binary search, the layout hook is the same."""
+        this a binary search, the layout hook is the same.
+
+        With ``limit`` the scan is bounded per bucket BEFORE the merge: each
+        bucket contributes at most ``limit`` rows in scan order (the topk
+        map-side-prune shape, ops/relational.py), so driver memory is
+        O(limit × buckets) regardless of range width."""
         import glob as _glob
 
         import pyarrow.dataset as _pads
@@ -339,9 +350,20 @@ class BM25Index:
             e2 = _pads.field("term") < hi
             expr = e2 if expr is None else (expr & e2)
         files = sorted(_glob.glob(os.path.join(self.postings_dir, "bucket-*.parquet")))
-        dset = _pads.dataset(files)
-        t = dset.to_table(columns=["term", "df", "cf"], filter=expr)
-        return t.sort_by("term")
+        order = [("term", "descending" if descending else "ascending")]
+        if limit is None:
+            t = _pads.dataset(files).to_table(columns=["term", "df", "cf"], filter=expr)
+            return t.sort_by(order)
+        parts = []
+        for f in files:
+            pt = _pads.dataset(f).to_table(columns=["term", "df", "cf"], filter=expr)
+            parts.append(pt.sort_by(order).slice(0, limit))
+        merged = pa.concat_tables(parts) if parts else pa.table(
+            {"term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64()),
+             "cf": pa.array([], pa.int64())}
+        )
+        return merged.sort_by(order).slice(0, limit)
 
     # ------------------------------------------------------------------
     # boolean retrieval (unranked set algebra over sorted docid lists)

@@ -111,6 +111,17 @@ def prefix_terms(sf_dir: str, prefix: str = "wi"):
     return idx.terms_in_range(prefix=prefix)
 
 
+def terms_desc_limit(sf_dir: str, hi: str = "n", limit: int = 50):
+    """Descending, limited term-dictionary scan (IndexScanType Descending /
+    DescendingLimit analog, plan_node_defs.h:143-152): the ``limit``
+    largest indexed terms below ``hi``, df/cf attached, bounded per posting
+    bucket before the merge."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    return idx.terms_in_range(hi=hi, descending=True, limit=limit)
+
+
 def index_corpus_stats(sf_dir: str):
     """Corpus-level stats of the built index (docs, postings, terms)."""
     import pandas as pd

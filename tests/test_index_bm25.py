@@ -298,6 +298,32 @@ def test_terms_in_range_vs_df_map(built_index, oracle):
     assert terms and all("m" <= x < "p" for x in terms)
 
 
+def test_terms_descending_limit_vs_df_map(built_index, oracle):
+    """IndexScanType Descending / DescendingLimit analog: exact vs the
+    reversed oracle df map, with and without the per-bucket limit."""
+    out, _ = built_index
+    idx = BM25Index(out)
+
+    full_desc = idx.terms_in_range(lo="m", hi="p", descending=True)
+    want = sorted((k for k in oracle.df if "m" <= k < "p"), reverse=True)
+    assert full_desc.column("term").to_pylist() == want
+    got_df = dict(
+        zip(full_desc.column("term").to_pylist(), full_desc.column("df").to_pylist())
+    )
+    assert got_df == {k: oracle.df[k] for k in want}
+
+    k = max(1, len(want) // 3)
+    lim = idx.terms_in_range(lo="m", hi="p", descending=True, limit=k)
+    assert lim.column("term").to_pylist() == want[:k]
+
+    asc_lim = idx.terms_in_range(prefix="w", limit=5)
+    want_asc = sorted(t for t in oracle.df if t.startswith("w"))[:5]
+    assert asc_lim.column("term").to_pylist() == want_asc
+
+    empty = idx.terms_in_range(lo="￿", descending=True, limit=3)
+    assert empty.num_rows == 0 and empty.column_names == ["term", "df", "cf"]
+
+
 def test_three_segment_incremental_ingest(ray_session, webtext_small, tmp_root):
     """Three delta ingests, idempotent re-add, still exact vs monolithic."""
     import pyarrow as pa
