@@ -16,6 +16,7 @@ from terrier_ray.ops.relational import (  # noqa: F401
     sort_limit,
     topk,
     distinct,
+    setop_all,
     union_all,
     unpivot,
     round_columns,

@@ -712,6 +712,82 @@ def union_all(*datasets):
     return first.union(*rest)
 
 
+def setop_all(
+    left,
+    right,
+    columns: Sequence[str],
+    right_columns: "Sequence[str] | None" = None,
+    mode: str = "intersect",
+    num_partitions: int = 32,
+):
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics.
+
+    Reference analog: SetOpPlanNode INTERSECT_ALL / EXCEPT_ALL
+    (src/include/planner/plannodes/plan_node_defs.h:118-127 — planned but
+    never executable in the reference; we execute it).  For a key value
+    with m left copies and n right copies the output carries min(m, n)
+    copies (intersect) or max(m - n, 0) copies (except), per SQL standard.
+
+    Scale shape: each side collapses to one (key, count) row per distinct
+    key via the bucket-shuffled grouped_aggregate (no raw-row exchange),
+    the two count tables co-partition through partitioned_join, and the
+    multiplicity re-expansion runs INSIDE the join bucket via ``post_fn``
+    (np.repeat over the joined counts) — rows shipped across the wire are
+    O(distinct keys), never O(input rows)."""
+    columns = list(columns)
+    right_columns = list(right_columns or columns)
+    if right_columns != columns:
+        ren = dict(zip(right_columns, columns))
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.select(right_columns).rename_columns(
+                [ren[c] for c in right_columns]
+            )
+
+        right = right.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        right = right.map_batches(
+            lambda b: b.select(columns), batch_format="pyarrow", zero_copy_batch=True
+        )
+    left = left.map_batches(
+        lambda b: b.select(columns), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ones(name):
+        return lambda b: pa.array(np.ones(b.num_rows, dtype=np.int64))
+
+    lc = grouped_aggregate(
+        with_columns(left, {"__one": ones("__one")}),
+        columns,
+        [("sum", "__one", "__lc")],
+        num_partitions=num_partitions,
+    )
+    rc = grouped_aggregate(
+        with_columns(right, {"__one": ones("__one")}),
+        columns,
+        [("sum", "__one", "__rc")],
+        num_partitions=num_partitions,
+    )
+
+    intersect = mode == "intersect"
+
+    def expand(t: pa.Table) -> pa.Table:
+        m = t.column("__lc").to_numpy(zero_copy_only=False)
+        n = t.column("__rc").fill_null(0).to_numpy(zero_copy_only=False)
+        k = np.minimum(m, n) if intersect else np.maximum(m - n, 0)
+        idx = np.repeat(np.arange(t.num_rows), k)
+        return t.select(columns).take(pa.array(idx))
+
+    return partitioned_join(
+        lc,
+        rc,
+        on=columns,
+        join_type="inner" if intersect else "left_outer",
+        num_partitions=num_partitions,
+        post_fn=expand,
+    )
+
+
 #: matches DuckDB ROUND (half away from zero) on every sign
 ROUND_MODE = "half_towards_infinity"
 

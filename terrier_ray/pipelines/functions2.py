@@ -21,6 +21,7 @@ from terrier_ray.ops.relational import (
     read_table,
     rescale_round,
     scaled_int,
+    setop_all,
     topk,
     with_columns,
 )
@@ -179,6 +180,28 @@ def except_sizes(sf_dir: str):
     )
 
 
+def intersect_all_nations(sf_dir: str):
+    """INTERSECT ALL: per-nation customer rows capped at the supplier
+    multiplicity (min(m, n) copies — bag semantics the reference plans as
+    SETOP INTERSECT_ALL but cannot execute)."""
+    c = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    s = read_table(sf_dir, "supplier", columns=["s_nationkey"])
+    return setop_all(
+        c, s, ["c_nationkey"], right_columns=["s_nationkey"], mode="intersect"
+    )
+
+
+def except_all_sizes(sf_dir: str):
+    """EXCEPT ALL: part-size rows minus nation-key multiplicities
+    (max(m - n, 0) copies) — exercises both full elimination (small sizes
+    collide with dense nation keys) and pass-through (sizes > 24)."""
+    p = read_table(sf_dir, "part", columns=["p_size"])
+    c = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    return setop_all(
+        p, c, ["p_size"], right_columns=["c_nationkey"], mode="except"
+    )
+
+
 def limit_offset(sf_dir: str):
     """ORDER BY + LIMIT + OFFSET: top-k to offset+limit then slice."""
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
@@ -194,6 +217,8 @@ QUERIES = {
     "scalar_subquery": scalar_subquery,
     "intersect_nations": intersect_nations,
     "except_sizes": except_sizes,
+    "intersect_all_nations": intersect_all_nations,
+    "except_all_sizes": except_all_sizes,
     "limit_offset": limit_offset,
 }
 
@@ -254,6 +279,16 @@ SQL = {
     "except_sizes": """
         SELECT p_size FROM part
         EXCEPT
+        SELECT c_nationkey FROM customer
+    """,
+    "intersect_all_nations": """
+        SELECT c_nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    """,
+    "except_all_sizes": """
+        SELECT p_size FROM part
+        EXCEPT ALL
         SELECT c_nationkey FROM customer
     """,
     "limit_offset": """

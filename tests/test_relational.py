@@ -328,3 +328,52 @@ def test_grouping_sets_rejects_bad_set(ray_session):
     ds = rd.from_arrow(pa.table({"a": [1], "b": [2], "v": [3]}))
     with pt.raises(ValueError):
         grouping_sets_aggregate(ds, ["a"], [("sum", "v", "s")], [["b"]])
+
+
+def test_setop_all_multiset_semantics(ray_session):
+    """INTERSECT ALL / EXCEPT ALL vs a Counter oracle on random multisets."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import setop_all
+
+    rng = np.random.default_rng(7)
+    lvals = rng.integers(0, 30, size=5000).tolist()
+    rvals = rng.integers(10, 40, size=3000).tolist()
+    left = rd.from_arrow(pa.table({"k": pa.array(lvals, pa.int64())}))
+    right = rd.from_arrow(pa.table({"r": pa.array(rvals, pa.int64())}))
+    lc, rc = Counter(lvals), Counter(rvals)
+
+    got_i = Counter(
+        setop_all(left, right, ["k"], right_columns=["r"], mode="intersect")
+        .to_pandas()["k"]
+        .tolist()
+    )
+    want_i = Counter({v: min(m, rc[v]) for v, m in lc.items() if min(m, rc[v]) > 0})
+    assert got_i == want_i
+
+    got_e = Counter(
+        setop_all(left, right, ["k"], right_columns=["r"], mode="except")
+        .to_pandas()["k"]
+        .tolist()
+    )
+    want_e = Counter({v: m - rc[v] for v, m in lc.items() if m - rc[v] > 0})
+    assert got_e == want_e
+
+
+def test_setop_all_multi_key(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.relational import setop_all
+
+    left = rd.from_arrow(
+        pa.table({"a": [1, 1, 1, 2, 2], "b": ["x", "x", "y", "z", "z"]})
+    )
+    right = rd.from_arrow(pa.table({"a": [1, 1, 2], "b": ["x", "x", "q"]}))
+    out = setop_all(left, right, ["a", "b"], mode="intersect").to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [(1, "x"), (1, "x")]
+    out2 = setop_all(left, right, ["a", "b"], mode="except").to_pandas()
+    assert sorted(map(tuple, out2.values.tolist())) == [(1, "y"), (2, "z"), (2, "z")]
