@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, extra, functions2, functions3, textops, tpch, tpch2, tpch3
+from terrier_ray.pipelines import analyze, decimalq, extra, functions2, functions3, textops, tpch, tpch2, tpch3
 from terrier_ray.pipelines import orderagg as orderaggq
 from terrier_ray.pipelines import sampling, specdemo
 from terrier_ray.pipelines import window as windowq
@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(extra.QUERIES)
     q.update(analyze.QUERIES)
     q.update(functions2.QUERIES)
+    q.update(decimalq.QUERIES)
     q.update(functions3.QUERIES)
     q["token_counts"] = textops.token_counts
     q["term_doc_frequency"] = textops.term_doc_frequency
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(extra.SQL)
     sql.update(analyze.SQL)
     sql.update(functions2.SQL)
+    sql.update(decimalq.SQL)
     sql.update(functions3.SQL)
     sql.update(textops.SQL)
     sql["exact_dedup"] = """
