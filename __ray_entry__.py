@@ -63,7 +63,8 @@ _SQL_FRONTEND = [
     "sample_bernoulli_customers", "sample_fixed_orders",
     "cross_join_mismatched", "price_histogram", "cast_functions",
     "in_between_filter", "trig_functions", "null_handling", "limit_offset",
-    "docs_by_lang", "exact_dedup",
+    "docs_by_lang", "exact_dedup", "union_names", "intersect_nations",
+    "except_sizes", "intersect_all_nations", "except_all_sizes",
 ]
 
 

@@ -156,15 +156,45 @@ def _apply_cmp(f, op: str, v):
     }[op]()
 
 
+def _build_setop(node: Mapping[str, Any], sf_dir: str):
+    """UNION / INTERSECT / EXCEPT [ALL] root: branches build recursively,
+    columns match by position, the left branch names the output."""
+    from terrier_ray.ops.relational import distinct, setop_all, union_all
+
+    left = build(node["left"], sf_dir)
+    right = build(node["right"], sf_dir)
+    lcols, rcols = list(node["left_cols"]), list(node["right_cols"])
+    mode = node["mode"]
+    if mode in ("union", "union_all"):
+        left = left.map_batches(
+            lambda b, c=lcols: b.select(c),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        right = right.map_batches(
+            lambda b, rc=rcols, lc=lcols: b.select(rc).rename_columns(lc),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        ds = union_all(left, right)
+        return distinct(ds, lcols) if mode == "union" else ds
+    op = mode.removesuffix("_all")
+    return setop_all(
+        left, right, lcols, right_columns=rcols, mode=op,
+        dedupe=not mode.endswith("_all"),
+    )
+
+
 def build(spec: Mapping[str, Any], sf_dir: str):
     """Interpret ``spec`` into a (lazy) ``ray.data.Dataset``."""
-    scan = spec["scan"]
-    scan_filter = (
-        compile_scan_filter(scan["filter"]) if scan.get("filter") else None
-    )
-    ds = read_table(
-        sf_dir, scan["table"], columns=scan.get("columns"), filter=scan_filter
-    )
+    if "setop" in spec:
+        ds = _build_setop(spec["setop"], sf_dir)
+    else:
+        scan = spec["scan"]
+        scan_filter = (
+            compile_scan_filter(scan["filter"]) if scan.get("filter") else None
+        )
+        ds = read_table(
+            sf_dir, scan["table"], columns=scan.get("columns"), filter=scan_filter
+        )
     for op in spec.get("ops", []):
         kind = op["op"]
         if kind == "filter":
@@ -327,6 +357,14 @@ def build(spec: Mapping[str, Any], sf_dir: str):
 
 def explain(spec: Mapping[str, Any], indent: str = "") -> str:
     """Textual plan of the spec (static; no execution)."""
+    if "setop" in spec:
+        node = spec["setop"]
+        lines = [f"{indent}SetOp[{node['mode']}] cols={node['left_cols']}"]
+        lines.append(explain(node["left"], indent + "    "))
+        lines.append(explain(node["right"], indent + "    "))
+        for op in spec.get("ops", []):
+            lines.append(f"{indent}{op['op'].capitalize()}")
+        return "\n".join(lines)
     scan = spec["scan"]
     lines = [f"{indent}Scan {scan['table']} cols={scan.get('columns') or '*'}"]
     for op in spec.get("ops", []):

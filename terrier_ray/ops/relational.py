@@ -719,8 +719,14 @@ def setop_all(
     right_columns: "Sequence[str] | None" = None,
     mode: str = "intersect",
     num_partitions: int = 32,
+    dedupe: bool = False,
 ):
-    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics.
+    """INTERSECT [ALL] / EXCEPT [ALL] — bag (multiset) or set semantics.
+
+    With ``dedupe=True`` the SQL-standard DISTINCT variants: INTERSECT
+    emits one copy when both sides contain the key; EXCEPT emits one copy
+    when the left contains the key and the right does NOT (any right
+    presence eliminates the value entirely — not a count subtraction).
 
     Reference analog: SetOpPlanNode INTERSECT_ALL / EXCEPT_ALL
     (src/include/planner/plannodes/plan_node_defs.h:118-127 — planned but
@@ -774,7 +780,12 @@ def setop_all(
     def expand(t: pa.Table) -> pa.Table:
         m = t.column("__lc").to_numpy(zero_copy_only=False)
         n = t.column("__rc").fill_null(0).to_numpy(zero_copy_only=False)
-        k = np.minimum(m, n) if intersect else np.maximum(m - n, 0)
+        if dedupe:
+            k = ((m > 0) & (n > 0) if intersect else (m > 0) & (n == 0)).astype(
+                np.int64
+            )
+        else:
+            k = np.minimum(m, n) if intersect else np.maximum(m - n, 0)
         idx = np.repeat(np.arange(t.num_rows), k)
         return t.select(columns).take(pa.array(idx))
 

@@ -138,3 +138,21 @@ class Select:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+
+
+@dataclass
+class SetOpStmt:
+    """UNION / INTERSECT / EXCEPT [ALL] over two statements.
+
+    Reference analog: parser::SelectStatement's set-op linkage feeding
+    SetOpPlanNode (src/include/planner/plannodes/plan_node_defs.h:118-127).
+    ORDER BY / LIMIT / OFFSET attach to the combined result (SQL standard:
+    branches carry neither)."""
+
+    op: str  # union | intersect | except
+    all: bool
+    left: "Select | SetOpStmt"
+    right: Select
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None

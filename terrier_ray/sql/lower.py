@@ -42,6 +42,7 @@ from terrier_ray.sql.ast import (
     OrderItem,
     Select,
     SelectItem,
+    SetOpStmt,
     Star,
     Unary,
 )
@@ -537,8 +538,56 @@ def _cols_in(e: Expr, out: set[str]) -> None:
             _cols_in(e.arg, out)
 
 
-def lower(sel: Select, catalog: Catalog) -> Mapping[str, Any]:
+def _branch_out_cols(spec: Mapping[str, Any], catalog: Catalog) -> list[str]:
+    """Output column names of a lowered branch spec."""
+    if "setop" in spec:
+        return list(spec["setop"]["left_cols"])
+    ops = spec.get("ops", [])
+    if ops and ops[-1]["op"] == "project":
+        return list(ops[-1]["columns"])
+    return catalog.columns(spec["scan"]["table"])  # SELECT * branch
+
+
+def _lower_setop(stmt: SetOpStmt, catalog: Catalog) -> Mapping[str, Any]:
+    """UNION / INTERSECT / EXCEPT [ALL] → setop spec node.
+
+    Branches lower independently; columns match BY POSITION (SQL standard)
+    and the combined result carries the LEFT branch's names.  ORDER BY /
+    LIMIT apply to the combined result and may only reference those output
+    names."""
+    left_spec = lower(stmt.left, catalog)
+    right_spec = lower(stmt.right, catalog)
+    lcols = _branch_out_cols(left_spec, catalog)
+    rcols = _branch_out_cols(right_spec, catalog)
+    if len(lcols) != len(rcols):
+        raise ValueError(
+            f"set operation branches have {len(lcols)} vs {len(rcols)} columns"
+        )
+    mode = stmt.op + ("_all" if stmt.all else "")
+    spec: dict[str, Any] = {
+        "setop": {
+            "mode": mode,
+            "left": left_spec,
+            "right": right_spec,
+            "left_cols": lcols,
+            "right_cols": rcols,
+        },
+        "ops": [],
+    }
+    for oi in stmt.order_by:
+        if not (isinstance(oi.expr, Col) and oi.expr.name in lcols):
+            raise ValueError(
+                "ORDER BY on a set operation must reference output columns"
+            )
+    shim = Select(order_by=stmt.order_by, limit=stmt.limit, offset=stmt.offset)
+    _append_order_limit(spec, shim, lcols, {})
+    return spec
+
+
+def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
     """Select AST → NAIVE spec (run ``rewrite.optimize`` before building)."""
+    if isinstance(sel, SetOpStmt):
+        return _lower_setop(sel, catalog)
     if sel.from_table is None:
         raise ValueError("SELECT without FROM is not supported")
 

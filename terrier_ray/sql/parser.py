@@ -39,6 +39,7 @@ from terrier_ray.sql.ast import (
     OrderItem,
     Select,
     SelectItem,
+    SetOpStmt,
     Star,
     TableRef,
     Unary,
@@ -61,7 +62,8 @@ _KEYWORDS = {
     "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE",
     "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "JOIN",
     "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "ASC", "DESC",
-    "TIMESTAMP", "DATE", "TRUE", "FALSE",
+    "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
+    "ALL",
 }
 
 
@@ -141,7 +143,42 @@ class Parser:
         raise SyntaxError(f"expected identifier at {t.text!r}")
 
     # -- entry --------------------------------------------------------------
-    def parse_select(self) -> Select:
+    def parse_statement(self) -> "Select | SetOpStmt":
+        """statement := term (UNION|EXCEPT [ALL] term)* [ORDER BY ...]
+        [LIMIT ...]; term := select_core (INTERSECT [ALL] select_core)*
+        (INTERSECT binds tighter, per the standard).  ORDER BY / LIMIT
+        attach to the combined result."""
+        stmt: Select | SetOpStmt = self._set_term()
+        while True:
+            op = self.accept_kw("UNION", "EXCEPT")
+            if op is None:
+                break
+            all_ = bool(self.accept_kw("ALL"))
+            stmt = SetOpStmt(op.lower(), all_, stmt, self._set_term())
+        self._order_limit(stmt)
+        if self.peek().kind != "eof":
+            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+        return stmt
+
+    def _set_term(self) -> "Select | SetOpStmt":
+        left: Select | SetOpStmt = self.select_core()
+        while self.accept_kw("INTERSECT"):
+            all_ = bool(self.accept_kw("ALL"))
+            left = SetOpStmt("intersect", all_, left, self.select_core())
+        return left
+
+    def _order_limit(self, stmt: "Select | SetOpStmt") -> None:
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            stmt.order_by.append(self.order_item())
+            while self.accept_op(","):
+                stmt.order_by.append(self.order_item())
+        if self.accept_kw("LIMIT"):
+            stmt.limit = int(self.next().text)
+            if self.accept_kw("OFFSET"):
+                stmt.offset = int(self.next().text)
+
+    def select_core(self) -> Select:
         self.expect_kw("SELECT")
         sel = Select()
         sel.distinct = bool(self.accept_kw("DISTINCT"))
@@ -191,17 +228,6 @@ class Parser:
                 sel.group_by.append(self.expr())
         if self.accept_kw("HAVING"):
             sel.having = self.expr()
-        if self.accept_kw("ORDER"):
-            self.expect_kw("BY")
-            sel.order_by.append(self.order_item())
-            while self.accept_op(","):
-                sel.order_by.append(self.order_item())
-        if self.accept_kw("LIMIT"):
-            sel.limit = int(self.next().text)
-            if self.accept_kw("OFFSET"):
-                sel.offset = int(self.next().text)
-        if self.peek().kind != "eof":
-            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
         return sel
 
     def select_item(self) -> SelectItem:
@@ -408,6 +434,7 @@ class Parser:
         return Case(tuple(whens), default)
 
 
-def parse(sql: str) -> Select:
-    """Parse one SELECT statement (trailing semicolon tolerated)."""
-    return Parser(sql.strip().rstrip(";")).parse_select()
+def parse(sql: str) -> "Select | SetOpStmt":
+    """Parse one SELECT statement, possibly a UNION/INTERSECT/EXCEPT chain
+    (trailing semicolon tolerated)."""
+    return Parser(sql.strip().rstrip(";")).parse_statement()

@@ -97,6 +97,13 @@ def optimize(
 ) -> dict[str, Any]:
     """Naive spec → pushed/pruned/strategy-chosen spec (results unchanged)."""
     spec = copy.deepcopy(dict(spec))
+    if "setop" in spec:
+        # set-op root: each branch is an independent plan; the outer ops
+        # (sort/limit on the combined result) have nothing to push
+        node = spec["setop"]
+        node["left"] = optimize(node["left"], sf_dir, broadcast_max_bytes)
+        node["right"] = optimize(node["right"], sf_dir, broadcast_max_bytes)
+        return spec
     _push_filters(spec, sf_dir)
     _prune_columns(spec, sf_dir)
     _choose_joins(spec, sf_dir, broadcast_max_bytes)

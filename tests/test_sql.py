@@ -62,6 +62,25 @@ def test_parse_typed_literals_and_count_distinct():
     assert sel.where.right == Lit("1997-01-01 00:00:00", "timestamp")
 
 
+def test_parse_set_ops_precedence_and_outer_order():
+    from terrier_ray.sql.ast import SetOpStmt
+
+    # INTERSECT binds tighter than UNION; ORDER/LIMIT attach to the chain
+    stmt = parse(
+        "SELECT a FROM t UNION SELECT b FROM u INTERSECT ALL SELECT c FROM v "
+        "ORDER BY a DESC LIMIT 3"
+    )
+    assert isinstance(stmt, SetOpStmt) and stmt.op == "union" and not stmt.all
+    assert isinstance(stmt.right, SetOpStmt) and stmt.right.op == "intersect"
+    assert stmt.right.all
+    assert stmt.order_by[0].descending and stmt.limit == 3
+    # branches carry no order/limit
+    assert stmt.left.order_by == [] and stmt.left.limit is None
+
+    ex = parse("SELECT a FROM t EXCEPT ALL SELECT b FROM u")
+    assert ex.op == "except" and ex.all
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(SyntaxError):
         parse("SELECT FROM WHERE")
@@ -242,6 +261,20 @@ E2E = [
               CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 'lo'
                    ELSE 'hi' END AS bucket
        FROM orders ORDER BY o_orderkey LIMIT 50""",
+    # set ops: UNION distinct with ORDER BY on the combined result
+    """SELECT n_name AS name FROM nation UNION
+       SELECT r_name AS name FROM region ORDER BY name""",
+    # INTERSECT (distinct) + branch WHERE
+    """SELECT c_nationkey FROM customer INTERSECT
+       SELECT n_nationkey FROM nation WHERE n_nationkey < 10
+       ORDER BY c_nationkey""",
+    # EXCEPT ALL bag semantics + LIMIT on combined
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 100000 EXCEPT ALL
+       SELECT c_custkey FROM customer ORDER BY o_custkey LIMIT 25""",
+    # precedence: INTERSECT ALL binds before UNION ALL
+    """SELECT c_nationkey FROM customer INTERSECT ALL
+       SELECT n_nationkey FROM nation UNION ALL
+       SELECT r_regionkey FROM region ORDER BY c_nationkey""",
 ]
 
 
