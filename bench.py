@@ -243,6 +243,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
+        with open("/proc/loadavg") as f:
+            load_pre = f.read().split()[0]
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -256,7 +258,9 @@ def run_scaling() -> None:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        r["loadavg_pre"] = float(load_pre)
+        return r
 
     # N and 4N; on this multi-tenant 32-core host the 32-cpu leg competes
     # with ambient external load (≈5), which alone caps measurable efficiency
@@ -264,13 +268,28 @@ def run_scaling() -> None:
     # tenant contention and measures OUR scaling, not the neighbors'.
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     # the multi-tenant host injects ±30-40% wall-time noise; run each leg
-    # GRAFT_SCALING_REPS times (default 2) and keep the better run
-    def best(ncpu: int, reps: int = int(os.environ.get("GRAFT_SCALING_REPS", "2"))) -> dict:
-        runs = [run(ncpu) for _ in range(reps)]
-        key = lambda r: r["queries"]["index_build"] + r["queries"]["query_pool"]
-        return min(runs, key=key)
+    # GRAFT_SCALING_REPS times (default 2) INTERLEAVED (lo,hi,lo,hi,…) so an
+    # ambient drift taxes both legs equally, log /proc/loadavg before every
+    # rep, and compare min-of-N
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo: list[dict] = []
+    runs_hi: list[dict] = []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    key = lambda r: r["queries"]["index_build"] + r["queries"]["query_pool"]
+    r_lo, r_hi = min(runs_lo, key=key), min(runs_hi, key=key)
 
-    r_lo, r_hi = best(lo), best(hi)
+    def rep_rows(runs: list[dict]) -> list[dict]:
+        return [
+            {
+                "load_pre": r["loadavg_pre"],
+                "build_s": round(r["queries"]["index_build"], 2),
+                "pool_s": round(r["queries"]["query_pool"], 2),
+                "docs_per_s": r["index_docs_per_s"],
+            }
+            for r in runs
+        ]
     # scaling on the parallel portion: index build + pooled queries
     t_lo = r_lo["queries"]["index_build"] + r_lo["queries"]["query_pool"]
     t_hi = r_hi["queries"]["index_build"] + r_hi["queries"]["query_pool"]
@@ -293,6 +312,7 @@ def run_scaling() -> None:
                 ],
                 "build_efficiency": round(build_eff, 3),
                 "qps": [r_lo["qps"], r_hi["qps"]],
+                "reps": {"lo": rep_rows(runs_lo), "hi": rep_rows(runs_hi)},
                 "full": {"lo": r_lo, "hi": r_hi},
             }
         )
