@@ -156,13 +156,85 @@ def _apply_cmp(f, op: str, v):
     }[op]()
 
 
-def _build_setop(node: Mapping[str, Any], sf_dir: str):
+class _ViewContext:
+    """Execution context for named views (CTEs / derived tables).
+
+    Holds the ``views`` map from the spec root, builds each view's dataset
+    at most once, and materializes a view only when the plan references it
+    more than once (a second consumption of a lazy Dataset would re-execute
+    its whole lineage — and partitioned_join's schema probe re-executes it
+    even for single consumers of long pipelines)."""
+
+    def __init__(self, root_spec: Mapping[str, Any], sf_dir: str):
+        self.views: Mapping[str, Any] = root_spec.get("views") or {}
+        self.sf_dir = sf_dir
+        self.cache: dict[str, Any] = {}
+        self.refs: dict[str, int] = {name: 0 for name in self.views}
+        self._count(root_spec)
+        for v in self.views.values():
+            self._count(v)
+
+    def _count(self, spec: Mapping[str, Any]) -> None:
+        if "setop" in spec:
+            self._count(spec["setop"]["left"])
+            self._count(spec["setop"]["right"])
+        scan = spec.get("scan")
+        if scan and "view" in scan:
+            self.refs[scan["view"]] = self.refs.get(scan["view"], 0) + 1
+        for op in spec.get("ops", []):
+            if op["op"] in ("join", "cross_join"):
+                self._count(op["right"])
+            if "expr" in op:
+                self._count_expr(op["expr"])
+
+    def _count_expr(self, e: Mapping[str, Any]) -> None:
+        if "scalar_subquery" in e:
+            self._count(e["scalar_subquery"])
+        for a in e.get("args", []):
+            self._count_expr(a)
+
+    def dataset(self, name: str):
+        if name not in self.cache:
+            ds = build(self.views[name], self.sf_dir, _ctx=self)
+            if self.refs.get(name, 0) > 1:
+                ds = ds.materialize()
+            self.cache[name] = ds
+        return self.cache[name]
+
+
+def _resolve_scalar(sub_spec: Mapping[str, Any], sf_dir: str, ctx) -> dict:
+    """Execute an uncorrelated scalar subquery spec → literal EXPR node.
+
+    One row / one column by construction; an empty result is SQL NULL."""
+    ds = build(sub_spec, sf_dir, _ctx=ctx)
+    tabs = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tab = pa.concat_tables(tabs) if tabs else None
+    if tab is None or tab.num_rows == 0:
+        return {"lit": None}
+    col = tab.column(0)
+    if pa.types.is_timestamp(col.type):
+        return {"lit": col[0].as_py().isoformat(), "type": "timestamp"}
+    return {"lit": col[0].as_py()}
+
+
+def _subst_scalars(e: Mapping[str, Any], sf_dir: str, ctx) -> Mapping[str, Any]:
+    if "scalar_subquery" in e:
+        return _resolve_scalar(e["scalar_subquery"], sf_dir, ctx)
+    if "fn" in e and e.get("args"):
+        return {
+            **e,
+            "args": [_subst_scalars(a, sf_dir, ctx) for a in e["args"]],
+        }
+    return e
+
+
+def _build_setop(node: Mapping[str, Any], sf_dir: str, ctx=None):
     """UNION / INTERSECT / EXCEPT [ALL] root: branches build recursively,
     columns match by position, the left branch names the output."""
     from terrier_ray.ops.relational import distinct, setop_all, union_all
 
-    left = build(node["left"], sf_dir)
-    right = build(node["right"], sf_dir)
+    left = build(node["left"], sf_dir, _ctx=ctx)
+    right = build(node["right"], sf_dir, _ctx=ctx)
     lcols, rcols = list(node["left_cols"]), list(node["right_cols"])
     mode = node["mode"]
     if mode in ("union", "union_all"):
@@ -183,25 +255,44 @@ def _build_setop(node: Mapping[str, Any], sf_dir: str):
     )
 
 
-def build(spec: Mapping[str, Any], sf_dir: str):
-    """Interpret ``spec`` into a (lazy) ``ray.data.Dataset``."""
+def build(spec: Mapping[str, Any], sf_dir: str, _ctx=None):
+    """Interpret ``spec`` into a (lazy) ``ray.data.Dataset``.
+
+    ``_ctx`` (internal) threads the view registry + cache through nested
+    builds; scalar-subquery EXPR nodes are executed here (once, driver
+    side) and substituted as literals before compilation."""
+    if _ctx is None:
+        _ctx = _ViewContext(spec, sf_dir)
     if "setop" in spec:
-        ds = _build_setop(spec["setop"], sf_dir)
+        ds = _build_setop(spec["setop"], sf_dir, _ctx)
     else:
         scan = spec["scan"]
-        scan_filter = (
-            compile_scan_filter(scan["filter"]) if scan.get("filter") else None
-        )
-        ds = read_table(
-            sf_dir, scan["table"], columns=scan.get("columns"), filter=scan_filter
-        )
+        if "view" in scan:
+            ds = _ctx.dataset(scan["view"])
+        else:
+            scan_filter = (
+                compile_scan_filter(scan["filter"])
+                if scan.get("filter")
+                else None
+            )
+            ds = read_table(
+                sf_dir,
+                scan["table"],
+                columns=scan.get("columns"),
+                filter=scan_filter,
+            )
     for op in spec.get("ops", []):
         kind = op["op"]
         if kind == "filter":
-            mask_fn = _compile_expr(op["expr"])
+            mask_fn = _compile_expr(_subst_scalars(op["expr"], sf_dir, _ctx))
             ds = filter_batches(ds, mask_fn)
         elif kind == "compute":
-            ds = with_columns(ds, {op["alias"]: _compile_expr(op["expr"])})
+            ds = with_columns(
+                ds,
+                {op["alias"]: _compile_expr(
+                    _subst_scalars(op["expr"], sf_dir, _ctx)
+                )},
+            )
         elif kind == "project":
             ds = project(ds, op["columns"])
         elif kind == "rename":
@@ -247,7 +338,7 @@ def build(spec: Mapping[str, Any], sf_dir: str):
             else:
                 ds = partitioned_join(
                     ds,
-                    build(right_spec, sf_dir),
+                    build(right_spec, sf_dir, _ctx=_ctx),
                     on=op["on"],
                     right_on=op.get("right_on"),
                     join_type=how,
@@ -357,16 +448,21 @@ def build(spec: Mapping[str, Any], sf_dir: str):
 
 def explain(spec: Mapping[str, Any], indent: str = "") -> str:
     """Textual plan of the spec (static; no execution)."""
+    lines: list[str] = []
+    for name, vspec in (spec.get("views") or {}).items():
+        lines.append(f"{indent}View {name}:")
+        lines.append(explain(vspec, indent + "    "))
     if "setop" in spec:
         node = spec["setop"]
-        lines = [f"{indent}SetOp[{node['mode']}] cols={node['left_cols']}"]
+        lines.append(f"{indent}SetOp[{node['mode']}] cols={node['left_cols']}")
         lines.append(explain(node["left"], indent + "    "))
         lines.append(explain(node["right"], indent + "    "))
         for op in spec.get("ops", []):
             lines.append(f"{indent}{op['op'].capitalize()}")
         return "\n".join(lines)
     scan = spec["scan"]
-    lines = [f"{indent}Scan {scan['table']} cols={scan.get('columns') or '*'}"]
+    src = scan["table"] if "table" in scan else f"view:{scan['view']}"
+    lines.append(f"{indent}Scan {src} cols={scan.get('columns') or '*'}")
     for op in spec.get("ops", []):
         kind = op["op"]
         if kind == "join":

@@ -22,7 +22,10 @@ from terrier_ray.sql.rewrite import optimize
 
 def plan(query: str, sf_dir: str, optimized: bool = True) -> Mapping[str, Any]:
     """SQL text → executable spec (optimized unless ``optimized=False``)."""
-    spec = lower(parse(query), Catalog(sf_dir))
+    catalog = Catalog(sf_dir)
+    spec = dict(lower(parse(query), catalog))
+    if catalog.views:
+        spec["views"] = catalog.views  # CTE / derived-table plans by name
     return optimize(spec, sf_dir) if optimized else spec
 
 

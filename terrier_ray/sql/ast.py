@@ -101,6 +101,38 @@ class IsNull(Expr):
     negated: bool = False
 
 
+@dataclass(frozen=True, eq=False)
+class ScalarSubquery(Expr):
+    """``( SELECT ... )`` in expression position — one row, one column.
+
+    Reference analog: ExpressionType::ROW_SUBQUERY
+    (parser/expression_defs.h) — the reference plans these through the
+    binder's subquery unnesting.  Identity (not structural) equality: each
+    occurrence is lowered/decorrelated independently and tracked by id."""
+
+    stmt: Any  # Select | SetOpStmt
+
+
+@dataclass(frozen=True, eq=False)
+class Exists(Expr):
+    """``EXISTS ( SELECT ... )``; NOT EXISTS parses as Unary('not', Exists).
+
+    Lowered by decorrelation to a left_semi / left_anti join when the
+    subquery's WHERE splits into equality correlations + local filters."""
+
+    stmt: Any  # Select
+
+
+@dataclass(frozen=True, eq=False)
+class InSubquery(Expr):
+    """``col [NOT] IN ( SELECT ... )`` — uncorrelated; lowered to a
+    left_semi (anti) join on the subquery's single output column."""
+
+    operand: Expr
+    stmt: Any  # Select | SetOpStmt
+    negated: bool = False
+
+
 @dataclass
 class SelectItem:
     expr: Expr
@@ -111,6 +143,7 @@ class SelectItem:
 class TableRef:
     table: str
     alias: Optional[str] = None
+    subquery: Optional[Any] = None  # Select | SetOpStmt for derived tables
 
 
 @dataclass
@@ -138,6 +171,7 @@ class Select:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    ctes: list[tuple[str, Any]] = field(default_factory=list)  # WITH name AS (...)
 
 
 @dataclass
@@ -156,3 +190,4 @@ class SetOpStmt:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    ctes: list[tuple[str, Any]] = field(default_factory=list)

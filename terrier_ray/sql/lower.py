@@ -32,14 +32,17 @@ from terrier_ray.sql.ast import (
     Case,
     Cast,
     Col,
+    Exists,
     Expr,
     Fn,
     InList,
+    InSubquery,
     IsNull,
     JoinClause,
     Like,
     Lit,
     OrderItem,
+    ScalarSubquery,
     Select,
     SelectItem,
     SetOpStmt,
@@ -54,13 +57,43 @@ from terrier_ray.sql.ast import (
 
 
 class Catalog:
-    """Table → pa.Schema, from the sf_dir parquet footers (cached)."""
+    """Table → pa.Schema, from the sf_dir parquet footers (cached).
+
+    Also carries the per-statement VIEW registry: CTEs and derived tables
+    register a (schema, lowered spec) under a name; scans of those names
+    emit ``{"scan": {"view": name}}`` and the spec root carries the
+    ``views`` map for ``api.build`` to interpret (CTEs referenced more
+    than once are materialized exactly once at execution)."""
 
     def __init__(self, sf_dir: str):
         self.sf_dir = sf_dir
         self._schemas: dict[str, pa.Schema] = {}
+        self.views: dict[str, Mapping[str, Any]] = {}  # name → lowered spec
+        self._view_schemas: dict[str, pa.Schema] = {}
+        #: id(Select) → (the Select itself, FROM tables).  The Select is
+        #: stored IN the value: an id()-keyed cache without a strong ref
+        #: would hand a new object a dead object's recycled id.
+        self._from_cache: dict[
+            int, tuple[Any, list[tuple[str, Optional[str]]]]
+        ] = {}
+        self._counter = 0
+
+    def fresh(self, prefix: str) -> str:
+        self._counter += 1
+        return f"{prefix}{self._counter}"
+
+    def register_view(
+        self, name: str, schema: pa.Schema, spec: Mapping[str, Any]
+    ) -> None:
+        self._view_schemas[name] = schema
+        self.views[name] = spec
+
+    def is_view(self, name: str) -> bool:
+        return name in self._view_schemas
 
     def schema(self, table: str) -> pa.Schema:
+        if table in self._view_schemas:  # views shadow base tables
+            return self._view_schemas[table]
         if table not in self._schemas:
             from terrier_ray.sources.io import hashable_schema
 
@@ -229,9 +262,94 @@ def infer_kind(e: Expr, binder: Binder) -> str:
         return infer_kind(e.whens[0][1], binder)
     if isinstance(e, Cast):
         return _CAST_KIND.get(e.to, "other")
-    if isinstance(e, (Like, InList, Between, IsNull)):
+    if isinstance(e, (Like, InList, Between, IsNull, Exists, InSubquery)):
         return "bool"
+    if isinstance(e, ScalarSubquery):
+        f = output_schema(_aliased_scalar(e.stmt), binder.catalog)
+        if len(f) != 1:
+            raise ValueError("scalar subquery must produce one column")
+        return _kind_of_pa(f.field(0).type)
     return "other"
+
+
+#: canonical Arrow type per inferred kind (virtual-view schema synthesis);
+#: plain column passthroughs keep their exact source type instead
+_KIND_PA = {
+    "int": pa.int64(),
+    "float": pa.float64(),
+    "str": pa.string(),
+    "ts": pa.timestamp("us"),
+    "date": pa.date32(),
+    "bool": pa.bool_(),
+}
+
+
+def _register_from(
+    sel: Select, catalog: Catalog
+) -> list[tuple[str, Optional[str]]]:
+    """FROM entries → [(physical name, alias)], lowering + registering any
+    derived tables as views.  Cached per Select object so correlation
+    probing and the actual lowering see the same view names."""
+    cached = catalog._from_cache.get(id(sel))
+    if cached is not None and cached[0] is sel:
+        return cached[1]
+    tables: list[tuple[str, Optional[str]]] = []
+    refs = [sel.from_table] + [j.table for j in sel.joins]
+    for tr in refs:
+        if tr is None:
+            continue
+        if tr.subquery is not None:
+            name = catalog.fresh(f"{tr.alias or 'subq'}__v")
+            vspec = lower(tr.subquery, catalog)
+            catalog.register_view(
+                name, output_schema(tr.subquery, catalog), vspec
+            )
+            # the entry is addressable by its alias (or not at all)
+            tables.append((name, tr.alias))
+        else:
+            tables.append((tr.table, tr.alias))
+    catalog._from_cache[id(sel)] = (sel, tables)
+    return tables
+
+
+def output_schema(stmt: "Select | SetOpStmt", catalog: Catalog) -> pa.Schema:
+    """Result schema of a statement — exact types for plain column
+    passthroughs, canonical types (``_KIND_PA``) for computed items."""
+    _register_ctes(stmt, catalog)
+    if isinstance(stmt, SetOpStmt):
+        return output_schema(stmt.left, catalog)
+    sel = stmt
+    tables = _register_from(sel, catalog)
+    if len(sel.items) == 1 and isinstance(sel.items[0].expr, Star):
+        return catalog.schema(tables[0][0])
+    binder = Binder(catalog, tables)
+    fields: list[pa.Field] = []
+    for it in sel.items:
+        e = it.expr
+        if it.alias:
+            name = it.alias
+        elif isinstance(e, Col):
+            name = e.name
+        else:
+            raise ValueError("computed select item requires an alias")
+        if isinstance(e, Col):
+            typ = binder.type_of(e)
+        else:
+            kind = infer_kind(e, binder)
+            if kind not in _KIND_PA:
+                raise ValueError(f"cannot type select item {name!r}")
+            typ = _KIND_PA[kind]
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
+def _register_ctes(stmt: "Select | SetOpStmt", catalog: Catalog) -> None:
+    """Register WITH entries (idempotent; later CTEs may use earlier ones)."""
+    for name, cstmt in getattr(stmt, "ctes", []):
+        if catalog.is_view(name):
+            continue
+        vspec = lower(cstmt, catalog)
+        catalog.register_view(name, output_schema(cstmt, catalog), vspec)
 
 
 # ---------------------------------------------------------------------------
@@ -266,11 +384,23 @@ class _Lowerer:
         self,
         binder: Binder,
         agg_refs: Optional[dict[Agg, str]] = None,
+        scalar_refs: Optional[dict[int, str]] = None,
     ):
         self.binder = binder
         self.agg_refs = agg_refs or {}
+        #: id(ScalarSubquery node) → column carrying its decorrelated value
+        #: (MUST alias the caller's dict — the pre-pass fills it later)
+        self.scalar_refs = {} if scalar_refs is None else scalar_refs
 
     def lower(self, e: Expr) -> Mapping[str, Any]:
+        if isinstance(e, ScalarSubquery):
+            ref = self.scalar_refs.get(id(e))
+            if ref is not None:
+                return {"col": ref}
+            # uncorrelated: embed the lowered statement; api.build executes
+            # it once (driver-side single value) and substitutes a literal
+            sub = lower(_aliased_scalar(e.stmt), self.binder.catalog)
+            return {"scalar_subquery": sub}
         if isinstance(e, Agg):
             name = self.agg_refs.get(e)
             if name is None:
@@ -504,6 +634,9 @@ def _collect_aggs(e: Expr, out: list[Agg]) -> None:
         _collect_aggs(e.hi, out)
     elif isinstance(e, InList):
         _collect_aggs(e.operand, out)
+    elif isinstance(e, InSubquery):
+        _collect_aggs(e.operand, out)
+    # ScalarSubquery / Exists: self-contained statements — no outer aggs
 
 
 def _cols_in(e: Expr, out: set[str]) -> None:
@@ -533,6 +666,8 @@ def _cols_in(e: Expr, out: set[str]) -> None:
         _cols_in(e.hi, out)
     elif isinstance(e, InList):
         _cols_in(e.operand, out)
+    elif isinstance(e, InSubquery):
+        _cols_in(e.operand, out)
     elif isinstance(e, Agg):
         if e.arg is not None:
             _cols_in(e.arg, out)
@@ -545,7 +680,8 @@ def _branch_out_cols(spec: Mapping[str, Any], catalog: Catalog) -> list[str]:
     ops = spec.get("ops", [])
     if ops and ops[-1]["op"] == "project":
         return list(ops[-1]["columns"])
-    return catalog.columns(spec["scan"]["table"])  # SELECT * branch
+    scan = spec["scan"]  # SELECT * branch (base table or registered view)
+    return catalog.columns(scan.get("table") or scan["view"])
 
 
 def _lower_setop(stmt: SetOpStmt, catalog: Catalog) -> Mapping[str, Any]:
@@ -584,18 +720,270 @@ def _lower_setop(stmt: SetOpStmt, catalog: Catalog) -> Mapping[str, Any]:
     return spec
 
 
+def _colrefs(e: Expr, out: list[Col]) -> None:
+    """Collect Col nodes (qualifiers preserved); subquery bodies excluded."""
+    if isinstance(e, Col):
+        out.append(e)
+    elif isinstance(e, BinOp):
+        _colrefs(e.left, out)
+        _colrefs(e.right, out)
+    elif isinstance(e, Unary):
+        _colrefs(e.operand, out)
+    elif isinstance(e, Fn):
+        for a in e.args:
+            _colrefs(a, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _colrefs(c, out)
+            _colrefs(v, out)
+        if e.default is not None:
+            _colrefs(e.default, out)
+    elif isinstance(e, Cast):
+        _colrefs(e.operand, out)
+    elif isinstance(e, (Like, IsNull, InList, InSubquery)):
+        _colrefs(e.operand, out)
+    elif isinstance(e, Between):
+        _colrefs(e.operand, out)
+        _colrefs(e.lo, out)
+        _colrefs(e.hi, out)
+    elif isinstance(e, Agg):
+        if e.arg is not None:
+            _colrefs(e.arg, out)
+
+
+def _col_resolves(c: Col, binder: Binder) -> bool:
+    try:
+        binder.resolve(c)
+        return True
+    except ValueError:
+        return False
+
+
+def _resolvable(e: Expr, binder: Binder) -> bool:
+    cols: list[Col] = []
+    _colrefs(e, cols)
+    return all(_col_resolves(c, binder) for c in cols)
+
+
+def _and_all(conj: list[Expr]) -> Optional[Expr]:
+    out: Optional[Expr] = None
+    for c in conj:
+        out = c if out is None else BinOp("and", out, c)
+    return out
+
+
+def _split_correlation(
+    sub: Select, catalog: Catalog, outer_binder: Binder
+) -> tuple[Binder, list[Expr], list[tuple[Col, Col]]]:
+    """Split ``sub``'s WHERE into inner-local conjuncts and equality
+    correlations → (inner binder, local conjuncts, [(outer Col, inner Col)]).
+
+    The reference analog is the binder's subquery depth tracking + the
+    optimizer's mark-join unnesting; we support the common shape — every
+    correlated conjunct is ``inner_col = outer_col`` — and raise on the
+    rest."""
+    _register_ctes(sub, catalog)
+    inner_binder = Binder(catalog, _register_from(sub, catalog))
+    local: list[Expr] = []
+    pairs: list[tuple[Col, Col]] = []
+    for c in _conjuncts(sub.where):
+        if _resolvable(c, inner_binder):
+            local.append(c)
+            continue
+        ok = False
+        if isinstance(c, BinOp) and c.op == "=" and \
+                isinstance(c.left, Col) and isinstance(c.right, Col):
+            for inner_c, outer_c in ((c.left, c.right), (c.right, c.left)):
+                if _col_resolves(inner_c, inner_binder) and \
+                        _col_resolves(outer_c, outer_binder):
+                    pairs.append((outer_c, inner_c))
+                    ok = True
+                    break
+        if not ok:
+            raise ValueError(f"unsupported correlated predicate: {c!r}")
+    return inner_binder, local, pairs
+
+
+def _semi_anti_join_op(
+    sub: Select,
+    negated: bool,
+    binder: Binder,
+    catalog: Catalog,
+    lo: "_Lowerer",
+    extra_pairs: Optional[list[tuple[Col, Col]]] = None,
+) -> dict[str, Any]:
+    """[NOT] EXISTS / IN-subquery → left_semi / left_anti join op.
+
+    The subquery becomes ``SELECT DISTINCT <inner keys> FROM ... WHERE
+    <local>`` — the distinct shrinks the build side before the shuffle, and
+    semi/anti joins emit left columns only, so downstream names are
+    unchanged.  NOTE: NOT IN null-semantics divergence — a NULL in the
+    subquery output makes SQL's NOT IN empty; the anti join ignores NULL
+    keys (keys in this engine's datasets are non-null)."""
+    inner_binder, local, pairs = _split_correlation(sub, catalog, binder)
+    pairs = (extra_pairs or []) + pairs
+    if not pairs:
+        raise ValueError("EXISTS/IN subquery must correlate on column equality")
+    items = [
+        SelectItem(ic, f"__ek{i}") for i, (_oc, ic) in enumerate(pairs)
+    ]
+    inner_sel = Select(
+        items=items,
+        distinct=True,
+        from_table=sub.from_table,
+        joins=sub.joins,
+        where=_and_all(local),
+    )
+    return {
+        "op": "join",
+        "right": lower(inner_sel, catalog),
+        "on": [binder.physical(oc) for oc, _ic in pairs],
+        "right_on": [f"__ek{i}" for i in range(len(pairs))],
+        "how": "left_anti" if negated else "left_semi",
+    }
+
+
+def _aliased_scalar(stmt: "Select | SetOpStmt") -> "Select | SetOpStmt":
+    """Give a scalar subquery's single computed item a synthetic alias
+    (``SELECT SUM(x) FROM t`` has none; the spec needs an output name)."""
+    import dataclasses
+
+    if isinstance(stmt, Select) and len(stmt.items) == 1 and \
+            stmt.items[0].alias is None and \
+            not isinstance(stmt.items[0].expr, Col):
+        return dataclasses.replace(
+            stmt, items=[SelectItem(stmt.items[0].expr, "__scalar")]
+        )
+    return stmt
+
+
+def _find_scalar_subs(e: Expr, out: list[ScalarSubquery]) -> None:
+    if isinstance(e, ScalarSubquery):
+        out.append(e)
+    elif isinstance(e, BinOp):
+        _find_scalar_subs(e.left, out)
+        _find_scalar_subs(e.right, out)
+    elif isinstance(e, Unary):
+        _find_scalar_subs(e.operand, out)
+    elif isinstance(e, Fn):
+        for a in e.args:
+            _find_scalar_subs(a, out)
+    elif isinstance(e, Cast):
+        _find_scalar_subs(e.operand, out)
+    elif isinstance(e, (Like, IsNull, InList)):
+        _find_scalar_subs(e.operand, out)
+    elif isinstance(e, Between):
+        _find_scalar_subs(e.operand, out)
+        _find_scalar_subs(e.lo, out)
+        _find_scalar_subs(e.hi, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _find_scalar_subs(c, out)
+            _find_scalar_subs(v, out)
+        if e.default is not None:
+            _find_scalar_subs(e.default, out)
+
+
+def _lower_quantified(
+    c: Expr,
+    binder: Binder,
+    catalog: Catalog,
+    ops: list[dict[str, Any]],
+    scalar_refs: dict[int, str],
+    lo: "_Lowerer",
+) -> bool:
+    """Handle a WHERE conjunct containing subqueries.
+
+    Returns True when the conjunct is FULLY consumed (EXISTS / IN became a
+    semi/anti join); False when it must still be emitted as a filter —
+    after this call any correlated scalar subqueries inside it have been
+    decorrelated into left_outer aggregate joins and registered in
+    ``scalar_refs`` (uncorrelated ones lower inline later)."""
+    node: Expr = c
+    negated = False
+    while isinstance(node, Unary) and node.op == "not":
+        negated = not negated
+        node = node.operand
+    if isinstance(node, Exists):
+        ops.append(
+            _semi_anti_join_op(node.stmt, negated, binder, catalog, lo)
+        )
+        return True
+    if isinstance(node, InSubquery):
+        if not isinstance(node.operand, Col):
+            raise ValueError("IN (subquery) operand must be a column")
+        sub = node.stmt
+        if not isinstance(sub, Select) or len(sub.items) != 1 or \
+                sub.group_by or not isinstance(sub.items[0].expr, Col):
+            raise ValueError(
+                "IN (subquery) supports a single-column simple SELECT"
+            )
+        ops.append(
+            _semi_anti_join_op(
+                sub,
+                negated != node.negated,
+                binder,
+                catalog,
+                lo,
+                extra_pairs=[(node.operand, sub.items[0].expr)],
+            )
+        )
+        return True
+    # correlated scalar subqueries inside an ordinary predicate
+    subs: list[ScalarSubquery] = []
+    _find_scalar_subs(c, subs)
+    for sq in subs:
+        if id(sq) in scalar_refs:
+            continue
+        sub = sq.stmt
+        if not isinstance(sub, Select):
+            continue  # set-op subquery: only valid uncorrelated
+        inner_binder, local, pairs = _split_correlation(sub, catalog, binder)
+        if not pairs:
+            continue  # uncorrelated: _Lowerer embeds it
+        if len(sub.items) != 1 or sub.group_by:
+            raise ValueError(
+                "correlated scalar subquery must be a single aggregate"
+            )
+        tag = catalog.fresh("__sc")
+        keys = [
+            SelectItem(ic, f"{tag}_k{i}") for i, (_oc, ic) in enumerate(pairs)
+        ]
+        dsel = Select(
+            items=keys + [SelectItem(sub.items[0].expr, tag)],
+            from_table=sub.from_table,
+            joins=sub.joins,
+            where=_and_all(local),
+            group_by=[ic for _oc, ic in pairs],
+        )
+        ops.append({
+            "op": "join",
+            "right": lower(dsel, catalog),
+            "on": [binder.physical(oc) for oc, _ic in pairs],
+            "right_on": [f"{tag}_k{i}" for i in range(len(pairs))],
+            # left outer: a no-row group is SQL NULL (comparisons reject it)
+            "how": "left_outer",
+        })
+        scalar_refs[id(sq)] = tag
+    return False
+
+
+def _scan_node(catalog: Catalog, name: str) -> dict[str, Any]:
+    return {"view": name} if catalog.is_view(name) else {"table": name}
+
+
 def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
     """Select AST → NAIVE spec (run ``rewrite.optimize`` before building)."""
+    _register_ctes(sel, catalog)
     if isinstance(sel, SetOpStmt):
         return _lower_setop(sel, catalog)
     if sel.from_table is None:
         raise ValueError("SELECT without FROM is not supported")
 
-    tables: list[tuple[str, Optional[str]]] = [
-        (sel.from_table.table, sel.from_table.alias)
-    ] + [(j.table.table, j.table.alias) for j in sel.joins]
+    tables = _register_from(sel, catalog)
     binder = Binder(catalog, tables)
-    lo = _Lowerer(binder)
+    scalar_refs: dict[int, str] = {}
+    lo = _Lowerer(binder, scalar_refs=scalar_refs)
 
     # ---- join planning (all names PHYSICAL: alias__col for self-joins) ----
     where_conj = _conjuncts(sel.where)
@@ -623,20 +1011,36 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
             return r, l
         return None
 
-    for j in sel.joins:
-        entry = j.table.alias or j.table.table
+    for j, (tname, _talias) in zip(sel.joins, tables[1:]):
+        entry = _talias or tname
         rename = binder.rename_map(entry)
         right_cols = {
             rename.get(c, c) if rename else c
-            for c in catalog.columns(j.table.table)
+            for c in catalog.columns(tname)
         }
         on_pairs: list[tuple[str, str]] = []
+        right_local: list[Expr] = []  # non-equi ON conjuncts on right cols
+        post_join: list[Expr] = []  # non-equi ON conjuncts on joined cols
         if j.on is not None:
             for c in _conjuncts(j.on):
                 pair = equi_sides(c, right_cols)
-                if pair is None:
+                if pair is not None:
+                    on_pairs.append(pair)
+                    continue
+                cols: set[str] = set()
+                _cols_in(c, cols)
+                phys = {
+                    binder.physical(Col(n)) if n in binder.col_owner else n
+                    for n in cols
+                }
+                if phys <= right_cols and j.kind in ("inner", "left_outer"):
+                    # right-side-only ON predicate: filter the right input
+                    # BEFORE joining (equivalent for inner + left outer)
+                    right_local.append(c)
+                elif j.kind == "inner":
+                    post_join.append(c)  # inner: ON ≡ WHERE
+                else:
                     raise ValueError(f"unsupported join condition: {c!r}")
-                on_pairs.append(pair)
         else:  # comma-style FROM: pull equi conjuncts out of WHERE
             for i, c in enumerate(where_conj):
                 if i in used_in_join:
@@ -645,13 +1049,17 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
                 if pair is not None:
                     on_pairs.append(pair)
                     used_in_join.add(i)
-        right_spec: dict[str, Any] = {"scan": {"table": j.table.table}}
+        right_spec: dict[str, Any] = {"scan": _scan_node(catalog, tname)}
         if rename:
             right_spec["ops"] = [{"op": "rename", "map": rename}]
+        for c in right_local:
+            right_spec.setdefault("ops", []).append(
+                {"op": "filter", "expr": lo.lower(c)}
+            )
         if not on_pairs:
             if j.on is not None:
                 raise ValueError(
-                    f"unsupported join condition for table {j.table.table}"
+                    f"unsupported join condition for table {tname}"
                 )
             # comma-FROM with no equi conjunct: cross product (broadcast
             # right side; the residual WHERE filters it right after)
@@ -673,11 +1081,19 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
                 ops.append({"op": "compute", "alias": rcol,
                             "expr": {"col": lcol}})
         joined_cols |= right_cols
+        for c in post_join:
+            ops.append({"op": "filter", "expr": lo.lower(c)})
 
-    # ---- residual WHERE ----------------------------------------------------
+    # ---- quantified / correlated WHERE conjuncts → joins -------------------
+    residual_conj: list[Expr] = []
     for i, c in enumerate(where_conj):
         if i in used_in_join:
             continue
+        if not _lower_quantified(c, binder, catalog, ops, scalar_refs, lo):
+            residual_conj.append(c)
+
+    # ---- residual WHERE ----------------------------------------------------
+    for c in residual_conj:
         ops.append({"op": "filter", "expr": lo.lower(c)})
 
     # ---- SELECT * ----------------------------------------------------------
@@ -685,7 +1101,7 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
         if sel.joins or sel.group_by or sel.distinct:
             raise ValueError("SELECT * only supported over a single table")
         out_cols = catalog.columns(tables[0][0])
-        spec = {"scan": {"table": tables[0][0]}, "ops": ops}
+        spec = {"scan": _scan_node(catalog, tables[0][0]), "ops": ops}
         _append_order_limit(spec, sel, out_cols, {}, lo)
         return spec
 
@@ -799,13 +1215,14 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
             ops.append({"op": "global_agg", "aggs": agg_specs})
 
         # post-aggregation scalar expressions
-        post = _Lowerer(binder, agg_refs)
+        post = _Lowerer(binder, agg_refs, scalar_refs=scalar_refs)
         final_lower = post
         for it, out_name in zip(sel.items, out_cols):
             e = deref_alias(it.expr)
             if isinstance(e, Col) and binder.physical(e) == e.name \
-                    and e.name in key_names:
-                continue  # key passthrough
+                    and e.name in key_names and out_name == e.name:
+                continue  # key passthrough (aliased keys fall through to a
+                # zero-copy compute ref below)
             if e in [deref_alias(g) for g in gb_exprs] and out_name in key_names:
                 continue  # computed key passthrough under its alias
             ops.append({"op": "compute", "alias": out_name,
@@ -824,7 +1241,7 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
     if sel.distinct:
         ops.append({"op": "distinct", "columns": out_cols})
 
-    spec = {"scan": {"table": tables[0][0]}, "ops": ops}
+    spec = {"scan": _scan_node(catalog, tables[0][0]), "ops": ops}
     _append_order_limit(spec, sel, out_cols, alias_expr, final_lower)
     spec["ops"].append({"op": "project", "columns": out_cols})
     return spec

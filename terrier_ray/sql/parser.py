@@ -29,14 +29,17 @@ from terrier_ray.sql.ast import (
     Case,
     Cast,
     Col,
+    Exists,
     Expr,
     Fn,
     InList,
+    InSubquery,
     IsNull,
     JoinClause,
     Like,
     Lit,
     OrderItem,
+    ScalarSubquery,
     Select,
     SelectItem,
     SetOpStmt,
@@ -63,7 +66,7 @@ _KEYWORDS = {
     "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "JOIN",
     "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "ASC", "DESC",
     "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
-    "ALL",
+    "ALL", "WITH", "EXISTS",
 }
 
 
@@ -144,10 +147,27 @@ class Parser:
 
     # -- entry --------------------------------------------------------------
     def parse_statement(self) -> "Select | SetOpStmt":
-        """statement := term (UNION|EXCEPT [ALL] term)* [ORDER BY ...]
-        [LIMIT ...]; term := select_core (INTERSECT [ALL] select_core)*
-        (INTERSECT binds tighter, per the standard).  ORDER BY / LIMIT
-        attach to the combined result."""
+        stmt = self.statement()
+        if self.peek().kind != "eof":
+            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+        return stmt
+
+    def statement(self) -> "Select | SetOpStmt":
+        """statement := [WITH name AS (stmt), ...] term
+        (UNION|EXCEPT [ALL] term)* [ORDER BY ...] [LIMIT ...];
+        term := select_core (INTERSECT [ALL] select_core)* (INTERSECT binds
+        tighter, per the standard).  ORDER BY / LIMIT attach to the combined
+        result; WITH attaches to the outermost statement."""
+        ctes: list[tuple[str, "Select | SetOpStmt"]] = []
+        if self.accept_kw("WITH"):
+            while True:
+                name = self.expect_ident()
+                self.expect_kw("AS")
+                self.expect_op("(")
+                ctes.append((name, self.statement()))
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
         stmt: Select | SetOpStmt = self._set_term()
         while True:
             op = self.accept_kw("UNION", "EXCEPT")
@@ -156,9 +176,16 @@ class Parser:
             all_ = bool(self.accept_kw("ALL"))
             stmt = SetOpStmt(op.lower(), all_, stmt, self._set_term())
         self._order_limit(stmt)
-        if self.peek().kind != "eof":
-            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+        stmt.ctes = ctes
         return stmt
+
+    def _at_subquery(self) -> bool:
+        """Next tokens open a subquery: ``( SELECT`` or ``( WITH``?"""
+        t, t1 = self.peek(), self.peek(1)
+        return (
+            t.kind == "op" and t.text == "("
+            and t1.kind == "kw" and t1.text in ("SELECT", "WITH")
+        )
 
     def _set_term(self) -> "Select | SetOpStmt":
         left: Select | SetOpStmt = self.select_core()
@@ -243,6 +270,16 @@ class Parser:
         return SelectItem(e, alias)
 
     def table_ref(self) -> TableRef:
+        if self._at_subquery():  # derived table: FROM ( SELECT ... ) [alias]
+            self.expect_op("(")
+            sub = self.statement()
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.expect_ident()
+            elif self.peek().kind == "ident":
+                alias = self.expect_ident()
+            return TableRef("", alias, subquery=sub)
         name = self.expect_ident()
         alias = None
         if self.accept_kw("AS"):
@@ -298,6 +335,12 @@ class Parser:
                 left = Like(left, self.additive(), negated)
                 continue
             if self.accept_kw("IN"):
+                if self._at_subquery():
+                    self.expect_op("(")
+                    sub = self.statement()
+                    self.expect_op(")")
+                    left = InSubquery(left, sub, negated)
+                    continue
                 self.expect_op("(")
                 vals = [self.expr()]
                 while self.accept_op(","):
@@ -347,6 +390,11 @@ class Parser:
 
     def primary(self) -> Expr:
         t = self.peek()
+        if self._at_subquery():
+            self.next()
+            sub = self.statement()
+            self.expect_op(")")
+            return ScalarSubquery(sub)
         if t.kind == "op" and t.text == "(":
             self.next()
             e = self.expr()
@@ -379,6 +427,12 @@ class Parser:
             if t.text == "FALSE":
                 self.next()
                 return Lit(False)
+            if t.text == "EXISTS":
+                self.next()
+                self.expect_op("(")
+                sub = self.statement()
+                self.expect_op(")")
+                return Exists(sub)
             if t.text == "CASE":
                 return self.case_expr()
             if t.text == "CAST":

@@ -97,17 +97,48 @@ def optimize(
 ) -> dict[str, Any]:
     """Naive spec → pushed/pruned/strategy-chosen spec (results unchanged)."""
     spec = copy.deepcopy(dict(spec))
+    views = spec.pop("views", None)
+    if views:
+        # each view (CTE / derived table) is an independent plan
+        views = {
+            n: optimize(v, sf_dir, broadcast_max_bytes)
+            for n, v in views.items()
+        }
     if "setop" in spec:
         # set-op root: each branch is an independent plan; the outer ops
         # (sort/limit on the combined result) have nothing to push
         node = spec["setop"]
         node["left"] = optimize(node["left"], sf_dir, broadcast_max_bytes)
         node["right"] = optimize(node["right"], sf_dir, broadcast_max_bytes)
+        if views:
+            spec["views"] = views
         return spec
+    # join right sides and embedded scalar-subquery plans optimize as
+    # independent specs FIRST — a right side whose own filter folded into
+    # its scan becomes a bare scan the outer passes can push into /
+    # broadcast
+    for op in spec.get("ops", []):
+        if op["op"] in ("join", "cross_join"):
+            op["right"] = optimize(op["right"], sf_dir, broadcast_max_bytes)
+        if "expr" in op:
+            _optimize_scalars(op["expr"], sf_dir, broadcast_max_bytes)
     _push_filters(spec, sf_dir)
     _prune_columns(spec, sf_dir)
     _choose_joins(spec, sf_dir, broadcast_max_bytes)
+    if views:
+        spec["views"] = views
     return spec
+
+
+def _optimize_scalars(
+    e: dict[str, Any], sf_dir: str, broadcast_max_bytes: int
+) -> None:
+    if "scalar_subquery" in e:
+        e["scalar_subquery"] = optimize(
+            e["scalar_subquery"], sf_dir, broadcast_max_bytes
+        )
+    for a in e.get("args", []):
+        _optimize_scalars(a, sf_dir, broadcast_max_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -117,8 +148,13 @@ def optimize(
 
 def _push_filters(spec: dict[str, Any], sf_dir: str) -> None:
     ops = spec.get("ops", [])
-    root_table = spec["scan"]["table"]
-    root_cols = set(_schema_cols(sf_dir, root_table))
+    root_is_table = "table" in spec["scan"]
+    # view roots accept no scan filters (build ignores them) — push nothing
+    root_cols = (
+        set(_schema_cols(sf_dir, spec["scan"]["table"]))
+        if root_is_table
+        else set()
+    )
 
     # join index → (right table, its columns); only bare-scan right sides
     joins: list[dict[str, Any]] = []
@@ -150,14 +186,15 @@ def _push_filters(spec: dict[str, Any], sf_dir: str) -> None:
             continue
         all_inner = all(j.get("how", "inner") == "inner" for j in joins)
 
-        if cols <= root_cols and (not joins or all_inner or _passes_left(joins)):
+        if root_is_table and cols and cols <= root_cols and \
+                (not joins or all_inner or _passes_left(joins)):
             _absorb(spec["scan"], op, pre_join_filters)
             continue
 
         owner = None
         for j in joins:
             right = j["right"]
-            if right.get("ops"):
+            if right.get("ops") or "table" not in right["scan"]:
                 continue
             rcols = set(_schema_cols(sf_dir, right["scan"]["table"]))
             # right key columns are coalesced away post-join; a filter that
@@ -249,7 +286,7 @@ def _prune_columns(spec: dict[str, Any], sf_dir: str) -> None:
 
 def _apply_prune(spec: dict[str, Any], sf_dir: str, refs: set[str]) -> None:
     scan = spec["scan"]
-    if not scan.get("columns"):
+    if "table" in scan and not scan.get("columns"):
         schema_cols = _schema_cols(sf_dir, scan["table"])
         need = [c for c in schema_cols if c in refs]
         if need and len(need) < len(schema_cols):
@@ -279,6 +316,8 @@ def _choose_joins(
         if op.get("how", "inner") not in ("inner", "left_outer"):
             continue
         rscan = right["scan"]
+        if "table" not in rscan:
+            continue  # view right sides keep the shuffle join
         size = _table_bytes(sf_dir, rscan["table"], rscan.get("columns"))
         if size <= broadcast_max_bytes:
             op["broadcast"] = True

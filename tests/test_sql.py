@@ -81,6 +81,43 @@ def test_parse_set_ops_precedence_and_outer_order():
     assert ex.op == "except" and ex.all
 
 
+def test_parse_subquery_forms():
+    from terrier_ray.sql.ast import Exists, InSubquery, ScalarSubquery, Unary
+
+    sel = parse(
+        """WITH w AS (SELECT a FROM t)
+           SELECT x FROM (SELECT a AS x FROM w) d
+           WHERE x > (SELECT AVG(a) FROM t)
+             AND EXISTS (SELECT 1 FROM u WHERE u.b = d.x)
+             AND x NOT IN (SELECT c FROM v)"""
+    )
+    assert sel.ctes[0][0] == "w"
+    assert sel.from_table.subquery is not None and sel.from_table.alias == "d"
+    conj = sel.where
+    assert isinstance(conj.right.stmt, type(sel))  # InSubquery holds a Select
+    assert isinstance(conj.right, InSubquery) and conj.right.negated
+    assert isinstance(conj.left.right, Exists)
+    assert isinstance(conj.left.left.right, ScalarSubquery)
+    ne = parse("SELECT a FROM t WHERE NOT EXISTS (SELECT 1 FROM u)").where
+    assert isinstance(ne, Unary) and ne.op == "not" and isinstance(
+        ne.operand, Exists
+    )
+
+
+def test_plan_is_repeatable(sf_smoke):
+    # regression: an id()-keyed FROM cache without a strong ref let a GC'd
+    # Select's recycled id() serve stale tables on the second plan() call
+    q = ("SELECT c_custkey FROM customer WHERE c_nationkey IN "
+         "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1) LIMIT 3")
+    import json
+
+    a = plan(q, sf_smoke)
+    b = plan(q, sf_smoke)
+    assert json.dumps(a, sort_keys=True, default=str) == json.dumps(
+        b, sort_keys=True, default=str
+    )
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(SyntaxError):
         parse("SELECT FROM WHERE")
@@ -275,6 +312,42 @@ E2E = [
     """SELECT c_nationkey FROM customer INTERSECT ALL
        SELECT n_nationkey FROM nation UNION ALL
        SELECT r_regionkey FROM region ORDER BY c_nationkey""",
+    # CTE feeding a group-by
+    """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                    WHERE o_totalprice > 100000)
+       SELECT o_custkey, COUNT(*) AS n FROM big
+       GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10""",
+    # CTE referenced twice (materialized once, set op over both refs)
+    """WITH b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+       SELECT o_custkey FROM b INTERSECT SELECT o_custkey FROM b
+       ORDER BY o_custkey LIMIT 5""",
+    # derived table in FROM
+    """SELECT pri, n FROM (SELECT o_orderpriority AS pri, COUNT(*) AS n
+                           FROM orders GROUP BY o_orderpriority) t
+       ORDER BY pri""",
+    # uncorrelated scalar subquery in WHERE
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+       ORDER BY o_orderkey LIMIT 10""",
+    # correlated EXISTS → left_semi decorrelation
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                     AND o_totalprice > 200000)
+       ORDER BY c_custkey LIMIT 10""",
+    # correlated NOT EXISTS → left_anti decorrelation
+    """SELECT n_name FROM nation
+       WHERE NOT EXISTS (SELECT 1 FROM customer
+                         WHERE c_nationkey = n_nationkey
+                         AND c_acctbal > 9000)
+       ORDER BY n_name""",
+    # IN (subquery) → left_semi
+    """SELECT o_orderkey FROM orders WHERE o_custkey IN
+       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       ORDER BY o_orderkey LIMIT 10""",
+    # NOT IN (subquery) → left_anti
+    """SELECT c_custkey FROM customer WHERE c_nationkey NOT IN
+       (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+       ORDER BY c_custkey LIMIT 10""",
 ]
 
 
