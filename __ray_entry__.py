@@ -65,6 +65,14 @@ _SQL_FRONTEND = [
     "in_between_filter", "trig_functions", "null_handling", "limit_offset",
     "docs_by_lang", "exact_dedup", "union_names", "intersect_nations",
     "except_sizes", "intersect_all_nations", "except_all_sizes",
+    # subquery / CTE / decorrelation coverage (EXISTS→semi, NOT EXISTS→anti,
+    # IN(SELECT)→semi, scalar subqueries→literals, WITH→views)
+    "q2_min_cost_supplier", "q4_order_priority", "q11_important_customers",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume", "q20_volume_suppliers",
+    "q22_sales_opportunity", "semi_join_urgent", "anti_join_no_urgent",
+    "bloom_semi_join_urgent", "left_join_order_counts",
+    "full_join_nation_presence", "discount_variance", "scalar_subquery",
 ]
 
 
