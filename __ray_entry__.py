@@ -73,6 +73,8 @@ _SQL_FRONTEND = [
     "q22_sales_opportunity", "semi_join_urgent", "anti_join_no_urgent",
     "bloom_semi_join_urgent", "left_join_order_counts",
     "full_join_nation_presence", "discount_variance", "scalar_subquery",
+    # window functions (ROW_NUMBER OVER in a derived table + rank filter)
+    "top2_orders_per_priority", "window_order_rank",
 ]
 
 

@@ -101,6 +101,29 @@ class IsNull(Expr):
     negated: bool = False
 
 
+@dataclass(frozen=True)
+class WindowDef:
+    """``( PARTITION BY ... ORDER BY ... )`` — default frame only (no
+    ROWS/RANGE clause; windowed() kinds carry their own frame semantics)."""
+
+    partition_by: tuple[Expr, ...] = ()
+    order_by: tuple[tuple[Expr, bool], ...] = ()  # (expr, descending)
+
+
+@dataclass(frozen=True)
+class WindowFn(Expr):
+    """``fn(args) OVER (window)`` / ``fn(args) OVER name``.
+
+    The reference has no window functions (SURVEY §1.1 non-feature); these
+    lower onto ops/window.windowed (one bucket shuffle + segment kernels).
+    Structural equality on purpose: equal occurrences (e.g. LAG(ts) OVER w
+    used twice in one SELECT) share one computed window column."""
+
+    func: str  # lowercase: row_number | rank | lag | sum | ...
+    args: tuple[Expr, ...]
+    window: Any  # WindowDef | str (named WINDOW reference)
+
+
 @dataclass(frozen=True, eq=False)
 class ScalarSubquery(Expr):
     """``( SELECT ... )`` in expression position — one row, one column.
@@ -172,6 +195,7 @@ class Select:
     limit: Optional[int] = None
     offset: Optional[int] = None
     ctes: list[tuple[str, Any]] = field(default_factory=list)  # WITH name AS (...)
+    windows: list[tuple[str, WindowDef]] = field(default_factory=list)  # WINDOW w AS (...)
 
 
 @dataclass

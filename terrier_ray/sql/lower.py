@@ -48,6 +48,8 @@ from terrier_ray.sql.ast import (
     SetOpStmt,
     Star,
     Unary,
+    WindowDef,
+    WindowFn,
 )
 
 
@@ -264,6 +266,16 @@ def infer_kind(e: Expr, binder: Binder) -> str:
         return _CAST_KIND.get(e.to, "other")
     if isinstance(e, (Like, InList, Between, IsNull, Exists, InSubquery)):
         return "bool"
+    if isinstance(e, WindowFn):
+        if e.func in ("row_number", "rank", "dense_rank", "ntile"):
+            return "int"
+        if e.func in ("percent_rank", "cume_dist"):
+            return "float"
+        k = infer_kind(e.args[0], binder) if e.args else "other"
+        if e.func == "sum":
+            # DuckDB SUM(int) OVER → HUGEINT → pandas float64 (q12 bug class)
+            return "float" if k == "int" else k
+        return k
     if isinstance(e, ScalarSubquery):
         f = output_schema(_aliased_scalar(e.stmt), binder.catalog)
         if len(f) != 1:
@@ -385,12 +397,16 @@ class _Lowerer:
         binder: Binder,
         agg_refs: Optional[dict[Agg, str]] = None,
         scalar_refs: Optional[dict[int, str]] = None,
+        win_refs: Optional[dict[WindowFn, str]] = None,
     ):
         self.binder = binder
         self.agg_refs = agg_refs or {}
         #: id(ScalarSubquery node) → column carrying its decorrelated value
         #: (MUST alias the caller's dict — the pre-pass fills it later)
         self.scalar_refs = {} if scalar_refs is None else scalar_refs
+        #: WindowFn (structural) → column the window op appended (MUST
+        #: alias the caller's dict — _lower_windows fills it later)
+        self.win_refs = {} if win_refs is None else win_refs
 
     def lower(self, e: Expr) -> Mapping[str, Any]:
         if isinstance(e, ScalarSubquery):
@@ -401,6 +417,18 @@ class _Lowerer:
             # it once (driver-side single value) and substitutes a literal
             sub = lower(_aliased_scalar(e.stmt), self.binder.catalog)
             return {"scalar_subquery": sub}
+        if isinstance(e, WindowFn):
+            name = self.win_refs.get(e)
+            if name is None:
+                raise ValueError("window function in unexpected position")
+            ref: Mapping[str, Any] = {"col": name}
+            if e.func == "sum" and \
+                    infer_kind(e.args[0], self.binder) == "int":
+                # windowed cumsum emits int64; DuckDB window SUM(int) is
+                # HUGEINT → pandas float64
+                ref = {"fn": "cast", "args": [ref],
+                       "options": {"target_type": "float64"}}
+            return ref
         if isinstance(e, Agg):
             name = self.agg_refs.get(e)
             if name is None:
@@ -637,6 +665,128 @@ def _collect_aggs(e: Expr, out: list[Agg]) -> None:
     elif isinstance(e, InSubquery):
         _collect_aggs(e.operand, out)
     # ScalarSubquery / Exists: self-contained statements — no outer aggs
+
+
+def _collect_windows(e: Expr, out: list[WindowFn]) -> None:
+    if isinstance(e, WindowFn):
+        if e not in out:
+            out.append(e)
+        return
+    if isinstance(e, BinOp):
+        _collect_windows(e.left, out)
+        _collect_windows(e.right, out)
+    elif isinstance(e, Unary):
+        _collect_windows(e.operand, out)
+    elif isinstance(e, Fn):
+        for a in e.args:
+            _collect_windows(a, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _collect_windows(c, out)
+            _collect_windows(v, out)
+        if e.default is not None:
+            _collect_windows(e.default, out)
+    elif isinstance(e, Cast):
+        _collect_windows(e.operand, out)
+    elif isinstance(e, (Like, IsNull)):
+        _collect_windows(e.operand, out)
+    elif isinstance(e, Between):
+        _collect_windows(e.operand, out)
+        _collect_windows(e.lo, out)
+        _collect_windows(e.hi, out)
+    elif isinstance(e, (InList, InSubquery)):
+        _collect_windows(e.operand, out)
+
+
+#: SQL window fn → ops/window.windowed kind (frame semantics per windowed())
+_WIN_KIND = {
+    "row_number": "row_number", "rank": "rank", "dense_rank": "dense_rank",
+    "percent_rank": "percent_rank", "cume_dist": "cume_dist",
+    "ntile": "ntile", "lag": "lag", "lead": "lead", "sum": "cumsum",
+    "first_value": "first_value", "last_value": "last_value",
+    "nth_value": "nth_value",
+}
+
+
+def _lower_windows(
+    sel: Select,
+    binder: Binder,
+    ops: list[dict[str, Any]],
+    win_refs: dict[WindowFn, str],
+) -> None:
+    """Extract WindowFn occurrences from the select items, group them by
+    window definition, and append one ``window`` op per distinct window
+    (ops/window.windowed computes every spec of a window in ONE bucket
+    shuffle).  ``win_refs`` maps each WindowFn to its output column."""
+    all_wins: list[WindowFn] = []
+    for it in sel.items:
+        _collect_windows(it.expr, all_wins)
+    if not all_wins:
+        return
+    if sel.group_by or sel.having is not None:
+        raise ValueError(
+            "window functions cannot mix with GROUP BY/HAVING in one "
+            "SELECT; wrap the window in a derived table or CTE"
+        )
+    named = dict(sel.windows)
+    groups: dict[WindowDef, list[tuple[WindowFn, str]]] = {}
+    for wi, wf in enumerate(all_wins):
+        wd = wf.window
+        if isinstance(wd, str):
+            if wd not in named:
+                raise ValueError(f"unknown window {wd!r}")
+            wd = named[wd]
+        name = f"__win{wi}"
+        for it in sel.items:  # bare aliased item → use the alias directly
+            if it.alias and it.expr == wf:
+                name = it.alias
+                break
+        win_refs[wf] = name
+        groups.setdefault(wd, []).append((wf, name))
+
+    def phys(e: Expr, what: str) -> str:
+        if not isinstance(e, Col):
+            raise ValueError(f"window {what} must be a plain column")
+        return binder.physical(e)
+
+    for wd, fns in groups.items():
+        partition = [phys(c, "PARTITION BY key") for c in wd.partition_by]
+        order = [phys(c, "ORDER BY key") for c, _ in wd.order_by]
+        desc = [d for _, d in wd.order_by]
+        specs: list[list[Any]] = []
+        for wf, name in fns:
+            kind = _WIN_KIND.get(wf.func)
+            if kind is None:
+                raise ValueError(f"unsupported window function {wf.func!r}")
+            if kind in ("row_number", "rank", "dense_rank", "percent_rank",
+                        "cume_dist"):
+                specs.append([kind, None, name])
+            elif kind == "ntile":
+                if len(wf.args) != 1 or not isinstance(wf.args[0], Lit):
+                    raise ValueError("NTILE requires a literal bucket count")
+                specs.append([kind, int(wf.args[0].value), name])
+            elif kind == "nth_value":
+                if len(wf.args) != 2 or not isinstance(wf.args[1], Lit):
+                    raise ValueError("NTH_VALUE(col, n) requires literal n")
+                specs.append(
+                    [kind, phys(wf.args[0], "argument"), name,
+                     int(wf.args[1].value)]
+                )
+            else:  # lag / lead / cumsum / first_value / last_value
+                if kind in ("lag", "lead") and len(wf.args) > 1:
+                    if not (isinstance(wf.args[1], Lit)
+                            and wf.args[1].value == 1):
+                        raise ValueError("LAG/LEAD offset must be 1")
+                if not wf.args:
+                    raise ValueError(f"{wf.func} requires a column argument")
+                specs.append([kind, phys(wf.args[0], "argument"), name])
+        ops.append({
+            "op": "window",
+            "partition_by": partition,
+            "order_by": order,
+            "specs": specs,
+            "descending": desc,
+        })
 
 
 def _cols_in(e: Expr, out: set[str]) -> None:
@@ -983,7 +1133,8 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
     tables = _register_from(sel, catalog)
     binder = Binder(catalog, tables)
     scalar_refs: dict[int, str] = {}
-    lo = _Lowerer(binder, scalar_refs=scalar_refs)
+    win_refs: dict[WindowFn, str] = {}
+    lo = _Lowerer(binder, scalar_refs=scalar_refs, win_refs=win_refs)
 
     # ---- join planning (all names PHYSICAL: alias__col for self-joins) ----
     where_conj = _conjuncts(sel.where)
@@ -1095,6 +1246,9 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
     # ---- residual WHERE ----------------------------------------------------
     for c in residual_conj:
         ops.append({"op": "filter", "expr": lo.lower(c)})
+
+    # ---- window functions (evaluated after WHERE, before projection) -------
+    _lower_windows(sel, binder, ops, win_refs)
 
     # ---- SELECT * ----------------------------------------------------------
     if len(sel.items) == 1 and isinstance(sel.items[0].expr, Star):

@@ -46,6 +46,8 @@ from terrier_ray.sql.ast import (
     Star,
     TableRef,
     Unary,
+    WindowDef,
+    WindowFn,
 )
 
 _TOKEN_RE = re.compile(
@@ -66,7 +68,7 @@ _KEYWORDS = {
     "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST", "JOIN",
     "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "ASC", "DESC",
     "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
-    "ALL", "WITH", "EXISTS",
+    "ALL", "WITH", "EXISTS", "OVER", "PARTITION", "WINDOW",
 }
 
 
@@ -255,6 +257,13 @@ class Parser:
                 sel.group_by.append(self.expr())
         if self.accept_kw("HAVING"):
             sel.having = self.expr()
+        if self.accept_kw("WINDOW"):
+            while True:
+                wname = self.expect_ident()
+                self.expect_kw("AS")
+                sel.windows.append((wname, self._window_def()))
+                if not self.accept_op(","):
+                    break
         return sel
 
     def select_item(self) -> SelectItem:
@@ -456,23 +465,57 @@ class Parser:
                 if name in _AGG_FUNCS:
                     if self.accept_op("*"):
                         self.expect_op(")")
-                        return Agg("count", None)
+                        return self._maybe_over(Agg("count", None))
                     distinct = bool(self.accept_kw("DISTINCT"))
                     arg = self.expr()
                     self.expect_op(")")
-                    return Agg(name.lower(), arg, distinct)
+                    return self._maybe_over(Agg(name.lower(), arg, distinct))
                 args: list[Expr] = []
                 if not self.accept_op(")"):
                     args.append(self.expr())
                     while self.accept_op(","):
                         args.append(self.expr())
                     self.expect_op(")")
-                return Fn(name, tuple(args))
+                return self._maybe_over(Fn(name, tuple(args)))
             name = self.expect_ident()
             if self.accept_op("."):
                 return Col(self.expect_ident(), table=name)
             return Col(name)
         raise SyntaxError(f"unexpected token {t.text!r}")
+
+    def _maybe_over(self, node: Expr) -> Expr:
+        """``fn(...) [OVER (def) | OVER name]`` — wrap into WindowFn."""
+        if not self.accept_kw("OVER"):
+            return node
+        if self.peek().kind == "op" and self.peek().text == "(":
+            wd: "WindowDef | str" = self._window_def()
+        else:
+            wd = self.expect_ident()
+        if isinstance(node, Agg):
+            if node.distinct:
+                raise SyntaxError("DISTINCT window aggregates not supported")
+            args = () if node.arg is None else (node.arg,)
+            return WindowFn(node.func, args, wd)
+        return WindowFn(node.name.lower(), node.args, wd)
+
+    def _window_def(self) -> WindowDef:
+        self.expect_op("(")
+        partition: list[Expr] = []
+        order: list[tuple[Expr, bool]] = []
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition.append(self.expr())
+            while self.accept_op(","):
+                partition.append(self.expr())
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                oi = self.order_item()
+                order.append((oi.expr, oi.descending))
+                if not self.accept_op(","):
+                    break
+        self.expect_op(")")  # no ROWS/RANGE frames (default frame only)
+        return WindowDef(tuple(partition), tuple(order))
 
     def case_expr(self) -> Expr:
         self.expect_kw("CASE")

@@ -348,6 +348,39 @@ E2E = [
     """SELECT c_custkey FROM customer WHERE c_nationkey NOT IN
        (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
        ORDER BY c_custkey LIMIT 10""",
+    # named WINDOW, two fns sharing one shuffle
+    """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, rn LIMIT 40""",
+    # LAG / LEAD at partition edges
+    """SELECT o_custkey, o_orderkey,
+              LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_o,
+              LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS next_o
+       FROM orders ORDER BY o_custkey, o_orderkey LIMIT 50""",
+    # running SUM(int) — engine cumsum int64 widened to DuckDB HUGEINT→float64
+    """SELECT o_custkey, o_orderkey,
+              SUM(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS s
+       FROM orders ORDER BY o_custkey, o_orderkey LIMIT 50""",
+    # window fn nested inside a CASE expression
+    """SELECT o_orderkey,
+              CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice DESC,
+                                                    o_orderkey) = 1
+                   THEN 'top' ELSE 'rest' END AS tag
+       FROM orders ORDER BY o_orderkey LIMIT 30""",
+    # ROW_NUMBER in a derived table with an outer rank filter
+    """SELECT o_orderkey, o_orderpriority FROM (
+           SELECT o_orderkey, o_orderpriority,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey) AS rn
+           FROM orders) t
+       WHERE rn <= 2 ORDER BY o_orderpriority, o_orderkey""",
 ]
 
 
