@@ -73,11 +73,39 @@ def term_hash(terms: np.ndarray) -> np.ndarray:
 #: fixed startup (~1-2 s) dwarfs the work; above it the Ray path runs.
 _DRIVER_SIDE_BYTES = 1 << 30
 
+#: duplicated-url rows at or below this resolve on the driver (one
+#: _dedup_group call) instead of paying a sort sub-pipeline's fixed cost;
+#: ~2% dup rate means this covers corpora up to ~10M docs
+_DRIVER_DUP_ROWS = 200_000
+
+#: above this input size the duplicate-detection url scan runs as a Ray
+#: pipeline (per-block partial uniques) — the driver's single-threaded url
+#: decode costs ~2.3 s at 960k docs, a serial tax both scaling legs pay
+_PARALLEL_URL_BYTES = 128 << 20
+
 
 def _total_bytes(path: str) -> int:
     return sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
     )
+
+
+def _scan_blocks(path: str, per_cpu: int = 2) -> int | None:
+    """Read-block target for the corpus scans.
+
+    Ray's parquet reader splits work at ROW-GROUP granularity; without an
+    override it emits roughly one block per input file, so a 12-file corpus
+    caps the extract/tokenize stage at 12-way parallelism no matter how many
+    cpus the cluster has (the measured 4→16-cpu scaling ceiling).  Map-only
+    passes want ~2 blocks/cpu for wave balance; shuffle inputs want ~1/cpu
+    (see ops/relational._read_blocks_for).  Ray silently caps the override
+    at the total row-group count, so this is safe on coarse files too.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_files = len(glob.glob(os.path.join(path, "*.parquet"))) or 1
+    return max(n_files, per_cpu * cpus)
 
 
 def _input_fingerprint(path: str, extra: dict | None = None) -> dict:
@@ -138,20 +166,31 @@ def build_corpus(
     batch_size: int = 512,
     dedup_partitions: int = 32,
 ):
-    """Extract + tokenize + url-dedup, WITHOUT shuffling the heavy payload.
+    """Extract + tokenize + url-dedup in ONE raw scan, shuffling only dups.
 
     A url-keyed groupby over the tokenized corpus would move every terms/tfs
     list through an all-to-all exchange.  Instead:
 
     1. cheap pass over (url) ONLY (column pruning) → docid duplicate counts
-       via groupby (16-byte rows through the shuffle) → tiny duplicate set,
-       broadcast via ray.put (at 1e12 docs: a Bloom filter instead of the
-       exact set — same shape).
-    2. main pass: read → extract → tokenize → keep rows whose docid is NOT
-       duplicated → write.  No shuffle at all for the ~98% unique majority.
-    3. dup pass: re-read ONLY the duplicated urls (row filter applied at the
-       scan, before extraction), resolve winners per docid with the exact
-       (warc_ts, dl) rule in one tiny groupby, append to the corpus dir.
+       (driver-side below _DRIVER_SIDE_BYTES; above it per-block partial
+       ``np.unique`` counts merged on the driver — NOT a full-cardinality
+       groupby, which this Ray's sort shuffle prices by key count) → tiny
+       duplicate set, broadcast via ray.put (at 1e12 docs: a Bloom filter
+       instead of the exact set — same shape).
+    2. main pass: read → extract → tokenize; each task WRITES its
+       unique-docid rows straight into the corpus dir (content-derived
+       deterministic filename + tmp/atomic-rename → idempotent under Ray
+       task retry; no shuffle at all for the ~98% majority) and EMITS only
+       duplicated-docid rows.  Those ~2% flow into a bounded bucket shuffle
+       (docid % dedup_partitions — fixed key count, not data-sized) where
+       each bucket resolves winners with the deterministic
+       (warc_ts, dl, content-hash) rule (_dedup_group) and atomically
+       writes ``dup-resolved-NNN.parquet``.
+
+    Earlier shape: three pipelines (detect / write-unique / full re-scan +
+    resolve).  Fusing the last two halves the raw-input scans and drops one
+    Ray pipeline startup+finalize floor per build — fixed costs that taxed
+    the big-cluster leg of the scaling criterion hardest.
 
     Extraction/tokenization state is module-level compiled regexes, so these
     run as STATELESS task stages (elastic, no CPU reservation) — actor pools
@@ -160,13 +199,11 @@ def build_corpus(
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     # --- pass 1: duplicate detection over url column only ---
-    # adaptive: under _DRIVER_SIDE_BYTES of input the url column fits on the
-    # driver (one pyarrow read beats a Ray pipeline's fixed startup); above
-    # it, the same logic runs as a Ray groupby over (docid) rows.
-    if _total_bytes(webtext_path) < _DRIVER_SIDE_BYTES:
+    # adaptive: small inputs decode urls on the driver (one pyarrow read
+    # beats a Ray pipeline's fixed startup); larger ones fan out
+    if _total_bytes(webtext_path) < _PARALLEL_URL_BYTES:
         import pyarrow.dataset as pads
 
         from terrier_ray.datagen.webtext import url_doc_id
@@ -176,29 +213,40 @@ def build_corpus(
         uniq, cnt = np.unique(d, return_counts=True)
         dup_ids = np.sort(uniq[cnt > 1])
     else:
-        urls = rd.read_parquet(webtext_path, columns=["url"])
+        urls = rd.read_parquet(
+            webtext_path,
+            columns=["url"],
+            override_num_blocks=_scan_blocks(webtext_path),
+        )
 
-        def to_docids(batch: pa.Table) -> pa.Table:
+        def block_counts(batch: pa.Table) -> pa.Table:
             from terrier_ray.datagen.webtext import url_doc_id
 
             dd = url_doc_id(batch.column("url")).astype(np.int64)
-            return pa.table({"docid": pa.array(dd)})
+            u, c = np.unique(dd, return_counts=True)
+            return pa.table({"docid": pa.array(u), "c": pa.array(c.astype(np.int64))})
 
-        counts = (
-            urls.map_batches(to_docids, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("docid")
-            .aggregate(Count(alias_name="c"))
+        parts = list(
+            urls.map_batches(
+                block_counts,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
         )
-        dup_tab = counts.map_batches(
-            lambda b: b.filter(pc.greater(b.column("c"), 1)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).to_pandas()
-        dup_ids = np.sort(dup_tab["docid"].to_numpy().astype(np.int64))
+        if parts:
+            alld = np.concatenate([t.column("docid").to_numpy() for t in parts])
+            allc = np.concatenate([t.column("c").to_numpy() for t in parts])
+            uniq, inv = np.unique(alld, return_inverse=True)
+            tot = np.bincount(inv, weights=allc)
+            dup_ids = uniq[tot > 1]  # np.unique output is already sorted
+        else:
+            dup_ids = np.empty(0, dtype=np.int64)
     dup_ref = ray.put(dup_ids)
 
-    # --- pass 2: unique majority, shuffle-free ---
-    ds = rd.read_parquet(webtext_path)
+    # --- main pass: write unique majority in-task, emit dups to the shuffle
+    os.makedirs(corpus_dir, exist_ok=True)
+    ds = rd.read_parquet(webtext_path, override_num_blocks=_scan_blocks(webtext_path))
     ds = ds.map_batches(
         _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
@@ -206,48 +254,68 @@ def build_corpus(
         _tokenize_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
-    def keep_unique(batch: pa.Table) -> pa.Table:
+    def write_unique_emit_dups(batch: pa.Table) -> pa.Table:
         dups = _get_broadcast(dup_ref)
-        if len(dups) == 0:
-            return batch
         d = batch.column("docid").to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(dups, d), 0, len(dups) - 1)
-        return batch.filter(pa.array(dups[idx] != d))
-
-    ds.map_batches(keep_unique, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        corpus_dir
-    )
-
-    # --- pass 3: resolve duplicated urls only (tiny) ---
-    if len(dup_ids):
-        # row filter on hashed url BEFORE extraction — only dup rows are
-        # extracted/tokenized in this pass
-        def keep_dup_raw(batch: pa.Table) -> pa.Table:
-            from terrier_ray.datagen.webtext import url_doc_id
-
-            dups = _get_broadcast(dup_ref)
-            d = url_doc_id(batch.column("url")).astype(np.int64)
+        if len(dups):
             idx = np.clip(np.searchsorted(dups, d), 0, len(dups) - 1)
-            return batch.filter(pa.array(dups[idx] == d))
+            is_dup = dups[idx] == d
+        else:
+            is_dup = np.zeros(len(d), dtype=bool)
+        uniq_rows = batch.filter(pa.array(~is_dup))
+        if uniq_rows.num_rows:
+            # content-derived name: a retried task re-produces the same block
+            # and overwrites its own output (tmp + atomic rename, like the
+            # postings bucket writer) — small row groups keep it splittable
+            tag = hashlib.blake2b(
+                uniq_rows.column("docid").to_numpy(zero_copy_only=False).tobytes(),
+                digest_size=8,
+            ).hexdigest()
+            final = os.path.join(corpus_dir, f"part-{tag}.parquet")
+            tmp = f"{final}.tmp-{os.getpid()}"
+            pq.write_table(uniq_rows, tmp, row_group_size=4096)
+            os.replace(tmp, final)
+        dup_rows = batch.filter(pa.array(is_dup))
+        b = dup_rows.column("docid").to_numpy(zero_copy_only=False) % dedup_partitions
+        return dup_rows.append_column("dbucket", pa.array(b.astype(np.int32)))
 
-        dup_ds = rd.read_parquet(webtext_path)
-        dup_ds = dup_ds.map_batches(
-            keep_dup_raw, batch_format="pyarrow", zero_copy_batch=True
-        )
-        dup_ds = dup_ds.map_batches(
-            _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-        )
-        dup_ds = dup_ds.map_batches(
-            _tokenize_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-        )
-        resolved = dup_ds.groupby("docid").map_groups(
-            _dedup_group, batch_format="pyarrow"
-        )
-        tabs = list(resolved.iter_batches(batch_size=None, batch_format="pyarrow"))
-        if tabs:
-            pq.write_table(
-                pa.concat_tables(tabs), os.path.join(corpus_dir, "dup-resolved.parquet")
+    # materialize BEFORE the groupby: the sort all-to-all re-executes its
+    # input lineage (sampling), which would re-run the whole extract/tokenize
+    # scan (+11 s measured at 4 cpus); the stream holds only the ~2% dup rows
+    dup_stream = ds.map_batches(
+        write_unique_emit_dups,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column("dbucket")[0].as_py())
+        winners = _dedup_group(group.drop_columns(["dbucket"]))
+        final = os.path.join(corpus_dir, f"dup-resolved-{b:03d}.parquet")
+        tmp = f"{final}.tmp-{os.getpid()}"
+        pq.write_table(winners, tmp, row_group_size=4096)
+        os.replace(tmp, final)
+        return pa.table({"dbucket": pa.array([b], type=pa.int32())})
+
+    if len(dup_ids):
+        if dup_stream.count() <= _DRIVER_DUP_ROWS:
+            # the usual case (~2% dup rate): one driver-side resolve beats a
+            # whole sort sub-pipeline's fixed cost; bounded by the threshold
+            tabs = list(
+                dup_stream.iter_batches(batch_size=None, batch_format="pyarrow")
             )
+            allrows = pa.concat_tables(
+                [t.drop_columns(["dbucket"]) for t in tabs]
+            ).combine_chunks()
+            winners = _dedup_group(allrows)
+            final = os.path.join(corpus_dir, "dup-resolved-000.parquet")
+            pq.write_table(winners, f"{final}.tmp", row_group_size=4096)
+            os.replace(f"{final}.tmp", final)
+        else:
+            dup_stream.groupby("dbucket").map_groups(
+                resolve_bucket, batch_format="pyarrow"
+            ).materialize()
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +626,12 @@ def build_postings(
     def explode(batch: pa.Table) -> pa.Table:
         return _Exploder(*exploder_cfg)(batch)
 
-    ds = rd.read_parquet(corpus_dir, columns=["docid", "dl", "terms", "tfs"])
+    ds = rd.read_parquet(
+        corpus_dir,
+        columns=["docid", "dl", "terms", "tfs"],
+        # shuffle input: ~1 block/cpu (more oversubscribes the aggregator)
+        override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1),
+    )
     ds = ds.map_batches(
         explode,
         batch_format="pyarrow",
@@ -576,6 +649,11 @@ def build_postings(
         )
 
     segments = segments.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize before the second sort: the bucket groupby would otherwise
+    # re-execute its lineage (explode + pkey sort) — measured ~1.5x postings
+    # wall at 4 cpus.  Segments are per-(pkey, term) ENCODED rows, roughly
+    # index-sized, so holding them in the object store is scale-safe.
+    segments = segments.materialize()
     metrics = segments.groupby("bucket").map_groups(
         _make_final_merger(postings_dir, num_buckets, ef_threshold), batch_format="pyarrow"
     )

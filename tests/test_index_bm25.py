@@ -366,3 +366,34 @@ def test_three_segment_incremental_ingest(ray_session, webtext_small, tmp_root):
     seg = SegmentedBM25(segs)
     for q in generate_queries(10).column("text").to_pylist():
         assert seg.search(q, k=10) == mono.search(q, k=10), q
+
+
+def test_scale_paths_build_identical_corpus(
+    ray_session, webtext_small, tmp_root, monkeypatch
+):
+    """The at-scale corpus paths (Ray per-block-partial url dedup + the
+    distributed dup-resolve shuffle) must produce byte-identical corpus
+    CONTENT to the small-input driver-side paths."""
+    import pyarrow.dataset as pads
+
+    from terrier_ray.index import build as B
+
+    def corpus_key(d):
+        tab = (
+            pads.dataset(d)
+            .to_table(columns=["docid", "warc_ts", "dl", "terms", "tfs"])
+            .sort_by("docid")
+        )
+        return tab
+
+    small_dir = os.path.join(str(tmp_root), "corpus_paths_small")
+    B.build_corpus(webtext_small, small_dir)
+
+    monkeypatch.setattr(B, "_PARALLEL_URL_BYTES", 0)
+    monkeypatch.setattr(B, "_DRIVER_DUP_ROWS", 0)
+    big_dir = os.path.join(str(tmp_root), "corpus_paths_big")
+    B.build_corpus(webtext_small, big_dir)
+
+    a, b = corpus_key(small_dir), corpus_key(big_dir)
+    assert a.num_rows == b.num_rows
+    assert a.equals(b)
