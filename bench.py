@@ -162,7 +162,9 @@ def run_bench() -> dict:
     warm = queries.slice(0, min(100, queries.num_rows))
     ray.get([a.__call__.remote(warm) for a in actors])
     n_slices = pool * 4
-    rows_per = max(1, queries.num_rows // n_slices)
+    # ceil so the slices COVER the query set: floor division dropped the
+    # remainder (16 queries at pool=8), making legs do unequal work
+    rows_per = max(1, -(-queries.num_rows // n_slices))
     slices = [
         queries.slice(i * rows_per, rows_per)
         for i in range(n_slices)
