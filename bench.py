@@ -111,8 +111,11 @@ def run_bench() -> dict:
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
     # buckets: more buckets shrink the per-bucket merge straggler (bucket
-    # sizes skew ~3x); identical across scaling legs so the job is the same
-    n_buckets = int(os.environ.get("GRAFT_BUCKETS", "64"))
+    # sizes skew ~3x; at 960k docs the top bucket carried 1.6M postings and
+    # bound the 16-cpu leg — 256 buckets cut that epoch 23->17 s).  Sized by
+    # corpus, NOT cpus, so the job stays identical across scaling legs.
+    default_buckets = 256 if n_docs_in >= 480_000 else 64
+    n_buckets = int(os.environ.get("GRAFT_BUCKETS", default_buckets))
     stats = build_index(web, idx_dir, num_pkeys=32, num_buckets=n_buckets, num_salts=4)
     build_s = time.perf_counter() - t0
     results["index_build"] = round(build_s, 3)

@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 from terrier_ray.extract.html import HtmlExtractor
 from terrier_ray.ops.relational import _get_broadcast  # per-worker bounded cache
 from terrier_ray.index.codec import (
+    EF_THRESHOLD,
     delta_decode,
     delta_encode,
     decode_posting_list,
@@ -52,6 +53,9 @@ from terrier_ray.index.codec import (
 )
 from terrier_ray.state.manifest import epoch_done, finish_epoch
 from terrier_ray.text.tokenize import Tokenizer
+
+#: container fmt tag for the verbatim fast path (codec._FMT_VBYTE)
+_VBYTE_FMT = bytes([0])
 
 K1 = 1.2
 B = 0.75
@@ -540,8 +544,10 @@ def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | 
     def merge_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
         term = np.asarray(group.column("term").to_pylist(), dtype=object)
-        uniq, inverse = np.unique(term, return_inverse=True)
-        n_arr = group.column("n").to_numpy(zero_copy_only=False)
+        uniq, inverse, seg_counts = np.unique(
+            term, return_inverse=True, return_counts=True
+        )
+        n_arr = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         cf_arr = group.column("cf").to_numpy(zero_copy_only=False)
         did_bin = group.column("docids_enc").to_pylist()
         tf_bin = group.column("tfs_enc").to_pylist()
@@ -550,10 +556,63 @@ def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | 
         starts = np.concatenate(
             ([0], np.flatnonzero(np.diff(inverse[order])) + 1, [len(order)])
         )
-        rows_term, rows_df, rows_cf = [], [], []
-        rows_post, rows_bl, rows_bm = [], [], []
-        total_postings = 0
-        for i in range(len(uniq)):
+        U = len(uniq)
+        rows_df = [0] * U
+        rows_cf = [0] * U
+        rows_post: list = [b""] * U
+        rows_bl: list = [b""] * U
+        rows_bm: list = [b""] * U
+        total_postings = int(n_arr.sum())
+        ef_t = EF_THRESHOLD if ef_threshold is None else ef_threshold
+
+        # ---- fast path: single-segment short terms (the vast majority).
+        # The final container for n < ef_threshold is EXACTLY the segment
+        # encoding (varbyte(delta(docids)) | varbyte(tf-1)), so the posting
+        # bytes pass through VERBATIM — no decode/re-encode.  Block metadata
+        # needs the docids, decoded ONCE for the whole bucket: varbyte is
+        # self-delimiting, so one decode of the concatenated streams yields
+        # every gap, and per-term prefix sums fall out of one global cumsum.
+        seg_row = order[starts[:-1]]  # first (only) segment row per term
+        is_fast = (seg_counts == 1) & (n_arr[seg_row] < ef_t) & (n_arr[seg_row] > 0)
+        fast_u = np.flatnonzero(is_fast)
+        if len(fast_u):
+            rows = seg_row[fast_u]
+            lens = n_arr[rows]
+            did_join = b"".join(did_bin[j] for j in rows)
+            gaps = varbyte_decode(did_join)
+            ends_ = np.cumsum(lens)
+            starts_ = ends_ - lens
+            c = np.cumsum(gaps, dtype=np.uint64)
+            offs = np.where(starts_ > 0, c[starts_ - 1], np.uint64(0))
+            docids = c - np.repeat(offs, lens)
+            nblocks = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+            bstart_of = np.cumsum(nblocks) - nblocks
+            rep = np.repeat(np.arange(len(rows)), nblocks)
+            within = np.arange(int(nblocks.sum())) - np.repeat(bstart_of, nblocks)
+            bs = starts_[rep] + within * BLOCK_SIZE
+            blast = docids[np.minimum(bs + BLOCK_SIZE - 1, ends_[rep] - 1)]
+            wds_all = np.frombuffer(b"".join(wd_bin[j] for j in rows), dtype=np.float32)
+            bmax = np.maximum.reduceat(wds_all, bs)
+            bl_bytes = blast.astype("<u8").tobytes()
+            bm_bytes = bmax.astype("<f4").tobytes()
+            for k, u in enumerate(fast_u):
+                j = seg_row[u]
+                db = did_bin[j]
+                rows_df[u] = int(lens[k])
+                rows_cf[u] = int(cf_arr[j])
+                rows_post[u] = (
+                    _VBYTE_FMT
+                    + int(lens[k]).to_bytes(4, "little")
+                    + len(db).to_bytes(4, "little")
+                    + db
+                    + tf_bin[j]
+                )
+                b0, b1 = int(bstart_of[k]), int(bstart_of[k] + nblocks[k])
+                rows_bl[u] = bl_bytes[8 * b0 : 8 * b1]
+                rows_bm[u] = bm_bytes[4 * b0 : 4 * b1]
+
+        # ---- slow path: multi-segment (salted heavy) terms + EF-length lists
+        for i in np.flatnonzero(~is_fast):
             seg_idx = order[starts[i] : starts[i + 1]]
             dids = np.concatenate([delta_decode(varbyte_decode(did_bin[j])) for j in seg_idx])
             tfs = np.concatenate([varbyte_decode(tf_bin[j]) + np.uint64(1) for j in seg_idx])
@@ -562,18 +621,17 @@ def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | 
                 o = np.argsort(dids, kind="stable")
                 dids, tfs, wds = dids[o], tfs[o], wds[o]
             df = len(dids)
-            total_postings += df
             block_starts = np.arange(0, df, BLOCK_SIZE)
             block_last = dids[np.minimum(block_starts + BLOCK_SIZE - 1, df - 1)]
             block_max = np.maximum.reduceat(wds, block_starts)
-            rows_term.append(uniq[i])
-            rows_df.append(df)
-            rows_cf.append(int(cf_arr[seg_idx].sum()))
+            rows_df[i] = df
+            rows_cf[i] = int(cf_arr[seg_idx].sum())
             # codec container: delta+varbyte, or Elias–Fano past EF_THRESHOLD
             # (the Zipf-head long-list format promised in codec.py)
-            rows_post.append(encode_posting_list(dids, tfs, ef_threshold) if df else b"")
-            rows_bl.append(block_last.astype("<u8").tobytes())
-            rows_bm.append(block_max.astype("<f4").tobytes())
+            rows_post[i] = encode_posting_list(dids, tfs, ef_threshold) if df else b""
+            rows_bl[i] = block_last.astype("<u8").tobytes()
+            rows_bm[i] = block_max.astype("<f4").tobytes()
+        rows_term = list(uniq)
         out = pa.table(
             {
                 "term": pa.array(list(rows_term), type=pa.string()),

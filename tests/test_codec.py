@@ -88,3 +88,76 @@ def test_posting_list_compresses():
     enc = encode_posting_list(doc_ids, tfs)
     # EF path: ~ (2 + log2(gap)) bits/doc for docids + 1 byte/doc tf
     assert len(enc) < n * 2.5
+
+
+def test_merge_fast_path_bit_identical_to_reencode(tmp_path):
+    """merge_bucket's verbatim fast path (single-segment short terms) must
+    emit byte-identical rows to the decode/re-encode slow path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.index.build import BLOCK_SIZE, _make_final_merger
+    from terrier_ray.index.codec import (
+        delta_encode,
+        encode_posting_list,
+        varbyte_encode,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def seg_row(term, dids, tfs):
+        wd = rng.random(len(dids)).astype(np.float32)
+        return {
+            "term": term,
+            "term_h": abs(hash(term)) % (1 << 62),
+            "n": len(dids),
+            "cf": int(tfs.sum()),
+            "docids_enc": varbyte_encode(delta_encode(dids.astype(np.uint64))),
+            "tfs_enc": varbyte_encode(tfs.astype(np.uint64) - np.uint64(1)),
+            "wd_enc": wd.tobytes(),
+        }
+
+    def make(dids):
+        d = np.asarray(sorted(set(dids)), dtype=np.uint64)
+        return d, rng.integers(1, 9, len(d)).astype(np.uint64)
+
+    rows = []
+    # short single-segment terms of varied lengths (fast path)
+    for t, n in [("aa", 1), ("bb", 5), ("cc", BLOCK_SIZE), ("dd", BLOCK_SIZE + 1),
+                 ("ee", 1000)]:
+        d, tf = make(rng.integers(0, 1 << 40, n))
+        rows.append(seg_row(t, d, tf))
+    # multi-segment (salted heavy) term — slow path
+    d1, tf1 = make(rng.integers(0, 1 << 40, 300))
+    d2, tf2 = make(rng.integers(1 << 40, 1 << 41, 300))
+    rows.append(seg_row("zz", d1, tf1))
+    rows.append(seg_row("zz", d2, tf2))
+    # EF-length single segment — slow path
+    dl, tfl = make(rng.integers(0, 1 << 45, 6000))
+    rows.append(seg_row("yy", dl, tfl))
+
+    tab = pa.Table.from_pylist(rows).append_column(
+        "bucket", pa.array([7] * len(rows), type=pa.int32())
+    )
+    merged = _make_final_merger(str(tmp_path), 16)(tab)
+    assert merged.column("n_terms")[0].as_py() == 7
+
+    import pyarrow.parquet as pq
+
+    out = pq.read_table(str(tmp_path) + "/bucket-00007.parquet")
+    by_term = {r["term"]: r for r in out.to_pylist()}
+    # reference: full decode + re-encode for every term
+    from terrier_ray.index.build import decode_final_postings
+
+    for t, r in by_term.items():
+        dids, tfs = decode_final_postings(r["postings"])
+        assert r["postings"] == encode_posting_list(dids, tfs)
+        assert r["df"] == len(dids)
+        bl = np.frombuffer(r["block_last"], dtype="<u8")
+        bm = np.frombuffer(r["block_max_wd"], dtype="<f4")
+        nb = -(-len(dids) // BLOCK_SIZE)
+        assert len(bl) == len(bm) == nb
+        block_starts = np.arange(0, len(dids), BLOCK_SIZE)
+        expect_bl = dids[np.minimum(block_starts + BLOCK_SIZE - 1, len(dids) - 1)]
+        assert (bl == expect_bl).all()
+    assert sorted(by_term) == ["aa", "bb", "cc", "dd", "ee", "yy", "zz"]
