@@ -9,22 +9,28 @@ Data pipeline; a killed run restarts from the last completed epoch:
 2. ``stats``    global N/avgdl (tiny aggregate) + heavy-hitter term detection
                 from a file-sample (the ANALYZE analog,
                 /root/reference/src/execution/compiler/operator/analyze_translator.cpp).
-3. ``postings`` explode to (term, docid, tf, dl) → salted pkey shuffle →
-                per-partition segment encode → bucket shuffle → final merge →
+3. ``postings`` explode to (term, docid, tf, dl, bucket) → ONE
+                groupby(bucket) exchange → per-bucket vectorized encode →
                 per-bucket posting parquet with block-max metadata.
 
-The two-level merge IS the reference's partitioned-aggregation pattern
+The partitioned build is the reference's partitioned-aggregation pattern
 (thread-local tables → radix overflow partitions → per-partition merge,
 /root/reference/src/execution/sql/aggregation_hash_table.cpp:647-769) at
-cluster scale, with explicit Zipf-skew mitigation: heavy terms are salted
-into ``num_salts`` sub-postings merged in the (small) second shuffle.
+cluster scale.  Zipf skew is carried by the bucket count: a bucket holds at
+most (heaviest term's postings + its hash bucket's tail), and the per-bucket
+encoder is vectorized end-to-end so even a whole-corpus stopword list costs
+one lexsort + one varbyte pass.  (An earlier two-exchange design — salted
+pkey shuffle → segment encode → second bucket shuffle → merge — spent two
+sort barriers and an intermediate encode/decode to ship compressed segments
+through the second exchange; with the groupby keyed directly on the final
+bucket that exchange does not exist.)
 
 Scale notes (100 TB / 1e12 docs): docids here are 63-bit url hashes — a real
 deployment would widen to 128-bit to keep collision odds negligible;
-``num_pkeys``/``num_buckets`` scale with cluster size (they bound per-group
-memory in the two shuffles); the corpus epoch output is partitioned parquet
-so the postings epoch re-reads it with column pruning instead of holding it
-in the object store.
+``num_buckets`` scales with data (it bounds per-group memory in the
+exchange); the corpus epoch output is partitioned parquet so the postings
+epoch re-reads it with column pruning instead of holding it in the object
+store.
 """
 
 from __future__ import annotations
@@ -44,11 +50,7 @@ from terrier_ray.extract.html import HtmlExtractor
 from terrier_ray.ops.relational import _get_broadcast  # per-worker bounded cache
 from terrier_ray.index.codec import (
     EF_THRESHOLD,
-    delta_decode,
-    delta_encode,
     decode_posting_list,
-    encode_posting_list,
-    varbyte_decode,
     varbyte_encode,
 )
 from terrier_ray.state.manifest import epoch_done, finish_epoch
@@ -428,20 +430,19 @@ def _wd_upper_f32(wd64: np.ndarray) -> np.ndarray:
 
 
 class _Exploder:
-    """Corpus row → posting rows (term, docid, tf, dl, pkey), salted.
+    """Corpus row → posting rows (term, docid, tf, dl, bucket).
 
-    Heavy terms get salt = docid % num_salts so no single shuffle group holds
-    a full heavy posting list; light terms use salt 0.  pkey mixes term hash
-    and salt; bucket (final layout) derives from term hash alone.  Runs as a
-    stateless task stage; the heavy-term set is broadcast via ray.put and
-    fetched once per worker process.
+    ``bucket = term_hash % num_buckets`` is the term's FINAL layout bucket,
+    so the single groupby both co-locates every posting of a term and lands
+    it in the task that writes its bucket file.  (The earlier design ran a
+    salted pkey shuffle → per-partition segment encode → a SECOND bucket
+    shuffle → merge; the segment stage existed only to compress postings for
+    that second exchange, and heavy-term salting only to balance the first.
+    One exchange needs neither.)  Runs as a stateless task stage.
     """
 
-    def __init__(self, heavy_ref, num_salts: int, num_pkeys: int):
-        heavy = _get_broadcast(heavy_ref) if heavy_ref is not None else []
-        self.heavy = np.asarray(sorted(heavy), dtype=object)
-        self.num_salts = num_salts
-        self.num_pkeys = num_pkeys
+    def __init__(self, num_buckets: int):
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -464,179 +465,110 @@ class _Exploder:
         uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
         uh = term_hash(uniq)
         th = uh[inverse] if len(inverse) else np.empty(0, np.int64)
-        is_heavy_u = np.isin(uniq, self.heavy) if len(self.heavy) else np.zeros(len(uniq), bool)
-        is_heavy = is_heavy_u[inverse] if len(inverse) else np.empty(0, bool)
-        salt = np.where(is_heavy, (docid % self.num_salts).astype(np.int64), 0)
-        pkey = ((th % self.num_pkeys) * self.num_salts + salt) % (self.num_pkeys * self.num_salts)
+        bucket = (th % self.num_buckets).astype(np.int32)
         return pa.table(
             {
                 "term": flat,
-                "term_h": pa.array(th),
                 "docid": pa.array(docid),
                 "tf": pa.array(flat_tfs),
                 "dl": pa.array(dl),
-                "pkey": pa.array(pkey.astype(np.int32)),
+                "bucket": pa.array(bucket),
             }
         )
 
 
-def _make_segments(avgdl: float):
-    """Per-pkey-partition vectorized segment encoder (stage 1 of the merge)."""
+def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | None = None):
+    """Per-bucket builder: raw postings of the bucket's terms → final file.
 
-    def build_segments(group: pa.Table) -> pa.Table:
-        dic = group.column("term").combine_chunks()
-        if isinstance(dic, pa.ChunkedArray):
-            dic = dic.chunk(0)
-        dic = dic.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = dic.dictionary
-        th = group.column("term_h").to_numpy(zero_copy_only=False)
-        docid = group.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        tf = group.column("tf").to_numpy(zero_copy_only=False)
-        dl = group.column("dl").to_numpy(zero_copy_only=False)
-        # map arbitrary dictionary codes → dense sorted-unique ids so output
-        # rows come out term-sorted (merge stage relies only on grouping)
-        uniq_codes = np.unique(codes)
-        remap = np.empty(len(vocab), dtype=np.int64)
-        remap[uniq_codes] = np.arange(len(uniq_codes))
-        inverse = remap[codes]
-        uniq = np.asarray(vocab.take(pa.array(uniq_codes)).to_pylist(), dtype=object)
-        order = np.lexsort((docid, inverse))
-        inv_s, did_s, tf_s, dl_s = inverse[order], docid[order], tf[order], dl[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1, [len(inv_s)]))
-        wd64 = _wd(tf_s, dl_s, avgdl)
-        w32 = _wd_upper_f32(wd64)
-        th_by_uniq = np.empty(len(uniq), dtype=np.int64)
-        th_by_uniq[inv_s[starts[:-1]]] = th[order][starts[:-1]]
-        out_term, out_th, out_n, out_cf = [], [], [], []
-        out_did, out_tf, out_wd = [], [], []
-        for i in range(len(uniq)):
-            s, e = starts[i], starts[i + 1]
-            out_term.append(uniq[i])
-            out_th.append(th_by_uniq[i])
-            out_n.append(e - s)
-            out_cf.append(int(tf_s[s:e].sum()))
-            out_did.append(varbyte_encode(delta_encode(did_s[s:e])))
-            out_tf.append(varbyte_encode(tf_s[s:e].astype(np.uint64) - np.uint64(1)))
-            out_wd.append(w32[s:e].tobytes())
-        return pa.table(
-            {
-                "term": pa.array(list(out_term), type=pa.string()),
-                "term_h": pa.array(out_th, type=pa.int64()),
-                "n": pa.array(out_n, type=pa.int64()),
-                "cf": pa.array(out_cf, type=pa.int64()),
-                "docids_enc": pa.array(out_did, type=pa.binary()),
-                "tfs_enc": pa.array(out_tf, type=pa.binary()),
-                "wd_enc": pa.array(out_wd, type=pa.binary()),
-            }
-        )
-
-    return build_segments
-
-
-def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | None = None):
-    """Per-bucket merge of salted segments → final encoded posting lists.
-
-    Writes ``bucket-%05d.parquet`` atomically (tmp + rename → idempotent under
-    Ray task retry) and returns one metrics row per bucket.
+    Entirely vectorized over the bucket: one lexsort by (term, docid), one
+    varbyte encode of ALL docid gaps and ALL tf-1 values (varbyte is
+    per-value independent, so per-term byte ranges are just slices), block
+    metadata from two global reduceat passes.  The per-term Python loop only
+    slices precomputed buffers; Elias–Fano re-encodes just the rare long
+    lists.  Writes ``bucket-%05d.parquet`` atomically (tmp + rename →
+    idempotent under Ray task retry) and returns one metrics row.
     """
+    from terrier_ray.index.codec import _nbytes_for, ef_encode
 
-    def merge_bucket(group: pa.Table) -> pa.Table:
+    ef_t = EF_THRESHOLD if ef_threshold is None else ef_threshold
+
+    def build_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
-        term = np.asarray(group.column("term").to_pylist(), dtype=object)
-        uniq, inverse, seg_counts = np.unique(
-            term, return_inverse=True, return_counts=True
-        )
-        n_arr = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        cf_arr = group.column("cf").to_numpy(zero_copy_only=False)
-        did_bin = group.column("docids_enc").to_pylist()
-        tf_bin = group.column("tfs_enc").to_pylist()
-        wd_bin = group.column("wd_enc").to_pylist()
-        order = np.argsort(inverse, kind="stable")
-        starts = np.concatenate(
-            ([0], np.flatnonzero(np.diff(inverse[order])) + 1, [len(order)])
-        )
-        U = len(uniq)
-        rows_df = [0] * U
-        rows_cf = [0] * U
-        rows_post: list = [b""] * U
-        rows_bl: list = [b""] * U
-        rows_bm: list = [b""] * U
-        total_postings = int(n_arr.sum())
-        ef_t = EF_THRESHOLD if ef_threshold is None else ef_threshold
+        g = group.combine_chunks()
+        term_col = g.column("term")
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.chunk(0)
+        dic = term_col.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+        # dense ids in TERM-SORTED order so output rows come out term-sorted
+        order_u = np.argsort(uniq, kind="stable")
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order_u] = np.arange(len(uniq))
+        tid = rank[codes]
+        sorted_terms = uniq[order_u]
+        docid = g.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        dl = g.column("dl").to_numpy(zero_copy_only=False)
+        o = np.lexsort((docid, tid))
+        tid_s, did_s = tid[o], docid[o]
+        tf_s, dl_s = tf[o], dl[o]
+        T = len(uniq)
+        s0 = np.concatenate(([0], np.flatnonzero(np.diff(tid_s)) + 1))
+        ends = np.concatenate((s0[1:], [len(tid_s)]))
+        lens = ends - s0
+        w32 = _wd_upper_f32(_wd(tf_s, dl_s, avgdl))
+        cf = np.add.reduceat(tf_s.astype(np.int64), s0)
 
-        # ---- fast path: single-segment short terms (the vast majority).
-        # The final container for n < ef_threshold is EXACTLY the segment
-        # encoding (varbyte(delta(docids)) | varbyte(tf-1)), so the posting
-        # bytes pass through VERBATIM — no decode/re-encode.  Block metadata
-        # needs the docids, decoded ONCE for the whole bucket: varbyte is
-        # self-delimiting, so one decode of the concatenated streams yields
-        # every gap, and per-term prefix sums fall out of one global cumsum.
-        seg_row = order[starts[:-1]]  # first (only) segment row per term
-        is_fast = (seg_counts == 1) & (n_arr[seg_row] < ef_t) & (n_arr[seg_row] > 0)
-        fast_u = np.flatnonzero(is_fast)
-        if len(fast_u):
-            rows = seg_row[fast_u]
-            lens = n_arr[rows]
-            did_join = b"".join(did_bin[j] for j in rows)
-            gaps = varbyte_decode(did_join)
-            ends_ = np.cumsum(lens)
-            starts_ = ends_ - lens
-            c = np.cumsum(gaps, dtype=np.uint64)
-            offs = np.where(starts_ > 0, c[starts_ - 1], np.uint64(0))
-            docids = c - np.repeat(offs, lens)
-            nblocks = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
-            bstart_of = np.cumsum(nblocks) - nblocks
-            rep = np.repeat(np.arange(len(rows)), nblocks)
-            within = np.arange(int(nblocks.sum())) - np.repeat(bstart_of, nblocks)
-            bs = starts_[rep] + within * BLOCK_SIZE
-            blast = docids[np.minimum(bs + BLOCK_SIZE - 1, ends_[rep] - 1)]
-            wds_all = np.frombuffer(b"".join(wd_bin[j] for j in rows), dtype=np.float32)
-            bmax = np.maximum.reduceat(wds_all, bs)
-            bl_bytes = blast.astype("<u8").tobytes()
-            bm_bytes = bmax.astype("<f4").tobytes()
-            for k, u in enumerate(fast_u):
-                j = seg_row[u]
-                db = did_bin[j]
-                rows_df[u] = int(lens[k])
-                rows_cf[u] = int(cf_arr[j])
-                rows_post[u] = (
-                    _VBYTE_FMT
-                    + int(lens[k]).to_bytes(4, "little")
-                    + len(db).to_bytes(4, "little")
-                    + db
-                    + tf_bin[j]
-                )
-                b0, b1 = int(bstart_of[k]), int(bstart_of[k] + nblocks[k])
-                rows_bl[u] = bl_bytes[8 * b0 : 8 * b1]
-                rows_bm[u] = bm_bytes[4 * b0 : 4 * b1]
+        # docid gaps within each term, then ONE varbyte encode for the bucket
+        gaps = did_s.copy()
+        gaps[1:] -= did_s[:-1]
+        gaps[s0] = did_s[s0]
+        did_enc = memoryview(varbyte_encode(gaps))
+        did_off = np.concatenate(([0], np.cumsum(_nbytes_for(gaps))))
+        tfm1 = tf_s.astype(np.uint64) - np.uint64(1)
+        tf_enc = memoryview(varbyte_encode(tfm1))
+        tf_off = np.concatenate(([0], np.cumsum(_nbytes_for(tfm1))))
 
-        # ---- slow path: multi-segment (salted heavy) terms + EF-length lists
-        for i in np.flatnonzero(~is_fast):
-            seg_idx = order[starts[i] : starts[i + 1]]
-            dids = np.concatenate([delta_decode(varbyte_decode(did_bin[j])) for j in seg_idx])
-            tfs = np.concatenate([varbyte_decode(tf_bin[j]) + np.uint64(1) for j in seg_idx])
-            wds = np.concatenate([np.frombuffer(wd_bin[j], dtype=np.float32) for j in seg_idx])
-            if len(seg_idx) > 1:
-                o = np.argsort(dids, kind="stable")
-                dids, tfs, wds = dids[o], tfs[o], wds[o]
-            df = len(dids)
-            block_starts = np.arange(0, df, BLOCK_SIZE)
-            block_last = dids[np.minimum(block_starts + BLOCK_SIZE - 1, df - 1)]
-            block_max = np.maximum.reduceat(wds, block_starts)
-            rows_df[i] = df
-            rows_cf[i] = int(cf_arr[seg_idx].sum())
-            # codec container: delta+varbyte, or Elias–Fano past EF_THRESHOLD
-            # (the Zipf-head long-list format promised in codec.py)
-            rows_post[i] = encode_posting_list(dids, tfs, ef_threshold) if df else b""
-            rows_bl[i] = block_last.astype("<u8").tobytes()
-            rows_bm[i] = block_max.astype("<f4").tobytes()
-        rows_term = list(uniq)
+        # block metadata: global block starts, two reduceat-shaped passes
+        nblocks = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+        bstart_of = np.cumsum(nblocks) - nblocks
+        rep = np.repeat(np.arange(T), nblocks)
+        within = np.arange(int(nblocks.sum())) - np.repeat(bstart_of, nblocks)
+        bs = s0[rep] + within * BLOCK_SIZE
+        blast = did_s[np.minimum(bs + BLOCK_SIZE - 1, ends[rep] - 1)]
+        bmax = np.maximum.reduceat(w32, bs)
+        bl_bytes = blast.astype("<u8").tobytes()
+        bm_bytes = bmax.astype("<f4").tobytes()
+
+        rows_post: list = [b""] * T
+        rows_bl: list = [b""] * T
+        rows_bm: list = [b""] * T
+        for k in range(T):
+            n_k = int(lens[k])
+            tfb = bytes(tf_enc[tf_off[s0[k]] : tf_off[ends[k]]])
+            if n_k >= ef_t:
+                db = ef_encode(did_s[s0[k] : ends[k]])
+                fmt = b"\x01"
+            else:
+                db = bytes(did_enc[did_off[s0[k]] : did_off[ends[k]]])
+                fmt = _VBYTE_FMT
+            rows_post[k] = (
+                fmt
+                + n_k.to_bytes(4, "little")
+                + len(db).to_bytes(4, "little")
+                + db
+                + tfb
+            )
+            b0, b1 = int(bstart_of[k]), int(bstart_of[k] + nblocks[k])
+            rows_bl[k] = bl_bytes[8 * b0 : 8 * b1]
+            rows_bm[k] = bm_bytes[4 * b0 : 4 * b1]
+
         out = pa.table(
             {
-                "term": pa.array(list(rows_term), type=pa.string()),
-                "df": pa.array(rows_df, type=pa.int64()),
-                "cf": pa.array(rows_cf, type=pa.int64()),
+                "term": pa.array(list(sorted_terms), type=pa.string()),
+                "df": pa.array(lens.astype(np.int64)),
+                "cf": pa.array(cf),
                 "postings": pa.array(rows_post, type=pa.binary()),
                 "block_last": pa.array(rows_bl, type=pa.binary()),
                 "block_max_wd": pa.array(rows_bm, type=pa.binary()),
@@ -650,13 +582,13 @@ def _make_final_merger(postings_dir: str, num_buckets: int, ef_threshold: int | 
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int32()),
-                "n_terms": pa.array([len(uniq)], type=pa.int64()),
-                "n_postings": pa.array([total_postings], type=pa.int64()),
+                "n_terms": pa.array([T], type=pa.int64()),
+                "n_postings": pa.array([len(tid_s)], type=pa.int64()),
                 "file": pa.array([final], type=pa.string()),
             }
         )
 
-    return merge_bucket
+    return build_bucket
 
 
 def decode_final_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
@@ -670,19 +602,26 @@ def build_postings(
     postings_dir: str,
     stats: dict,
     *,
-    num_pkeys: int = 32,
+    num_pkeys: int = 32,  # kept for API compatibility; single-shuffle build ignores it
     ef_threshold: int | None = None,
 ):
-    import ray
+    """Tokenized corpus → final per-bucket posting files in ONE exchange.
+
+    explode (map) → groupby(term-bucket) → per-bucket final encode+write.
+    The term's full posting list is co-located by the one shuffle, already
+    in its final layout bucket, so there is no intermediate segment
+    encode/decode and no second sort barrier (the two-stage salted design
+    this replaces spent 130 + 136 cpu·s on the segment and merge stages and
+    a full extra all-to-all at 3.84M docs).  Per-bucket memory is bounded by
+    total_postings / num_buckets — num_buckets scales with data, exactly as
+    the two-stage design's pkey count did.
+    """
     import ray.data as rd
 
-    num_salts = stats["num_salts"]
     num_buckets = stats["num_buckets"]
-    heavy_ref = ray.put(stats["heavy_terms"])
-    exploder_cfg = (heavy_ref, num_salts, num_pkeys)
 
     def explode(batch: pa.Table) -> pa.Table:
-        return _Exploder(*exploder_cfg)(batch)
+        return _Exploder(num_buckets)(batch)
 
     ds = rd.read_parquet(
         corpus_dir,
@@ -696,24 +635,9 @@ def build_postings(
         batch_size=1024,
         zero_copy_batch=True,
     )
-    segments = ds.groupby("pkey").map_groups(
-        _make_segments(stats["avgdl"]), batch_format="pyarrow"
-    )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        th = batch.column("term_h").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", pa.array((th % num_buckets).astype(np.int32))
-        )
-
-    segments = segments.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    # materialize before the second sort: the bucket groupby would otherwise
-    # re-execute its lineage (explode + pkey sort) — measured ~1.5x postings
-    # wall at 4 cpus.  Segments are per-(pkey, term) ENCODED rows, roughly
-    # index-sized, so holding them in the object store is scale-safe.
-    segments = segments.materialize()
-    metrics = segments.groupby("bucket").map_groups(
-        _make_final_merger(postings_dir, num_buckets, ef_threshold), batch_format="pyarrow"
+    metrics = ds.groupby("bucket").map_groups(
+        _make_bucket_builder(postings_dir, stats["avgdl"], ef_threshold),
+        batch_format="pyarrow",
     )
     return metrics.to_pandas()
 

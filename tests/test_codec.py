@@ -90,74 +90,75 @@ def test_posting_list_compresses():
     assert len(enc) < n * 2.5
 
 
-def test_merge_fast_path_bit_identical_to_reencode(tmp_path):
-    """merge_bucket's verbatim fast path (single-segment short terms) must
-    emit byte-identical rows to the decode/re-encode slow path."""
+def test_bucket_builder_bit_identical_to_container_codec(tmp_path):
+    """The per-bucket builder's vectorized slicing must emit byte-identical
+    posting containers and block metadata to a per-term decode/re-encode."""
     import numpy as np
     import pyarrow as pa
 
-    from terrier_ray.index.build import BLOCK_SIZE, _make_final_merger
-    from terrier_ray.index.codec import (
-        delta_encode,
-        encode_posting_list,
-        varbyte_encode,
+    from terrier_ray.index.build import (
+        BLOCK_SIZE,
+        _make_bucket_builder,
+        decode_final_postings,
     )
+    from terrier_ray.index.codec import encode_posting_list
 
     rng = np.random.default_rng(5)
+    avgdl = 57.3
 
-    def seg_row(term, dids, tfs):
-        wd = rng.random(len(dids)).astype(np.float32)
-        return {
-            "term": term,
-            "term_h": abs(hash(term)) % (1 << 62),
-            "n": len(dids),
-            "cf": int(tfs.sum()),
-            "docids_enc": varbyte_encode(delta_encode(dids.astype(np.uint64))),
-            "tfs_enc": varbyte_encode(tfs.astype(np.uint64) - np.uint64(1)),
-            "wd_enc": wd.tobytes(),
+    def make(n):
+        d = np.asarray(sorted(set(rng.integers(0, 1 << 45, n))), dtype=np.uint64)
+        return d, rng.integers(1, 9, len(d)).astype(np.int64)
+
+    # varied lengths: 1, sub-block, exact block, block+1, mid, EF-length
+    terms = {"aa": 1, "bb": 5, "cc": BLOCK_SIZE, "dd": BLOCK_SIZE + 1,
+             "ee": 1000, "yy": 6000}
+    rows = {"term": [], "docid": [], "tf": [], "dl": [], "bucket": []}
+    expect = {}
+    for t, n in terms.items():
+        d, tf = make(n)
+        dl = rng.integers(20, 200, len(d)).astype(np.int64)
+        expect[t] = (d, tf, dl)
+        rows["term"] += [t] * len(d)
+        rows["docid"] += list(d)
+        rows["tf"] += list(tf)
+        rows["dl"] += list(dl)
+        rows["bucket"] += [7] * len(d)
+    # shuffle input rows — the builder must not depend on arrival order
+    perm = rng.permutation(len(rows["term"]))
+    tab = pa.table(
+        {
+            "term": pa.array(np.asarray(rows["term"], dtype=object)[perm].tolist()),
+            "docid": pa.array(np.asarray(rows["docid"], dtype=np.int64)[perm]),
+            "tf": pa.array(np.asarray(rows["tf"], dtype=np.int64)[perm].astype("int32")),
+            "dl": pa.array(np.asarray(rows["dl"], dtype=np.int64)[perm].astype("int32")),
+            "bucket": pa.array(np.asarray(rows["bucket"], dtype=np.int32)[perm]),
         }
-
-    def make(dids):
-        d = np.asarray(sorted(set(dids)), dtype=np.uint64)
-        return d, rng.integers(1, 9, len(d)).astype(np.uint64)
-
-    rows = []
-    # short single-segment terms of varied lengths (fast path)
-    for t, n in [("aa", 1), ("bb", 5), ("cc", BLOCK_SIZE), ("dd", BLOCK_SIZE + 1),
-                 ("ee", 1000)]:
-        d, tf = make(rng.integers(0, 1 << 40, n))
-        rows.append(seg_row(t, d, tf))
-    # multi-segment (salted heavy) term — slow path
-    d1, tf1 = make(rng.integers(0, 1 << 40, 300))
-    d2, tf2 = make(rng.integers(1 << 40, 1 << 41, 300))
-    rows.append(seg_row("zz", d1, tf1))
-    rows.append(seg_row("zz", d2, tf2))
-    # EF-length single segment — slow path
-    dl, tfl = make(rng.integers(0, 1 << 45, 6000))
-    rows.append(seg_row("yy", dl, tfl))
-
-    tab = pa.Table.from_pylist(rows).append_column(
-        "bucket", pa.array([7] * len(rows), type=pa.int32())
     )
-    merged = _make_final_merger(str(tmp_path), 16)(tab)
-    assert merged.column("n_terms")[0].as_py() == 7
+    metrics = _make_bucket_builder(str(tmp_path), avgdl)(tab)
+    assert metrics.column("n_terms")[0].as_py() == len(terms)
 
     import pyarrow.parquet as pq
 
     out = pq.read_table(str(tmp_path) + "/bucket-00007.parquet")
+    assert out.column("term").to_pylist() == sorted(terms)  # term-sorted rows
     by_term = {r["term"]: r for r in out.to_pylist()}
-    # reference: full decode + re-encode for every term
-    from terrier_ray.index.build import decode_final_postings
-
-    for t, r in by_term.items():
+    for t, (d, tf, dl) in expect.items():
+        r = by_term[t]
         dids, tfs = decode_final_postings(r["postings"])
-        assert r["postings"] == encode_posting_list(dids, tfs)
-        assert r["df"] == len(dids)
+        assert (dids == d).all() and (tfs == tf.astype(np.uint64)).all()
+        # container bytes identical to the reference encoder
+        assert r["postings"] == encode_posting_list(d, tf.astype(np.uint64))
+        assert r["df"] == len(d) and r["cf"] == int(tf.sum())
         bl = np.frombuffer(r["block_last"], dtype="<u8")
         bm = np.frombuffer(r["block_max_wd"], dtype="<f4")
-        nb = -(-len(dids) // BLOCK_SIZE)
+        nb = -(-len(d) // BLOCK_SIZE)
         assert len(bl) == len(bm) == nb
-        block_starts = np.arange(0, len(dids), BLOCK_SIZE)
-        expect_bl = dids[np.minimum(block_starts + BLOCK_SIZE - 1, len(dids) - 1)]
-        assert (bl == expect_bl).all()
-    assert sorted(by_term) == ["aa", "bb", "cc", "dd", "ee", "yy", "zz"]
+        block_starts = np.arange(0, len(d), BLOCK_SIZE)
+        assert (bl == d[np.minimum(block_starts + BLOCK_SIZE - 1, len(d) - 1)]).all()
+        # block max is an upper bound on the true float64 weights
+        from terrier_ray.index.build import _wd
+
+        wd = _wd(tf.astype(np.float64), dl.astype(np.float64), avgdl)
+        per_block_true = [wd[s : s + BLOCK_SIZE].max() for s in block_starts]
+        assert (bm.astype(np.float64) >= np.asarray(per_block_true) - 1e-12).all()
