@@ -577,7 +577,11 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
         os.makedirs(postings_dir, exist_ok=True)
         final = os.path.join(postings_dir, f"bucket-{bucket:05d}.parquet")
         tmp = final + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp)
+        # small row groups + term-sorted rows → row-group statistics let a
+        # per-term lookup (pq.read_table filters) decode ~64 rows instead of
+        # the whole bucket; single-row-group buckets made every query decode
+        # megabytes and throttled the warm query pool under concurrency
+        pq.write_table(out, tmp, row_group_size=64)
         os.replace(tmp, final)
         return pa.table(
             {

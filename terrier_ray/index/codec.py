@@ -148,8 +148,13 @@ def ef_decode(buf: bytes | memoryview) -> np.ndarray:
     low_packed = np.frombuffer(b[17 : 17 + low_len], dtype=np.uint8)
     high_packed = np.frombuffer(b[17 + low_len :], dtype=np.uint8)
     if l > 0:
+        # inverse of the encode path: unpack the contiguous l-bit rows, pad
+        # each row to 64 bits, repack row-wise and view as little-endian
+        # uint64 — no per-row shift/sum reduction (was ~10 ms per long list)
         bits = np.unpackbits(low_packed, bitorder="little")[: n * l].reshape(n, l)
-        low = (bits.astype(np.uint64) << np.arange(l, dtype=np.uint64)[None, :]).sum(axis=1)
+        padded = np.zeros((n, 64), dtype=np.uint8)
+        padded[:, :l] = bits
+        low = np.packbits(padded, axis=1, bitorder="little").view("<u8").ravel()
     else:
         low = np.zeros(n, dtype=np.uint64)
     hbits = np.unpackbits(high_packed, bitorder="little")
