@@ -141,6 +141,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[f"sql_{name}"] = (
             lambda sf_dir, s=base_sql[name]: _sql(s, sf_dir)
         )
+
+    def sql_explain_q3(sf_dir: str):
+        """EXPLAIN surface (traffic_cop.cpp EXPLAIN analog): the optimizer's
+        plan for q3's SQL as one row per plan line — deterministic text, no
+        execution; rows-only check (EXPLAIN output is engine-specific)."""
+        import pyarrow as _pa
+
+        from terrier_ray.sql import explain as _explain
+
+        lines = _explain(base_sql["q3_shipping_priority"], sf_dir).splitlines()
+        return _pa.table(
+            {
+                "step": _pa.array(range(len(lines)), type=_pa.int64()),
+                "plan": _pa.array(lines, type=_pa.string()),
+            }
+        )
+
+    q["sql_explain_q3"] = sql_explain_q3
     return q
 
 
