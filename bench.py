@@ -116,7 +116,7 @@ def run_bench() -> dict:
     # corpus, NOT cpus, so the job stays identical across scaling legs.
     default_buckets = 256 if n_docs_in >= 480_000 else 64
     n_buckets = int(os.environ.get("GRAFT_BUCKETS", default_buckets))
-    stats = build_index(web, idx_dir, num_pkeys=32, num_buckets=n_buckets, num_salts=4)
+    stats = build_index(web, idx_dir, num_buckets=n_buckets, num_salts=4)
     build_s = time.perf_counter() - t0
     results["index_build"] = round(build_s, 3)
     docs_per_s = stats["n_docs"] / build_s

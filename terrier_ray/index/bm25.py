@@ -48,12 +48,22 @@ def _query_terms(text: str) -> list[str]:
 
 
 class BM25Index:
-    """Query-side index handle: loads stats + doclens once, reads posting
+    """Query-side index handle: memmaps the doclen sidecar, reads posting
     buckets lazily with parquet predicate pushdown, caches per-term postings.
 
-    Doclens come from the corpus parquet with COLUMN PRUNING (docid, dl only).
-    Scale path: at 1e12 docs doclens shard by docid range and scorer actors
-    hold only their shard — here one node holds all (documented tradeoff).
+    Doclens: the build writes docid-SORTED fixed-width binary range shards
+    (index/build.py build_doclens); they are np.memmap'd here, so a scorer
+    actor's heap holds only the pages its queries touch — O(touched), not
+    O(N).  At 1e12 docs each scorer holds/maps only its docid-range parts
+    (DistributedBM25's scatter path); the part layout IS the shard
+    boundary.  Legacy indexes without the sidecar fall back to a pruned
+    corpus scan (docid, dl columns only).
+
+    Heavy terms (stats['heavy_terms']) are stored as ``num_salts``
+    docid-range sub-postings in per-salt buckets (build.salted_bucket);
+    ``lookup`` reads all candidate buckets and concatenates the parts in
+    salt order — ranges are disjoint and ascending, so postings, block_last
+    and block_max metadata concatenate verbatim into one valid list.
     """
 
     #: decoded-postings cache entries per index handle (bounded: a heavy
@@ -66,21 +76,83 @@ class BM25Index:
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self.num_buckets = self.stats["num_buckets"]
+        self.num_salts = int(self.stats.get("num_salts", 1))
+        self._heavy = frozenset(self.stats.get("heavy_terms", ()))
         self.postings_dir = os.path.join(index_dir, "postings")
-        corpus = pads.dataset(os.path.join(index_dir, "corpus"))
-        t = corpus.to_table(columns=["docid", "dl"])
-        d = t.column("docid").to_numpy(zero_copy_only=False)
-        l = t.column("dl").to_numpy(zero_copy_only=False)
-        order = np.argsort(d)
-        self._dl_docids = d[order]
-        self._dl = l[order].astype(np.float64)
+        doclens_dir = os.path.join(index_dir, "doclens")
+        meta_path = os.path.join(doclens_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self._dl_parts = []
+            self._dl_lo = np.array([p["lo"] for p in meta["parts"]], dtype=np.int64)
+            for p in meta["parts"]:
+                fp = os.path.join(doclens_dir, p["file"])
+                n = p["n"]
+                did = np.memmap(fp, dtype="<i8", mode="r", offset=0, shape=(n,))
+                dl = np.memmap(fp, dtype="<i4", mode="r", offset=8 * n, shape=(n,))
+                self._dl_parts.append((did, dl))
+        else:  # legacy index: pruned corpus scan, held in heap
+            corpus = pads.dataset(os.path.join(index_dir, "corpus"))
+            t = corpus.to_table(columns=["docid", "dl"])
+            d = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            l = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
+            order = np.argsort(d)
+            self._dl_parts = [(d[order], l[order])]
+            self._dl_lo = np.array([int(d[order][0]) if len(d) else 0], dtype=np.int64)
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
 
+    @property
+    def _dl_docids(self) -> np.ndarray:
+        """All corpus docids, sorted ascending (O(N) — only the boolean
+        complement path needs it, which is inherently O(N))."""
+        if len(self._dl_parts) == 1:
+            return np.asarray(self._dl_parts[0][0])
+        return np.concatenate([np.asarray(d) for d, _ in self._dl_parts])
+
     def doc_len(self, docids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self._dl_docids, docids.astype(np.int64))
-        return self._dl[idx]
+        q = docids.astype(np.int64)
+        if len(self._dl_parts) == 1:
+            did, dl = self._dl_parts[0]
+            return dl[np.searchsorted(did, q)].astype(np.float64)
+        pi = np.searchsorted(self._dl_lo, q, side="right") - 1
+        out = np.empty(len(q), dtype=np.float64)
+        for p in np.unique(pi):
+            m = pi == p
+            did, dl = self._dl_parts[p]
+            out[m] = dl[np.searchsorted(did, q[m])].astype(np.float64)
+        return out
+
+    def _buckets_of(self, term: str, h: int) -> list[int]:
+        """Bucket file(s) holding a term's posting row(s)."""
+        if term in self._heavy and self.num_salts > 1:
+            from terrier_ray.index.build import salted_bucket
+
+            salts = np.arange(self.num_salts, dtype=np.int64)
+            bs = salted_bucket(np.full(self.num_salts, h, dtype=np.int64), salts,
+                               self.num_buckets)
+            return sorted(set(int(b) for b in bs))
+        return [int(h % self.num_buckets)]
+
+    @staticmethod
+    def _merge_parts(parts: "list[tuple]"):
+        """(salt, df, dids, tfs, bl, bm) parts → one posting tuple.
+
+        Docid-range salting makes parts disjoint and ascending in salt
+        order, so this is a concat; df sums to the term's true df."""
+        if len(parts) == 1:
+            _, df, dids, tfs, bl, bm = parts[0]
+            return (df, dids, tfs, bl, bm)
+        parts = sorted(parts, key=lambda p: p[0])
+        return (
+            sum(p[1] for p in parts),
+            np.concatenate([p[2] for p in parts]),
+            np.concatenate([p[3] for p in parts]),
+            np.concatenate([p[4] for p in parts]),
+            np.concatenate([p[5] for p in parts]),
+        )
 
     def lookup(self, terms: list[str]):
         """Fetch posting rows for terms (grouped per bucket, one read each).
@@ -99,22 +171,28 @@ class BM25Index:
             th = term_hash(np.asarray(missing, dtype=object))
             by_bucket: dict[int, list[str]] = {}
             for t, h in zip(missing, th):
-                by_bucket.setdefault(int(h % self.num_buckets), []).append(t)
+                for b in self._buckets_of(t, int(h)):
+                    by_bucket.setdefault(b, []).append(t)
+            parts: dict[str, list[tuple]] = {}
             for bucket, ts in by_bucket.items():
                 path = os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet")
-                found: dict[str, tuple] = {}
-                if os.path.exists(path):
-                    tab = pq.read_table(path, filters=[("term", "in", ts)])
-                    for i in range(tab.num_rows):
-                        term = tab.column("term")[i].as_py()
-                        dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
-                        bl = np.frombuffer(tab.column("block_last")[i].as_py(), dtype="<u8")
-                        bm = np.frombuffer(tab.column("block_max_wd")[i].as_py(), dtype="<f4")
-                        found[term] = (int(tab.column("df")[i].as_py()), dids, tfs, bl, bm)
-                for t in ts:
-                    result[t] = found.get(t)
-                    self._cache[t] = result[t]
-                    self._cache.move_to_end(t)
+                if not os.path.exists(path):
+                    continue
+                tab = pq.read_table(path, filters=[("term", "in", ts)])
+                has_salt = "salt" in tab.column_names
+                for i in range(tab.num_rows):
+                    term = tab.column("term")[i].as_py()
+                    dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
+                    bl = np.frombuffer(tab.column("block_last")[i].as_py(), dtype="<u8")
+                    bm = np.frombuffer(tab.column("block_max_wd")[i].as_py(), dtype="<f4")
+                    salt = int(tab.column("salt")[i].as_py()) if has_salt else 0
+                    parts.setdefault(term, []).append(
+                        (salt, int(tab.column("df")[i].as_py()), dids, tfs, bl, bm)
+                    )
+            for t in missing:
+                result[t] = self._merge_parts(parts[t]) if t in parts else None
+                self._cache[t] = result[t]
+                self._cache.move_to_end(t)
             while len(self._cache) > self.CACHE_CAP:
                 self._cache.popitem(last=False)  # evict LRU (result keeps refs)
         return result
@@ -351,19 +429,31 @@ class BM25Index:
             expr = e2 if expr is None else (expr & e2)
         files = sorted(_glob.glob(os.path.join(self.postings_dir, "bucket-*.parquet")))
         order = [("term", "descending" if descending else "ascending")]
+
+        def agg(t: pa.Table) -> pa.Table:
+            # salted heavy terms hold one row per sub-posting → re-sum df/cf
+            # (pa group_by returns keys first, then aggregates — positional
+            # rename relies on it, same as ops/relational)
+            g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            return g.rename_columns(["term", "df", "cf"])
+
         if limit is None:
             t = _pads.dataset(files).to_table(columns=["term", "df", "cf"], filter=expr)
-            return t.sort_by(order)
+            return agg(t).sort_by(order)
         parts = []
         for f in files:
             pt = _pads.dataset(f).to_table(columns=["term", "df", "cf"], filter=expr)
-            parts.append(pt.sort_by(order).slice(0, limit))
+            # aggregate per file BEFORE the limit slice: a term in the global
+            # top-``limit`` is within the first ``limit`` DISTINCT terms of
+            # every file it appears in, so no partial df can be cut off
+            parts.append(agg(pt).sort_by(order).slice(0, limit))
         merged = pa.concat_tables(parts) if parts else pa.table(
             {"term": pa.array([], pa.string()),
              "df": pa.array([], pa.int64()),
              "cf": pa.array([], pa.int64())}
         )
-        return merged.sort_by(order).slice(0, limit)
+        # a salted term's parts live in DIFFERENT files → aggregate again
+        return agg(merged).sort_by(order).slice(0, limit)
 
     # ------------------------------------------------------------------
     # boolean retrieval (unranked set algebra over sorted docid lists)
@@ -495,17 +585,23 @@ class SegmentedBM25:
 def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
     """Remote-side posting fetch+decode for one bucket (IO-bound shard work).
 
-    Plain function registered as a Ray task by ``search_distributed``; returns
-    {term: (df, docids, tfs)} with numpy arrays (zero-copy via object store).
+    Plain function registered as a Ray task by ``search_distributed``;
+    returns {term: [(salt, df, docids, tfs), ...]} with numpy arrays
+    (zero-copy via object store) — salted heavy terms contribute one part
+    per sub-posting row, merged caller-side in salt order.
     """
     path = os.path.join(postings_dir, f"bucket-{bucket:05d}.parquet")
-    out: dict[str, tuple] = {}
+    out: dict[str, list] = {}
     if os.path.exists(path):
         tab = pq.read_table(path, filters=[("term", "in", terms)])
+        has_salt = "salt" in tab.column_names
         for i in range(tab.num_rows):
             term = tab.column("term")[i].as_py()
             dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
-            out[term] = (int(tab.column("df")[i].as_py()), dids, tfs)
+            salt = int(tab.column("salt")[i].as_py()) if has_salt else 0
+            out.setdefault(term, []).append(
+                (salt, int(tab.column("df")[i].as_py()), dids, tfs)
+            )
     return out
 
 
@@ -536,14 +632,24 @@ class DistributedBM25:
         th = term_hash(np.asarray(all_terms, dtype=object)) if all_terms else []
         by_bucket: dict[int, list[str]] = {}
         for t, h in zip(all_terms, th):
-            by_bucket.setdefault(int(h % idx.num_buckets), []).append(t)
+            for b in idx._buckets_of(t, int(h)):
+                by_bucket.setdefault(b, []).append(t)
         futs = [
             self._fetch.remote(idx.postings_dir, b, ts)
             for b, ts in sorted(by_bucket.items())
         ]
-        postings: dict[str, tuple] = {}
+        pieces: dict[str, list] = {}
         for part in ray.get(futs):
-            postings.update(part)
+            for t, plist in part.items():
+                pieces.setdefault(t, []).extend(plist)
+        postings: dict[str, tuple] = {}
+        for t, plist in pieces.items():
+            plist.sort(key=lambda p: p[0])  # salt order == docid-range order
+            postings[t] = (
+                sum(p[1] for p in plist),
+                np.concatenate([p[2] for p in plist]) if len(plist) > 1 else plist[0][2],
+                np.concatenate([p[3] for p in plist]) if len(plist) > 1 else plist[0][3],
+            )
 
         results = []
         for terms in per_query_terms:

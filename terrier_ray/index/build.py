@@ -408,6 +408,82 @@ def compute_stats(
 
 
 # ---------------------------------------------------------------------------
+# epoch 2b: doclens sidecar (docid-sorted, memmap-able scorer state)
+# ---------------------------------------------------------------------------
+
+#: rows per doclens part file (12 B/row → ~96 MiB parts; each part is one
+#: docid-range shard a scorer actor can hold/mmap independently)
+_DOCLEN_PART_ROWS = 8 << 20
+
+
+def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
+    """Write the (docid, dl) map as docid-SORTED fixed-width binary parts.
+
+    Scorers need dl for every docid a posting mentions; loading the whole
+    map per actor is the single-node memory bound the 1e12-doc target can't
+    pay (~16 TB).  This sidecar is the shard layout: contiguous docid-range
+    parts, each ``int64 docid[n] ++ int32 dl[n]``, listed with their ranges
+    in ``meta.json``.  BM25Index np.memmap's the parts — actor heap holds
+    only the pages a query actually touches, and a cluster deployment hands
+    each scorer actor its docid-range subset (DistributedBM25's scatter
+    path).  Small corpora sort driver-side; large ones run a Ray sort and
+    stream batches out (driver memory stays O(batch)).
+    """
+    os.makedirs(doclens_dir, exist_ok=True)
+    parts: list[dict] = []
+
+    def write_part(did: np.ndarray, dl: np.ndarray):
+        i = len(parts)
+        name = f"part-{i:05d}.bin"
+        tmp = os.path.join(doclens_dir, f"{name}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(np.ascontiguousarray(did, dtype="<i8").tobytes())
+            f.write(np.ascontiguousarray(dl, dtype="<i4").tobytes())
+        os.replace(tmp, os.path.join(doclens_dir, name))
+        parts.append(
+            {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
+        )
+
+    if _total_bytes(corpus_dir) < _DRIVER_SIDE_BYTES:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(corpus_dir).to_table(columns=["docid", "dl"])
+        d = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(d)
+        d, l = d[order], l[order]
+        for s in range(0, len(d), _DOCLEN_PART_ROWS):
+            write_part(d[s : s + _DOCLEN_PART_ROWS], l[s : s + _DOCLEN_PART_ROWS])
+    else:
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            corpus_dir,
+            columns=["docid", "dl"],
+            override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1),
+        ).sort("docid")
+        buf_d: list[np.ndarray] = []
+        buf_l: list[np.ndarray] = []
+        held = 0
+        # Ray sort emits blocks in global order; stream them into parts
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            buf_d.append(b.column("docid").to_numpy(zero_copy_only=False).astype(np.int64))
+            buf_l.append(b.column("dl").to_numpy(zero_copy_only=False).astype(np.int32))
+            held += len(buf_d[-1])
+            if held >= _DOCLEN_PART_ROWS:
+                write_part(np.concatenate(buf_d), np.concatenate(buf_l))
+                buf_d, buf_l, held = [], [], 0
+        if held:
+            write_part(np.concatenate(buf_d), np.concatenate(buf_l))
+    meta = {"parts": parts, "n": sum(p["n"] for p in parts)}
+    mp = os.path.join(doclens_dir, "meta.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)
+    return meta
+
+
+# ---------------------------------------------------------------------------
 # epoch 3: postings
 # ---------------------------------------------------------------------------
 
@@ -429,20 +505,63 @@ def _wd_upper_f32(wd64: np.ndarray) -> np.ndarray:
 
 
 
+#: 63-bit mask + mix constants for the salted-bucket hash (splitmix64 tail)
+_MASK63 = np.uint64((1 << 63) - 1)
+_SALT_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_SALT_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def salted_bucket(th: np.ndarray, salt: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Layout bucket of a heavy term's ``salt``-th sub-posting.
+
+    Stable mix of (term_hash, salt) — both the build (_Exploder) and the
+    query side (BM25Index.lookup) derive the sub-posting buckets from this,
+    so no extra routing table is needed.  int64 in, int64 out."""
+    x = th.astype(np.uint64) ^ ((np.asarray(salt, np.uint64) + np.uint64(1)) * _SALT_GOLD)
+    x ^= x >> np.uint64(33)
+    x *= _SALT_MIX
+    x ^= x >> np.uint64(33)
+    return ((x & _MASK63) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def salt_of_docid(docid: np.ndarray, num_salts: int) -> np.ndarray:
+    """Docid-RANGE salt: the 63-bit docid space split into ``num_salts``
+    contiguous ranges.  Range (not hash) salting keeps every sub-posting
+    list docid-sorted AND the sub-lists disjoint + ordered by salt, so the
+    query-side merge is a plain concat — postings, block_last and
+    block_max metadata all concatenate verbatim (the 'merged in a second
+    pass' of the north rule collapses to ordered reads)."""
+    q = np.uint64(((1 << 63) + num_salts - 1) // num_salts)
+    return (docid.astype(np.uint64) // q).astype(np.int32)
+
+
 class _Exploder:
-    """Corpus row → posting rows (term, docid, tf, dl, bucket).
+    """Corpus row → posting rows (term, docid, tf, dl, salt, bucket).
 
     ``bucket = term_hash % num_buckets`` is the term's FINAL layout bucket,
     so the single groupby both co-locates every posting of a term and lands
     it in the task that writes its bucket file.  (The earlier design ran a
     salted pkey shuffle → per-partition segment encode → a SECOND bucket
     shuffle → merge; the segment stage existed only to compress postings for
-    that second exchange, and heavy-term salting only to balance the first.
-    One exchange needs neither.)  Runs as a stateless task stage.
+    that second exchange.  One exchange needs neither.)
+
+    Heavy-hitter skew mitigation (the north rule's mandated salting): terms
+    the stats epoch detected as heavy (df ≳ 1% N — at 1e12 docs the Zipf
+    head, e.g. 'the' with ~10^12 postings ≈ 15 TB) are split into
+    ``num_salts`` docid-range sub-postings, each routed to its OWN bucket
+    via ``salted_bucket``; the per-bucket builder keeps (term, salt) groups
+    separate, so the heaviest reduce task holds ~df/num_salts postings of a
+    heavy term instead of all of them.  Reference analog: the 512-way radix
+    overflow partitioning of skewed aggregations,
+    /root/reference/src/execution/sql/aggregation_hash_table.cpp:647-769.
+    Runs as a stateless task stage (instantiated once on the driver,
+    shipped to tasks as a plain callable).
     """
 
-    def __init__(self, num_buckets: int):
+    def __init__(self, num_buckets: int, heavy_terms=(), num_salts: int = 1):
         self.num_buckets = num_buckets
+        self.num_salts = max(1, int(num_salts))
+        self.heavy = frozenset(heavy_terms) if self.num_salts > 1 else frozenset()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -465,14 +584,24 @@ class _Exploder:
         uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
         uh = term_hash(uniq)
         th = uh[inverse] if len(inverse) else np.empty(0, np.int64)
-        bucket = (th % self.num_buckets).astype(np.int32)
+        bucket = (th % self.num_buckets).astype(np.int64)
+        salt = np.zeros(len(th), dtype=np.int32)
+        if self.heavy:
+            heavy_u = np.fromiter(
+                (t in self.heavy for t in uniq), dtype=bool, count=len(uniq)
+            )
+            hm = heavy_u[inverse] if len(inverse) else np.empty(0, bool)
+            if hm.any():
+                salt[hm] = salt_of_docid(docid[hm], self.num_salts)
+                bucket[hm] = salted_bucket(th[hm], salt[hm], self.num_buckets)
         return pa.table(
             {
                 "term": flat,
                 "docid": pa.array(docid),
                 "tf": pa.array(flat_tfs),
                 "dl": pa.array(dl),
-                "bucket": pa.array(bucket),
+                "salt": pa.array(salt),
+                "bucket": pa.array(bucket.astype(np.int32)),
             }
         )
 
@@ -480,13 +609,19 @@ class _Exploder:
 def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | None = None):
     """Per-bucket builder: raw postings of the bucket's terms → final file.
 
-    Entirely vectorized over the bucket: one lexsort by (term, docid), one
-    varbyte encode of ALL docid gaps and ALL tf-1 values (varbyte is
+    Entirely vectorized over the bucket: one lexsort by (term, salt, docid),
+    one varbyte encode of ALL docid gaps and ALL tf-1 values (varbyte is
     per-value independent, so per-term byte ranges are just slices), block
     metadata from two global reduceat passes.  The per-term Python loop only
     slices precomputed buffers; Elias–Fano re-encodes just the rare long
     lists.  Writes ``bucket-%05d.parquet`` atomically (tmp + rename →
     idempotent under Ray task retry) and returns one metrics row.
+
+    Rows are keyed by (term, salt): a salted heavy term emits one row PER
+    docid-range sub-posting (usually in different buckets, occasionally
+    colliding into the same one — kept separate either way so the query-side
+    salt-ordered concat stays a plain append).  Non-heavy terms always have
+    salt 0 and exactly one row.
     """
     from terrier_ray.index.codec import _nbytes_for, ef_encode
 
@@ -510,13 +645,23 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
         docid = g.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
         tf = g.column("tf").to_numpy(zero_copy_only=False)
         dl = g.column("dl").to_numpy(zero_copy_only=False)
-        o = np.lexsort((docid, tid))
+        salt = (
+            g.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+            if "salt" in g.column_names
+            else np.zeros(len(docid), dtype=np.int32)
+        )
+        # (term, salt, docid) order; group per (term, salt) so a salted
+        # heavy term keeps one row per docid-range sub-posting
+        o = np.lexsort((docid, salt, tid))
         tid_s, did_s = tid[o], docid[o]
-        tf_s, dl_s = tf[o], dl[o]
-        T = len(uniq)
-        s0 = np.concatenate(([0], np.flatnonzero(np.diff(tid_s)) + 1))
+        tf_s, dl_s, salt_s = tf[o], dl[o], salt[o]
+        chg = (np.diff(tid_s) != 0) | (np.diff(salt_s) != 0)
+        s0 = np.concatenate(([0], np.flatnonzero(chg) + 1))
         ends = np.concatenate((s0[1:], [len(tid_s)]))
         lens = ends - s0
+        T = len(s0)  # groups, not unique terms (salted terms span several)
+        row_terms = sorted_terms[tid_s[s0]] if T else sorted_terms[:0]
+        row_salts = salt_s[s0] if T else salt_s[:0]
         w32 = _wd_upper_f32(_wd(tf_s, dl_s, avgdl))
         cf = np.add.reduceat(tf_s.astype(np.int64), s0)
 
@@ -566,7 +711,8 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
 
         out = pa.table(
             {
-                "term": pa.array(list(sorted_terms), type=pa.string()),
+                "term": pa.array(list(row_terms), type=pa.string()),
+                "salt": pa.array(row_salts, type=pa.int32()),
                 "df": pa.array(lens.astype(np.int64)),
                 "cf": pa.array(cf),
                 "postings": pa.array(rows_post, type=pa.binary()),
@@ -583,11 +729,16 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
         # megabytes and throttled the warm query pool under concurrency
         pq.write_table(out, tmp, row_group_size=64)
         os.replace(tmp, final)
+        n_distinct = int(len(np.unique(tid_s[s0]))) if T else 0
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int32()),
-                "n_terms": pa.array([T], type=pa.int64()),
+                "n_terms": pa.array([n_distinct], type=pa.int64()),
+                "n_rows": pa.array([T], type=pa.int64()),
                 "n_postings": pa.array([len(tid_s)], type=pa.int64()),
+                "max_group_postings": pa.array(
+                    [int(lens.max()) if T else 0], type=pa.int64()
+                ),
                 "file": pa.array([final], type=pa.string()),
             }
         )
@@ -606,7 +757,6 @@ def build_postings(
     postings_dir: str,
     stats: dict,
     *,
-    num_pkeys: int = 32,  # kept for API compatibility; single-shuffle build ignores it
     ef_threshold: int | None = None,
 ):
     """Tokenized corpus → final per-bucket posting files in ONE exchange.
@@ -617,15 +767,19 @@ def build_postings(
     encode/decode and no second sort barrier (the two-stage salted design
     this replaces spent 130 + 136 cpu·s on the segment and merge stages and
     a full extra all-to-all at 3.84M docs).  Per-bucket memory is bounded by
-    total_postings / num_buckets — num_buckets scales with data, exactly as
-    the two-stage design's pkey count did.
+    total_postings / num_buckets — num_buckets scales with data — and the
+    Zipf head is bounded by heavy-term docid-range salting (the stats
+    epoch's detected heavy terms each split into num_salts sub-postings
+    routed to distinct buckets; see _Exploder).
     """
     import ray.data as rd
 
     num_buckets = stats["num_buckets"]
-
-    def explode(batch: pa.Table) -> pa.Table:
-        return _Exploder(num_buckets)(batch)
+    explode = _Exploder(
+        num_buckets,
+        heavy_terms=stats.get("heavy_terms", ()),
+        num_salts=stats.get("num_salts", 1),
+    )
 
     ds = rd.read_parquet(
         corpus_dir,
@@ -655,7 +809,6 @@ def build_index(
     webtext_path: str,
     out_dir: str,
     *,
-    num_pkeys: int = 32,
     num_buckets: int = 16,
     num_salts: int = 4,
     heavy_min_df: int | None = None,
@@ -671,14 +824,13 @@ def build_index(
     postings_dir = os.path.join(out_dir, "postings")
     stats_path = os.path.join(out_dir, "stats.json")
     params = {
-        "num_pkeys": num_pkeys,
         "num_buckets": num_buckets,
         "num_salts": num_salts,
         "heavy_min_df": heavy_min_df,
         "ef_threshold": ef_threshold,
         # bump to invalidate cached indexes on on-disk format changes
-        # (v2: codec container with EF long lists; dedup tie-break hash)
-        "format_version": 2,
+        # (v3: salted heavy-term sub-postings + salt column + doclen sidecar)
+        "format_version": 3,
     }
     # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
     fp_in = _input_fingerprint(webtext_path, {"corpus_format": 2})
@@ -721,6 +873,21 @@ def build_index(
     with open(stats_path) as f:
         stats = json.load(f)
 
+    # epoch 2b: doclens sidecar (docid-sorted memmap shards for scorers)
+    doclens_dir = os.path.join(out_dir, "doclens")
+    fp_dl = _input_fingerprint(corpus_dir, {"stage": "doclens", "v": 1})
+    if force or not epoch_done(out_dir, "doclens", fp_dl):
+        t0 = time.perf_counter()
+        import shutil
+
+        shutil.rmtree(doclens_dir, ignore_errors=True)
+        meta = build_doclens(corpus_dir, doclens_dir)
+        wall = time.perf_counter() - t0
+        outputs = [os.path.join(doclens_dir, p["file"]) for p in meta["parts"]]
+        outputs.append(os.path.join(doclens_dir, "meta.json"))
+        finish_epoch(out_dir, "doclens", fp_dl, outputs, {"n": meta["n"]}, wall)
+        timings["doclens_s"] = wall
+
     # epoch 3: postings
     fp_post = _input_fingerprint(corpus_dir, {"params": params, "stage": "postings"})
     if force or not epoch_done(out_dir, "postings", fp_post):
@@ -729,8 +896,7 @@ def build_index(
 
         shutil.rmtree(postings_dir, ignore_errors=True)
         bucket_metrics = build_postings(
-            corpus_dir, postings_dir, stats, num_pkeys=num_pkeys,
-            ef_threshold=ef_threshold,
+            corpus_dir, postings_dir, stats, ef_threshold=ef_threshold,
         )
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))
@@ -743,7 +909,9 @@ def build_index(
             {
                 "buckets": len(outputs),
                 "n_terms": int(bucket_metrics["n_terms"].sum()),
+                "n_rows": int(bucket_metrics["n_rows"].sum()),
                 "n_postings": int(bucket_metrics["n_postings"].sum()),
+                "max_group_postings": int(bucket_metrics["max_group_postings"].max()),
             },
             wall,
         )

@@ -124,19 +124,35 @@ def terms_desc_limit(sf_dir: str, hi: str = "n", limit: int = 50):
 
 def index_corpus_stats(sf_dir: str):
     """Corpus-level stats of the built index (docs, postings, terms)."""
-    import pandas as pd
-
-    idx_dir = ensure_index(sf_dir)
+    import glob
     import json
 
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    idx_dir = ensure_index(sf_dir)
     with open(os.path.join(idx_dir, "stats.json")) as f:
         stats = json.load(f)
     bm = pd.read_parquet(os.path.join(idx_dir, "bucket_metrics.parquet"))
+    # per-bucket n_terms is DISTINCT-in-bucket; a salted heavy term spans
+    # several buckets, so de-overcount from the (tiny) heavy list exactly
+    n_terms = int(bm["n_terms"].sum())
+    heavy = stats.get("heavy_terms", [])
+    if heavy:
+        occ, seen = 0, set()
+        for f in sorted(
+            glob.glob(os.path.join(idx_dir, "postings", "bucket-*.parquet"))
+        ):
+            t = pq.read_table(f, filters=[("term", "in", heavy)], columns=["term"])
+            terms = set(t.column("term").to_pylist())
+            occ += len(terms)
+            seen |= terms
+        n_terms = n_terms - occ + len(seen)
     return pd.DataFrame(
         {
             "n_docs": [stats["n_docs"]],
             "avgdl": [round(stats["avgdl"], 4)],
-            "n_terms": [int(bm["n_terms"].sum())],
+            "n_terms": [n_terms],
             "n_postings": [int(bm["n_postings"].sum())],
             "n_heavy_terms": [len(stats["heavy_terms"])],
         }

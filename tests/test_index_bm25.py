@@ -19,7 +19,6 @@ def built_index(ray_session, webtext_small, tmp_root):
     stats = build_index(
         webtext_small,
         out,
-        num_pkeys=8,
         num_buckets=4,
         num_salts=3,
         heavy_min_df=20,  # force the salted heavy-hitter path
@@ -42,15 +41,23 @@ def test_stats_match_oracle(built_index, oracle):
 def test_df_matches_oracle(built_index, oracle):
     import pyarrow.parquet as pq
 
-    out, _ = built_index
+    out, stats = built_index
     files = sorted(glob.glob(os.path.join(out, "postings", "bucket-*.parquet")))
     assert files
-    engine_df = {}
+    engine_df: dict[str, int] = {}
+    rows_per_term: dict[str, int] = {}
     for f in files:
         t = pq.read_table(f, columns=["term", "df"])
         for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
-            engine_df[term] = df
+            engine_df[term] = engine_df.get(term, 0) + df  # sum salted parts
+            rows_per_term[term] = rows_per_term.get(term, 0) + 1
     assert engine_df == oracle.df
+    # salting actually split the detected heavy terms into multiple rows
+    split = [t for t in stats["heavy_terms"] if rows_per_term.get(t, 0) > 1]
+    assert split, "no heavy term was salted into sub-postings"
+    # and every non-heavy term stayed single-row
+    heavy = set(stats["heavy_terms"])
+    assert all(n == 1 for t, n in rows_per_term.items() if t not in heavy)
 
 
 def test_topk_rank_identical(built_index, oracle):
@@ -100,7 +107,7 @@ def test_scorer_stage(ray_session, built_index, oracle):
 
 def test_resume_skips_epochs(built_index, webtext_small):
     out, _ = built_index
-    stats2 = build_index(webtext_small, out, num_pkeys=8, num_buckets=4,
+    stats2 = build_index(webtext_small, out, num_buckets=4,
                          num_salts=3, heavy_min_df=20)
     assert stats2["timings"] == {}  # every epoch skipped via manifest
 
@@ -109,7 +116,7 @@ def test_resume_rebuilds_missing_bucket(built_index, webtext_small):
     out, _ = built_index
     victim = sorted(glob.glob(os.path.join(out, "postings", "bucket-*.parquet")))[0]
     os.remove(victim)
-    stats3 = build_index(webtext_small, out, num_pkeys=8, num_buckets=4,
+    stats3 = build_index(webtext_small, out, num_buckets=4,
                          num_salts=3, heavy_min_df=20)
     assert "postings_s" in stats3["timings"]  # postings epoch re-ran
     assert "corpus_s" not in stats3["timings"]  # corpus epoch still skipped
@@ -143,7 +150,7 @@ def test_ef_path_rank_identical(ray_session, webtext_small, tmp_root, oracle):
     df threshold so common terms encode as EF, rebuild, and require the same
     rank-identity the varbyte path passes."""
     out = os.path.join(str(tmp_root), "index_ef")
-    build_index(webtext_small, out, num_pkeys=8, num_buckets=4, num_salts=3,
+    build_index(webtext_small, out, num_buckets=4, num_salts=3,
                 heavy_min_df=20, ef_threshold=8)
     idx = BM25Index(out)
     # confirm EF format actually present in the stored postings
@@ -241,7 +248,7 @@ def test_segmented_index_rank_and_score_identical(
         pq.write_table(sl, os.path.join(d, "webtext-000.parquet"))
         parts.append(d)
     segs = [
-        add_segment(roots, p, num_pkeys=8, num_buckets=4, num_salts=3,
+        add_segment(roots, p, num_buckets=4, num_salts=3,
                     heavy_min_df=20)
         for p in parts
     ]
@@ -256,7 +263,7 @@ def test_segmented_index_rank_and_score_identical(
 
     # compaction over the union corpus reproduces the monolithic results too
     comp = compact_segments(parts, os.path.join(str(tmp_root), "compacted"),
-                            num_pkeys=8, num_buckets=4, num_salts=3,
+                            num_buckets=4, num_salts=3,
                             heavy_min_df=20)
     comp_idx = BM25Index(comp)
     for q in generate_queries(5).column("text").to_pylist():
@@ -346,19 +353,19 @@ def test_three_segment_incremental_ingest(ray_session, webtext_small, tmp_root):
         )
         parts.append(d)
     segs = [
-        add_segment(roots, p, num_pkeys=8, num_buckets=4, num_salts=3,
+        add_segment(roots, p, num_buckets=4, num_salts=3,
                     heavy_min_df=20)
         for p in parts
     ]
     # idempotent: re-adding an already-built segment is a no-op resume
-    assert add_segment(roots, parts[0], num_pkeys=8, num_buckets=4,
+    assert add_segment(roots, parts[0], num_buckets=4,
                        num_salts=3, heavy_min_df=20) == segs[0]
     assert list_segments(roots) == sorted(segs)
 
     from terrier_ray.index.build import build_index
 
     mono_dir = os.path.join(str(tmp_root), "mono3")
-    build_index(webtext_small, mono_dir, num_pkeys=8, num_buckets=4,
+    build_index(webtext_small, mono_dir, num_buckets=4,
                 num_salts=3, heavy_min_df=20)
     from terrier_ray.index.bm25 import BM25Index
 
@@ -397,3 +404,96 @@ def test_scale_paths_build_identical_corpus(
     a, b = corpus_key(small_dir), corpus_key(big_dir)
     assert a.num_rows == b.num_rows
     assert a.equals(b)
+
+
+def test_heavy_term_salted_subpostings(ray_session, tmp_root):
+    """Skew mitigation (north rule): plant a df≈N term and require that the
+    single-exchange build splits it into docid-range sub-postings — max
+    per-group posting rows bounded by ~df/num_salts — while search stays
+    rank-AND-score-identical to an unsalted build of the same corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terrier_ray.datagen.webtext import generate_queries, generate_webtext_parquet
+    from terrier_ray.index.build import build_index
+
+    src = os.path.join(str(tmp_root), "webtext_planted")
+    generate_webtext_parquet(src, num_docs=300, seed=7)
+    # plant the token 'zzzhot' into (nearly) every document: html is binary
+    # and ~30% of rows carry pre-extracted text the extractor keeps, so
+    # plant in BOTH columns (empty html pages stay empty — df ≲ N)
+    f = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
+    tab = pq.read_table(f)
+    html = [
+        h.replace(b"</body>", b" zzzhot zzzhot</body>") if h else h
+        for h in tab.column("html").to_pylist()
+    ]
+    text = [t + " zzzhot zzzhot" if t else t for t in tab.column("text").to_pylist()]
+    tab = tab.set_column(
+        tab.column_names.index("html"), "html", pa.array(html, pa.binary())
+    )
+    tab = tab.set_column(
+        tab.column_names.index("text"), "text", pa.array(text, pa.string())
+    )
+    pq.write_table(tab, f)
+
+    salts = 4
+    salted_dir = os.path.join(str(tmp_root), "idx_planted_salted")
+    stats = build_index(src, salted_dir, num_buckets=8, num_salts=salts,
+                        heavy_min_df=50)
+    assert "zzzhot" in stats["heavy_terms"]
+
+    # per-row df of the planted term across all buckets
+    dfs = []
+    for bf in glob.glob(os.path.join(salted_dir, "postings", "bucket-*.parquet")):
+        t = pq.read_table(bf, filters=[("term", "==", "zzzhot")],
+                          columns=["term", "salt", "df"])
+        dfs.extend(t.column("df").to_pylist())
+    n = stats["n_docs"]
+    total_df = sum(dfs)
+    # ~1/8 of generated pages end in an unterminated <script> the extractor
+    # strips to EOF (plant swallowed), so coverage is ~87%, not 100%
+    assert total_df >= 0.8 * n
+    assert len(dfs) >= 2, "heavy term was not split"
+    # docid-range salting over uniform 63-bit docids: no part should hold
+    # more than ~2x the fair share
+    assert max(dfs) <= max(2 * total_df // salts, 1), dfs
+
+    unsalted_dir = os.path.join(str(tmp_root), "idx_planted_unsalted")
+    build_index(src, unsalted_dir, num_buckets=8, num_salts=1, heavy_min_df=50)
+
+    a = BM25Index(salted_dir)
+    b = BM25Index(unsalted_dir)
+    # merged lookup must reconstruct the identical posting list + metadata
+    pa_, pb_ = a.lookup(["zzzhot"])["zzzhot"], b.lookup(["zzzhot"])["zzzhot"]
+    assert pa_[0] == pb_[0] == total_df
+    assert np.array_equal(pa_[1], pb_[1]) and np.array_equal(pa_[2], pb_[2])
+    assert np.array_equal(np.sort(pa_[3]), pa_[3])  # block_last still sorted
+    for q in ["zzzhot", "zzzhot weather news", "the zzzhot of"]:
+        for fn_a, fn_b in [(a.search, b.search), (a.search_pruned, b.search_pruned),
+                           (a.search_bmw, b.search_bmw)]:
+            assert fn_a(q, 10) == fn_b(q, 10), q
+    queries = generate_queries(20).column("text").to_pylist()
+    for q in queries:
+        assert a.search(q, 10) == b.search(q, 10), q
+
+
+def test_doclens_sidecar_memmap(built_index):
+    """Scorer doclen state is a docid-sorted memmap sidecar (O(touched
+    pages) per actor, not O(N) heap), exact vs the corpus scan."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    out, _ = built_index
+    assert os.path.exists(os.path.join(out, "doclens", "meta.json"))
+    idx = BM25Index(out)
+    assert all(isinstance(d, np.memmap) for d, _ in idx._dl_parts)
+    corpus = pads.dataset(os.path.join(out, "corpus")).to_table(
+        columns=["docid", "dl"]
+    )
+    d = corpus.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    l = corpus.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+    got = idx.doc_len(d)
+    assert np.array_equal(got, l)
+    assert got.dtype == np.float64
