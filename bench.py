@@ -200,6 +200,9 @@ def run_bench() -> dict:
             "qps": round(qps, 1),
             "bm25_result_rows": int(n_out),
         }
+        from terrier_ray.raycompat import quiesce_ray_data_stats
+
+        quiesce_ray_data_stats()
         ray.shutdown()
         return payload
 
@@ -242,6 +245,9 @@ def run_bench() -> dict:
         "qps": round(qps, 1),
         "bm25_result_rows": int(n_out),
     }
+    from terrier_ray.raycompat import quiesce_ray_data_stats
+
+    quiesce_ray_data_stats()
     ray.shutdown()
     return payload
 

@@ -53,6 +53,40 @@ def _sq_dists_to(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _fetch_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """One query vector, fetched with a parquet row filter (row-group
+    pruned by vec_id statistics) — NEVER a full-table driver read; at 1e9
+    vectors the old ``read_table`` + boolean mask was a driver OOM before
+    the pipeline started."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {query_vec_id} not found")
+    return _batch_matrix(t)[0]
+
+
+def _sample_matrix(src: str, sample_rows: int) -> np.ndarray:
+    """First ``sample_rows`` embeddings read ROW-GROUP-bounded (the IVF
+    training sample): stops opening row groups once enough rows are held,
+    instead of slicing a full-table read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(src)
+    parts, rows = [], 0
+    for rg in range(pf.metadata.num_row_groups):
+        parts.append(pf.read_row_group(rg, columns=["embedding"]))
+        rows += parts[-1].num_rows
+        if rows >= sample_rows:
+            break
+    tab = pa.concat_tables(parts).slice(0, sample_rows)
+    return _batch_matrix(tab.combine_chunks())
+
+
 def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     """Exact brute-force cosine top-k vs one query vector (excluded from hits).
 
@@ -60,13 +94,7 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     top-k then a global sort+limit — no full materialization.
     sim is rounded to 4 decimals (duckdb float32 vs numpy float64 noise).
     """
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qmask = emb.column("vec_id").to_numpy() == query_vec_id
-    q = _batch_matrix(emb)[qmask][0]
+    q = _fetch_query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -112,16 +140,8 @@ def knn_cosine_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: in
     At scale the bucketed corpus is written partitioned-by-bucket once and
     each query touches one partition; here we filter inline.
     """
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids_all = emb.column("vec_id").to_numpy()
-    m_all = _batch_matrix(emb)
-    q = m_all[ids_all == query_vec_id][0]
-    dim = m_all.shape[1]
-    lsh = HyperplaneLSH(dim, n_planes)
+    q = _fetch_query_vec(sf_dir, query_vec_id)
+    lsh = HyperplaneLSH(len(q), n_planes)
     qbucket = int(lsh.bucket(q[None, :])[0])
     qn = q / np.linalg.norm(q)
 
@@ -171,16 +191,11 @@ def knn_cosine_ivf(
     assign vectors to cells per batch, scan only the ``nprobe`` cells nearest
     the query.  Scale path: cells written as parquet partitions once, queries
     read only their cells (here the assignment runs inline)."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+    q = _fetch_query_vec(sf_dir, query_vec_id)
+    # train on a bounded row-group sample (never a full-table read)
+    cent = _kmeans(
+        _sample_matrix(f"{sf_dir.rstrip('/')}/embeddings.parquet", 10_000), nlist
     )
-    ids_all = emb.column("vec_id").to_numpy()
-    m_all = _batch_matrix(emb)
-    q = m_all[ids_all == query_vec_id][0]
-    # train on a bounded sample (all rows here; sample at scale)
-    cent = _kmeans(m_all[: min(len(m_all), 10_000)], nlist)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe = np.sort(np.argsort(qd)[:nprobe])
     qn = q / np.linalg.norm(q)
@@ -212,6 +227,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.35,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_bucket_rows: int = 65_536,
+    sim_block_rows: int = 2_048,
 ):
     """Near-duplicate vector pairs above a cosine threshold (vec_a < vec_b)
     via amplified hyperplane LSH: L independent tables of k planes each
@@ -223,10 +240,23 @@ def embedding_near_dup_pairs(
     the genuine top tail instead of returning an empty (vacuously correct)
     result; at 100 TB the shuffle key is (table, bucket) and each vector is
     replicated L times — the standard LSH space-for-recall trade.
+
+    Bucket-size guard (no silent quadratics): within-bucket cosine runs
+    BLOCK-wise (``sim_block_rows`` × n temp, never an n×n matrix), and a
+    bucket larger than ``max_bucket_rows`` — a degenerate/skewed hash, e.g.
+    n_planes too small for the corpus — is deterministically subsampled to
+    the cap with a logged count of dropped rows; the right fix at scale is
+    raising ``n_planes`` (bucket occupancy ~ N / 2^n_planes per table).
     """
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    first = ds.take_batch(1, batch_format="pyarrow")
+    # embedding dim from ONE parquet row, driver-side (a Dataset.take_batch
+    # here leaves an orphaned iter_batches Prefetcher thread that races
+    # ray.shutdown into a silent process exit — raycompat docstring)
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first.column("embedding")[0].as_py())
     tables = [
         HyperplaneLSH(dim, n_planes, seed=11 + 7 * t) for t in range(n_tables)
@@ -259,16 +289,42 @@ def embedding_near_dup_pairs(
         mn = m / norms[:, None]
         order = np.argsort(ids)
         ids, mn = ids[order], mn[order]
-        sims = mn @ mn.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
-        if not keep.any():
+        n = len(ids)
+        if n > max_bucket_rows:
+            # degenerate bucket: subsample deterministically (even stride
+            # over the id-sorted rows) and SAY so — never a silent O(n²)
+            import sys
+
+            step = -(-n // max_bucket_rows)
+            sel = np.arange(0, n, step)
+            print(
+                f"embedding_near_dup_pairs: bucket "
+                f"{int(group.column('bucket')[0].as_py())} holds {n} rows "
+                f"(> max_bucket_rows={max_bucket_rows}); subsampled to "
+                f"{len(sel)} — dropped {n - len(sel)} rows' comparisons; "
+                f"raise n_planes to shrink bucket occupancy",
+                file=sys.stderr,
+            )
+            ids, mn = ids[sel], mn[sel]
+            n = len(ids)
+        # block-wise upper-triangle scan: temp is (block, n), never (n, n)
+        outs_a, outs_b, outs_s = [], [], []
+        for s in range(0, n, sim_block_rows):
+            e = min(s + sim_block_rows, n)
+            sims = mn[s:e] @ mn[s:].T  # columns start at global index s
+            ai, bi = np.nonzero(sims >= threshold)
+            tri = bi > ai  # upper triangle: global col (s+bi) > global row (s+ai)
+            if tri.any():
+                outs_a.append(ids[ai[tri] + s])
+                outs_b.append(ids[bi[tri] + s])
+                outs_s.append(np.round(sims[ai[tri], bi[tri]], 4))
+        if not outs_a:
             return empty
         return pa.table(
             {
-                "vec_a": pa.array(ids[a[keep]]),
-                "vec_b": pa.array(ids[b[keep]]),
-                "sim": pa.array(np.round(sims[a, b][keep], 4)),
+                "vec_a": pa.array(np.concatenate(outs_a)),
+                "vec_b": pa.array(np.concatenate(outs_b)),
+                "sim": pa.array(np.concatenate(outs_s)),
             }
         )
 
@@ -299,8 +355,6 @@ def build_ivf_index(
     import os
     import shutil
 
-    import pyarrow.parquet as pq
-
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     out_dir = out_dir or os.path.join(
         "/tmp/terrier_ray_ivf", os.path.basename(sf_dir.rstrip("/")) + f"-{nlist}"
@@ -321,9 +375,7 @@ def build_ivf_index(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
-    emb = pq.read_table(src, columns=["embedding"])
-    sample = _batch_matrix(emb.slice(0, sample_rows))
-    cent = _kmeans(sample, nlist)
+    cent = _kmeans(_sample_matrix(src, sample_rows), nlist)
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -350,15 +402,9 @@ def knn_cosine_ivf_indexed(
     import glob
     import os
 
-    import pyarrow.parquet as pq
-
     idx = build_ivf_index(sf_dir)
     cent = np.load(os.path.join(idx, "centroids.npy"))
-    emb = pq.read_table(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids_all = emb.column("vec_id").to_numpy()
-    q = _batch_matrix(emb)[ids_all == query_vec_id][0]
+    q = _fetch_query_vec(sf_dir, query_vec_id)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(qd)[:nprobe].tolist()
     qn = q / np.linalg.norm(q)

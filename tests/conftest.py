@@ -27,6 +27,10 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield ray
+    # avoid the StatsManager-thread vs shutdown race (raycompat docstring)
+    from terrier_ray.raycompat import quiesce_ray_data_stats
+
+    quiesce_ray_data_stats()
     ray.shutdown()
 
 

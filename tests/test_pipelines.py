@@ -380,3 +380,62 @@ def test_knn_lsh_subset_of_exact(ray_session, sf_smoke):
         assert abs(sims[pos[int(r["vec_id"])]] - r["sim"]) < 1e-3
     # descending sim order
     assert (got["sim"].values[:-1] >= got["sim"].values[1:]).all()
+
+
+def test_embedding_near_dup_bucket_guard(ray_session, tmp_root):
+    """Oversized LSH buckets are deterministically subsampled (logged, never
+    a silent O(n²)), and the block-wise triangle scan is exact: identical
+    output for any sim_block_rows."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(8)
+    m = base[None, :] + 0.01 * rng.standard_normal((60, 8))
+    d = os.path.join(str(tmp_root), "embskew")
+    os.makedirs(d, exist_ok=True)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tab, os.path.join(d, "embeddings.parquet"))
+
+    kw = dict(threshold=0.9, n_planes=2, n_tables=2)
+    full = embedding_near_dup_pairs(d, **kw).to_pandas()
+    # block decomposition is exact: tiny blocks give the identical result
+    blocked = embedding_near_dup_pairs(d, sim_block_rows=7, **kw).to_pandas()
+    key = ["vec_a", "vec_b"]
+    assert full.sort_values(key).reset_index(drop=True).equals(
+        blocked.sort_values(key).reset_index(drop=True)
+    )
+    assert len(full) > 200  # near-identical vectors: most pairs pass
+
+    # every reported sim matches brute-force cosine over the stored floats
+    t = pq.read_table(os.path.join(d, "embeddings.parquet"))
+    mm = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    for _, r in full.head(30).iterrows():
+        assert abs(float(mn[int(r["vec_a"])] @ mn[int(r["vec_b"])]) - r["sim"]) < 1e-3
+
+    capped = embedding_near_dup_pairs(
+        d, max_bucket_rows=16, sim_block_rows=7, **kw
+    ).to_pandas()
+    used = set(capped["vec_a"]) | set(capped["vec_b"])
+    assert len(used) <= 16  # per-bucket work bounded by the cap
+    assert 0 < len(capped) < len(full)
+    assert (capped["sim"] >= 0.9).all()
+    # the subsample is deterministic: same call → same pairs
+    again = embedding_near_dup_pairs(
+        d, max_bucket_rows=16, sim_block_rows=7, **kw
+    ).to_pandas()
+    assert capped.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

@@ -72,4 +72,7 @@ for name, fn in qs.items():
     else:
         print(f"{name:28s} {status} rows={len(mine):6d} {dt:5.1f}s")
 print("FAILS:", fails if fails else "none")
+from terrier_ray.raycompat import quiesce_ray_data_stats
+
+quiesce_ray_data_stats()
 ray.shutdown()

@@ -34,6 +34,9 @@ sys.path.insert(0, "/root/repo")
 from terrier_ray.index.build import build_index
 stats = build_index(sys.argv[1], sys.argv[2], num_buckets=8, num_salts=4)
 print("BUILD_DONE", stats["timings"], flush=True)
+from terrier_ray.raycompat import quiesce_ray_data_stats
+
+quiesce_ray_data_stats()
 ray.shutdown()
 """
 

@@ -226,6 +226,9 @@ def main() -> None:
             )
 
     print(json.dumps(out))
+    from terrier_ray.raycompat import quiesce_ray_data_stats
+
+    quiesce_ray_data_stats()
     ray.shutdown()
 
 
