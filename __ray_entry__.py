@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["prefix_terms"] = prefix_terms
     q["terms_desc_limit"] = terms_desc_limit
+    from terrier_ray.pipelines import dml as dmlq
+
+    q.update(dmlq.QUERIES)
     q["media_features"] = lambda sf_dir: media_features(200)
     q["media_resized"] = lambda sf_dir: media_resized(200)
     q["media_frames"] = lambda sf_dir: media_frames(200)
@@ -198,6 +201,9 @@ def oracle_sql() -> dict[str, str]:
     # simhash_signatures, knn_cosine_lsh, embedding_near_dup_pairs,
     # quality_scores, lang_id, fingerprints, bm25_topk, index_corpus_stats,
     # media_features → rows-only checks.
+    from terrier_ray.pipelines import dml as dmlq
+
+    sql.update(dmlq.ORACLE_SQL)
     for name in _SQL_FRONTEND:
         sql[f"sql_{name}"] = sql[name]
     return sql

@@ -133,9 +133,10 @@ def compile_scan_filter(e: Mapping[str, Any]):
                 return None
             return _apply_cmp(f, _PUSH_CMP[fn], v)
         if fn == "is_in" and "col" in args[0]:
-            return pads.field(args[0]["col"]).isin(
-                list(n.get("options", {}).get("__value_set", []))
-            )
+            vals = n.get("options", {}).get("__value_set")
+            if vals is None:
+                return None  # unknown option key: not pushable, never isin([])
+            return pads.field(args[0]["col"]).isin(list(vals))
         if fn == "is_null" and "col" in args[0]:
             return pads.field(args[0]["col"]).is_null()
         if fn == "is_valid" and "col" in args[0]:
@@ -438,7 +439,9 @@ def build(spec: Mapping[str, Any], sf_dir: str, _ctx=None):
             tab = (
                 pa.concat_tables(tabs)
                 if tabs
-                else pa.table({})
+                # zero batches must keep column names/types (a following
+                # project would raise on pa.table({}))
+                else ds.schema().base_schema.empty_table()
             )
             ds = rd.from_arrow(tab.slice(off, n))
         else:

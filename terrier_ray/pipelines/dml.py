@@ -1,0 +1,90 @@
+"""SQL DML pipelines: INSERT INTO … SELECT / DELETE FROM … WHERE over
+snapshot stores, plus parameterized ($n) statements.
+
+Reference analogs: insert_translator.cpp / delete_translator.cpp (DML
+through codegen) and the extended-query protocol's parameter binding
+(parser/expression_defs.h:66 PARAMETER, network/postgres/statement.cpp).
+Here DML lowers onto immutable snapshot versions (state/snapshots.py) —
+INSERT appends part files, DELETE is a filtered rewrite, every prior
+version stays readable (time travel).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def sql_dml_roundtrip(sf_dir: str):
+    """INSERT → count → DELETE → count, all through SQL text.
+
+    Seeds a snapshot store with ``nation``, appends the region-1 rows via
+    ``INSERT INTO nat SELECT …``, deletes every region-1 row via a
+    PARAMETERIZED ``DELETE FROM nat WHERE n_regionkey = $1``, and returns
+    (phase, n_rows) after each statement.  The oracle recomputes both
+    counts from the base table: after_insert = N + N₁, after_delete =
+    N - N₁ (the delete removes originals AND the inserted copies).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(
+        "/tmp/terrier_ray_dml", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(
+        root, rd.read_parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    )
+    stores = {"nat": root}
+    sql_dml("INSERT INTO nat SELECT * FROM nation WHERE n_regionkey = 1",
+            sf_dir, stores)
+    n_after_insert = snapshots.scan(root).count()
+    sql_dml("DELETE FROM nat WHERE n_regionkey = $1", sf_dir, stores, params=[1])
+    n_after_delete = snapshots.scan(root).count()
+    return pd.DataFrame(
+        {
+            "phase": ["after_delete", "after_insert"],
+            "n_rows": [int(n_after_delete), int(n_after_insert)],
+        }
+    )
+
+
+def sql_param_segment_counts(sf_dir: str):
+    """Parameterized SELECT: the same statement text the oracle runs with
+    literals, executed here with $1/$2 bind values."""
+    from terrier_ray.sql import sql
+
+    return sql(
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "WHERE c_acctbal > $1 AND c_nationkey < $2 "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+        sf_dir,
+        params=[1000.0, 20],
+    )
+
+
+QUERIES = {
+    "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_param_segment_counts": sql_param_segment_counts,
+}
+
+ORACLE_SQL = {
+    "sql_dml_roundtrip": """
+        SELECT 'after_delete' AS phase,
+               (SELECT COUNT(*) FROM nation)
+             - (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_rows
+        UNION ALL
+        SELECT 'after_insert' AS phase,
+               (SELECT COUNT(*) FROM nation)
+             + (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_rows
+        ORDER BY phase
+    """,
+    "sql_param_segment_counts": """
+        SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE c_acctbal > 1000.0 AND c_nationkey < 20
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+}

@@ -20,20 +20,110 @@ from terrier_ray.sql.parser import parse
 from terrier_ray.sql.rewrite import optimize
 
 
-def plan(query: str, sf_dir: str, optimized: bool = True) -> Mapping[str, Any]:
-    """SQL text → executable spec (optimized unless ``optimized=False``)."""
+def plan(
+    query: str,
+    sf_dir: str,
+    optimized: bool = True,
+    params: "Any | None" = None,
+) -> Mapping[str, Any]:
+    """SQL text → executable spec (optimized unless ``optimized=False``).
+
+    ``params`` binds ``$n`` placeholders (1-based) before lowering — the
+    extended-query-protocol shape (reference: parser/expression_defs.h:66
+    PARAMETER, network/postgres/statement.cpp)."""
+    from terrier_ray.sql.ast import Delete, Insert, bind_params
+
+    stmt = parse(query)
+    if params is not None:
+        stmt = bind_params(stmt, list(params))
+    if isinstance(stmt, (Insert, Delete)):
+        raise ValueError("INSERT/DELETE execute via sql_dml(), not plan()/sql()")
+    return _plan_stmt(stmt, sf_dir, optimized)
+
+
+def _plan_stmt(stmt, sf_dir: str, optimized: bool = True) -> Mapping[str, Any]:
     catalog = Catalog(sf_dir)
-    spec = dict(lower(parse(query), catalog))
+    spec = dict(lower(stmt, catalog))
     if catalog.views:
         spec["views"] = catalog.views  # CTE / derived-table plans by name
     return optimize(spec, sf_dir) if optimized else spec
 
 
-def sql(query: str, sf_dir: str, optimized: bool = True):
+def sql(query: str, sf_dir: str, optimized: bool = True,
+        params: "Any | None" = None):
     """Execute a SELECT over the sf_dir parquet tables → lazy Dataset."""
     from terrier_ray.api import build
 
-    return build(plan(query, sf_dir, optimized=optimized), sf_dir)
+    return build(plan(query, sf_dir, optimized=optimized, params=params), sf_dir)
+
+
+def sql_dml(
+    query: str,
+    sf_dir: str,
+    stores: Mapping[str, str],
+    params: "Any | None" = None,
+) -> int:
+    """Execute ``INSERT INTO t SELECT …`` / ``DELETE FROM t [WHERE …]``.
+
+    ``stores`` maps mutable table names to snapshot-store roots
+    (state/snapshots.py); SELECT sources and WHERE columns bind against the
+    sf_dir catalog and the target snapshot's schema respectively.  Returns
+    the newly published snapshot version (INSERT = append parts, DELETE =
+    filtered rewrite; both leave prior versions readable — time travel).
+    Reference analog: insert_translator.cpp / delete_translator.cpp, here
+    lowered onto immutable snapshots instead of MVCC in-place writes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from terrier_ray.api import _compile_expr, build
+    from terrier_ray.sql.ast import Delete, Insert, bind_params
+    from terrier_ray.sql.lower import Binder, _Lowerer
+    from terrier_ray.state import snapshots
+
+    stmt = parse(query)
+    if params is not None:
+        stmt = bind_params(stmt, list(params))
+    if isinstance(stmt, Insert):
+        if stmt.table not in stores:
+            raise ValueError(f"unknown mutable table {stmt.table!r}")
+        root = stores[stmt.table]
+        ds = build(_plan_stmt(stmt.select, sf_dir), sf_dir)
+        target = pads.dataset(snapshots.snapshot_dir(root)).schema
+        names = list(target.names)
+        got = [f.name for f in ds.schema().base_schema]
+        if set(got) != set(names):
+            raise ValueError(
+                f"INSERT column mismatch: select yields {got}, table has {names}"
+            )
+        if got != names:
+            ds = ds.map_batches(
+                lambda b: b.select(names),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return snapshots.append_rows(root, ds)
+    if isinstance(stmt, Delete):
+        if stmt.table not in stores:
+            raise ValueError(f"unknown mutable table {stmt.table!r}")
+        root = stores[stmt.table]
+        if stmt.where is None:  # DELETE all rows
+            return snapshots.delete_rows(
+                root, lambda b: pa.array([False] * b.num_rows, type=pa.bool_())
+            )
+        schema = pads.dataset(snapshots.snapshot_dir(root)).schema
+        catalog = Catalog(sf_dir)
+        catalog.register_view(stmt.table, schema, {"scan": {"table": stmt.table}})
+        node = _Lowerer(Binder(catalog, [(stmt.table, None)])).lower(stmt.where)
+        cond = _compile_expr(node)
+
+        def keep(batch: pa.Table):
+            # DELETE removes rows where the predicate is TRUE; FALSE and
+            # NULL rows stay (SQL three-valued semantics)
+            return pc.fill_null(pc.invert(cond(batch)), True)
+
+        return snapshots.delete_rows(root, keep)
+    raise ValueError("sql_dml requires an INSERT or DELETE statement")
 
 
 def explain(query: str, sf_dir: str, optimized: bool = True) -> str:
@@ -43,4 +133,4 @@ def explain(query: str, sf_dir: str, optimized: bool = True) -> str:
     return _explain(plan(query, sf_dir, optimized=optimized))
 
 
-__all__ = ["sql", "plan", "explain", "parse", "lower", "optimize", "Catalog"]
+__all__ = ["sql", "sql_dml", "plan", "explain", "parse", "lower", "optimize", "Catalog"]

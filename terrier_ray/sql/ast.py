@@ -215,3 +215,71 @@ class SetOpStmt:
     limit: Optional[int] = None
     offset: Optional[int] = None
     ctes: list[tuple[str, Any]] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class Param(Expr):
+    """Positional statement parameter ``$n`` (1-based) — the extended-query
+    protocol's bind slot.  Reference analog: ExpressionType PARAMETER
+    (src/include/parser/expression_defs.h:66) bound by
+    network/postgres/statement.cpp.  ``bind_params`` substitutes the
+    provided values as literals before lowering."""
+
+    index: int
+
+
+@dataclass
+class Insert:
+    """INSERT INTO <table> <select>.  Reference analog:
+    src/execution/compiler/operator/insert_translator.cpp (the codegen
+    path); here it lowers onto the snapshot store's append
+    (state/snapshots.py)."""
+
+    table: str
+    select: Any  # Select | SetOpStmt
+
+
+@dataclass
+class Delete:
+    """DELETE FROM <table> [WHERE <expr>].  Reference analog:
+    src/execution/compiler/operator/delete_translator.cpp; here a filtered
+    snapshot rewrite (state/snapshots.py delete_rows)."""
+
+    table: str
+    where: Optional[Expr] = None
+
+
+def bind_params(node, params):
+    """Substitute ``$n`` Param nodes with ``params[n-1]`` literals.
+
+    Pure structural walk (frozen and mutable dataclasses alike via
+    dataclasses.replace); returns the original object when nothing under it
+    changed, so unparameterized statements pass through untouched."""
+    import dataclasses
+
+    if isinstance(node, Param):
+        if not params or node.index < 1 or node.index > len(params):
+            raise ValueError(f"no value bound for parameter ${node.index}")
+        v = params[node.index - 1]
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return Lit(v.isoformat(sep=" "), "timestamp")
+        if isinstance(v, _dt.date):
+            return Lit(v.isoformat(), "date")
+        return Lit(v)
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = bind_params(v, params)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(node, **changes) if changes else node
+    if isinstance(node, list):
+        out = [bind_params(x, params) for x in node]
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    if isinstance(node, tuple):
+        out = tuple(bind_params(x, params) for x in node)
+        return out if any(a is not b for a, b in zip(out, node)) else node
+    return node

@@ -261,7 +261,17 @@ def infer_kind(e: Expr, binder: Binder) -> str:
             return "float" if ak == "int" else ak
         return ak
     if isinstance(e, Case):
-        return infer_kind(e.whens[0][1], binder)
+        # fold ALL branch kinds (if_else promotes int+float → float64);
+        # inspecting only the first WHEN mis-typed mixed CASEs
+        kinds = {infer_kind(v, binder) for _, v in e.whens}
+        if e.default is not None:
+            kinds.add(infer_kind(e.default, binder))
+        kinds.discard("other")
+        if len(kinds) == 1:
+            return kinds.pop()
+        if kinds == {"int", "float"}:
+            return "float"
+        return "other"
     if isinstance(e, Cast):
         return _CAST_KIND.get(e.to, "other")
     if isinstance(e, (Like, InList, Between, IsNull, Exists, InSubquery)):
@@ -486,9 +496,18 @@ class _Lowerer:
                 if not isinstance(v, Lit):
                     raise ValueError("IN list must be literals")
                 vals.append(v.value)
-            node = {"fn": "is_in", "args": [self.lower(e.operand)],
+            operand = self.lower(e.operand)
+            node = {"fn": "is_in", "args": [operand],
                     "options": {"__value_set": vals}}
-            return {"fn": "invert", "args": [node]} if e.negated else node
+            if e.negated:
+                # SQL: NULL NOT IN (...) is NULL (row dropped); pyarrow
+                # is_in maps a NULL operand to false, so bare invert would
+                # KEEP null rows — AND with is_valid to drop them
+                return {"fn": "and_kleene", "args": [
+                    {"fn": "invert", "args": [node]},
+                    {"fn": "is_valid", "args": [operand]},
+                ]}
+            return node
         if isinstance(e, Between):
             lo = {"fn": "greater_equal",
                   "args": [self.lower(e.operand), self.lower(e.lo)]}

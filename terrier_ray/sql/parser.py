@@ -29,9 +29,11 @@ from terrier_ray.sql.ast import (
     Case,
     Cast,
     Col,
+    Delete,
     Exists,
     Expr,
     Fn,
+    Insert,
     InList,
     InSubquery,
     IsNull,
@@ -39,6 +41,7 @@ from terrier_ray.sql.ast import (
     Like,
     Lit,
     OrderItem,
+    Param,
     ScalarSubquery,
     Select,
     SelectItem,
@@ -56,6 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^']|'')*')
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<param>\$\d+)
   | (?P<op><>|!=|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
     """,
     re.VERBOSE,
@@ -69,6 +73,7 @@ _KEYWORDS = {
     "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "ASC", "DESC",
     "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
     "ALL", "WITH", "EXISTS", "OVER", "PARTITION", "WINDOW",
+    "INSERT", "INTO", "DELETE", "VALUES",
 }
 
 
@@ -148,8 +153,20 @@ class Parser:
         raise SyntaxError(f"expected identifier at {t.text!r}")
 
     # -- entry --------------------------------------------------------------
-    def parse_statement(self) -> "Select | SetOpStmt":
-        stmt = self.statement()
+    def parse_statement(self) -> "Select | SetOpStmt | Insert | Delete":
+        if self.accept_kw("INSERT"):
+            self.expect_kw("INTO")
+            table = self.expect_ident()
+            stmt: "Select | SetOpStmt | Insert | Delete" = Insert(
+                table, self.statement()
+            )
+        elif self.accept_kw("DELETE"):
+            self.expect_kw("FROM")
+            table = self.expect_ident()
+            where = self.expr() if self.accept_kw("WHERE") else None
+            stmt = Delete(table, where)
+        else:
+            stmt = self.statement()
         if self.peek().kind != "eof":
             raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
         return stmt
@@ -418,6 +435,9 @@ class Parser:
         if t.kind == "str":
             self.next()
             return Lit(t.text[1:-1].replace("''", "'"))
+        if t.kind == "param":
+            self.next()
+            return Param(int(t.text[1:]))
         if t.kind == "kw":
             if t.text in ("TIMESTAMP", "DATE"):
                 self.next()

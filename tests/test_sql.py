@@ -414,3 +414,110 @@ def test_sql_explain_shows_pushed_plan(sf_smoke):
 
     text = explain(NAIVE_SQL, sf_smoke)
     assert "Scan orders" in text and "broadcast" in text
+
+
+def test_not_in_list_null_operand_drops_row(ray_session, tmp_root):
+    """SQL: NULL NOT IN (...) is NULL → row dropped (pyarrow's is_in maps a
+    NULL operand to false, so bare invert used to KEEP null rows)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(str(tmp_root), "notin_sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"x": pa.array(["a", None, "b", "c", None]),
+                  "y": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        os.path.join(d, "t.parquet"),
+    )
+    q = "SELECT x, y FROM t WHERE x NOT IN ('a', 'c')"
+    mine = sql(q, d).to_pandas().sort_values("y").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/t.parquet')")
+    want = con.sql(q).df().sort_values("y").reset_index(drop=True)
+    assert mine["y"].tolist() == want["y"].tolist() == [3]
+
+
+def test_case_mixed_branch_kind_widens(ray_session, sf_smoke):
+    """infer_kind folds ALL CASE branches: int THEN + float ELSE types the
+    derived column float (if_else promotes), matching DuckDB."""
+    import duckdb
+
+    q = ("SELECT SUM(v) AS s FROM (SELECT CASE WHEN o_orderkey % 2 = 0 "
+         "THEN 1 ELSE 2.5 END AS v FROM orders) sub")
+    mine = sql(q, sf_smoke).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_smoke}/orders.parquet')"
+    )
+    want = con.sql(q).df()
+    assert float(mine["s"][0]) == float(want["s"][0])
+
+
+def test_sql_dml_insert_delete_roundtrip(ray_session, sf_smoke, tmp_root):
+    """INSERT INTO … SELECT and parameterized DELETE over a snapshot store:
+    row counts and surviving values exact; prior versions stay readable."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(str(tmp_root), "dml_store")
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(root, rd.read_parquet(f"{sf_smoke}/nation.parquet"))
+    n0 = snapshots.scan(root).count()
+    stores = {"nat": root}
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_smoke}/nation.parquet")
+    n_r1 = sum(1 for v in nat.column("n_regionkey").to_pylist() if v == 1)
+
+    v2 = sql_dml("INSERT INTO nat SELECT * FROM nation WHERE n_regionkey = 1",
+                 sf_smoke, stores)
+    assert v2 == 2 and snapshots.scan(root).count() == n0 + n_r1
+    v3 = sql_dml("DELETE FROM nat WHERE n_regionkey = $1", sf_smoke, stores,
+                 params=[1])
+    assert v3 == 3
+    remaining = snapshots.scan(root).to_pandas()
+    assert len(remaining) == n0 - n_r1
+    assert (remaining["n_regionkey"] != 1).all()
+    # time travel: v1 and v2 still intact
+    assert snapshots.scan(root, version=1).count() == n0
+    assert snapshots.scan(root, version=2).count() == n0 + n_r1
+
+
+def test_sql_dml_rejected_by_select_path(sf_smoke):
+    import pytest as _pytest
+
+    from terrier_ray.sql import plan
+
+    with _pytest.raises(ValueError, match="sql_dml"):
+        plan("DELETE FROM t WHERE x = 1", sf_smoke)
+
+
+def test_sql_params_match_literals(ray_session, sf_smoke):
+    """$n binding produces the identical result as inlined literals
+    (including string and timestamp params)."""
+    q_param = ("SELECT o_orderpriority, count(*) AS n FROM orders "
+               "WHERE o_totalprice > $1 AND o_orderstatus = $2 "
+               "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    q_lit = q_param.replace("$1", "50000.0").replace("$2", "'O'")
+    a = sql(q_param, sf_smoke, params=[50000.0, "O"]).to_pandas()
+    b = sql(q_lit, sf_smoke).to_pandas()
+    assert a.equals(b)
+
+
+def test_sql_param_missing_raises(sf_smoke):
+    import pytest as _pytest
+
+    from terrier_ray.sql import plan
+
+    with _pytest.raises(ValueError, match=r"\$2"):
+        plan("SELECT * FROM nation WHERE n_regionkey = $2", sf_smoke,
+             params=[1])
