@@ -70,6 +70,10 @@ class BM25Index:
     #: term's decoded list is ~16B/doc; 4096 hot terms is plenty per actor)
     CACHE_CAP = 4096
 
+    #: derived per-term BM25 weight arrays (float64, 8 B/posting) — smaller
+    #: cap than the postings cache because these are pure derivations
+    WD_CACHE_CAP = 1024
+
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -103,6 +107,29 @@ class BM25Index:
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._wd_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def _wd_of(self, t: str, p: tuple) -> np.ndarray:
+        """Idf-free BM25 doc-weight array for term ``t``'s postings, cached.
+
+        Same float64 expression (and operation order) as the inline contrib
+        in ``search`` — multiplying by idf afterwards is bit-identical to
+        the one-shot ``idf * (...)``, so every consumer stays rank-AND-
+        score-identical to the oracle.  Caching it removes the per-query
+        doc_len gather + weight arithmetic for hot terms — the dominant
+        memory traffic of a warm scorer actor."""
+        w = self._wd_cache.get(t)
+        if w is not None:
+            self._wd_cache.move_to_end(t)
+            return w
+        _df, dids, tfs, _, _ = p
+        dl = self.doc_len(dids)
+        tf = tfs.astype(np.float64)
+        w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        self._wd_cache[t] = w
+        while len(self._wd_cache) > self.WD_CACHE_CAP:
+            self._wd_cache.popitem(last=False)
+        return w
 
     @property
     def _dl_docids(self) -> np.ndarray:
@@ -209,13 +236,9 @@ class BM25Index:
             p = post.get(t)
             if p is None:
                 continue
-            df, dids, tfs, _, _ = p
-            dl = self.doc_len(dids)
-            tf = tfs.astype(np.float64)
-            contrib = idf(self.n_docs, df) * (
-                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-            )
-            chunks_d.append(dids.astype(np.int64))
+            df = p[0]
+            contrib = idf(self.n_docs, df) * self._wd_of(t, p)
+            chunks_d.append(p[1].astype(np.int64))
             chunks_c.append(contrib)
         if not chunks_d:
             return []
@@ -275,25 +298,26 @@ class BM25Index:
             else:
                 kth = -np.inf
             probe_only = len(cand_acc) >= k and remaining < kth - self._EPS
-            dl_all = None
             if probe_only:
                 # no new doc can reach top-k: probe existing candidates only
                 pos = np.searchsorted(dids, cand_d.astype(np.uint64))
                 pos_c = np.clip(pos, 0, len(dids) - 1)
                 hit = dids[pos_c] == cand_d.astype(np.uint64)
                 if hit.any():
-                    tf = tfs[pos_c[hit]].astype(np.float64)
-                    dl = self.doc_len(cand_d[hit])
-                    cand_acc[hit] += w * (
-                        tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-                    )
+                    wd_all = self._wd_cache.get(t)
+                    if wd_all is not None:  # hot term: reuse cached weights
+                        self._wd_cache.move_to_end(t)
+                        cand_acc[hit] += w * wd_all[pos_c[hit]]
+                    else:  # cold probe: compute only the hit positions
+                        tf = tfs[pos_c[hit]].astype(np.float64)
+                        dl = self.doc_len(cand_d[hit])
+                        cand_acc[hit] += w * (
+                            tf * (K1 + 1.0)
+                            / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                        )
                 continue
             # full merge of this term's postings into the candidate set
-            dl_all = self.doc_len(dids)
-            tf = tfs.astype(np.float64)
-            contrib = w * (
-                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_all / self.avgdl))
-            )
+            contrib = w * self._wd_of(t, (df, dids, tfs, None, None))
             d64 = dids.astype(np.int64)
             merged = np.concatenate([cand_d, d64])
             accs = np.concatenate([cand_acc, contrib])
@@ -306,9 +330,44 @@ class BM25Index:
         part = np.argpartition(-cand_acc, kk - 1)[:kk] if len(cand_d) > kk else np.arange(len(cand_d))
         finalists = cand_d[part]
         # canonical rescoring (query-term order) → bit-identical to oracle
-        rescored = [(int(d), self._score_doc(int(d), terms, post)) for d in finalists]
+        scores = self._rescore(finalists, terms, post)
+        rescored = [(int(d), float(s)) for d, s in zip(finalists, scores)]
         rescored.sort(key=lambda x: (-x[1], x[0]))
         return rescored[:k]
+
+    def _rescore(self, finalists: np.ndarray, terms: list[str], post: dict) -> np.ndarray:
+        """Vectorized exact rescore of ``finalists`` (int64 docids).
+
+        Per doc the float adds happen in query-term order with the exact
+        expression of ``_score_doc`` (idf * wd as two ops, float64), so each
+        score is bit-identical to scoring that doc alone — one searchsorted
+        per TERM instead of one per (doc, term)."""
+        scores = np.zeros(len(finalists), dtype=np.float64)
+        if not len(finalists):
+            return scores
+        f_u64 = finalists.astype(np.uint64)
+        for t in terms:
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, _, _ = p
+            pos = np.searchsorted(dids, f_u64)
+            pos_c = np.clip(pos, 0, len(dids) - 1)
+            hit = dids[pos_c] == f_u64
+            if not hit.any():
+                continue
+            w = idf(self.n_docs, df)
+            wd_all = self._wd_cache.get(t)
+            if wd_all is not None:  # hot term: reuse cached weights
+                self._wd_cache.move_to_end(t)
+                scores[hit] += w * wd_all[pos_c[hit]]
+            else:
+                tf = tfs[pos_c[hit]].astype(np.float64)
+                dl = self.doc_len(finalists[hit])
+                scores[hit] += w * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                )
+        return scores
 
     # ------------------------------------------------------------------
     # Block-Max WAND document-at-a-time (the scale path for huge indexes)
@@ -355,20 +414,31 @@ class BM25Index:
             ub_sum, pivot = 0.0, None
             for i, c in enumerate(live):
                 ub_sum += c["ub"]
-                if ub_sum > threshold:
+                # eps margin: float32 block maxes are rounded UP at build time
+                # (build.py _f32_upper), but the float64 SUM here can still
+                # sit an ulp below a doc's true score; and a doc tying the
+                # threshold exactly must be evaluated so the (score desc,
+                # docid asc) tiebreak can replace the heap top.
+                if ub_sum > threshold - self._EPS:
                     pivot = i
                     break
             if pivot is None:
                 break
             pivot_doc = int(live[pivot]["dids"][live[pivot]["pos"]])
             if int(live[0]["dids"][live[0]["pos"]]) == pivot_doc:
-                # block-max refinement check
+                # block-max refinement: sum over EVERY cursor currently at
+                # pivot_doc — cursors sorted AFTER the pivot index can tie it
+                # (live is docid-sorted, so they're the contiguous run at the
+                # front); stopping at pivot+1 understates the bound and
+                # silently drops true top-k docs (seen at 960k docs).
                 block_ub = 0.0
-                for c in live[: pivot + 1]:
+                for c in live:
+                    if int(c["dids"][c["pos"]]) > pivot_doc:
+                        break
                     bi = np.searchsorted(c["bl"], pivot_doc)
-                    if bi < len(c["bm"]) and c["dids"][c["pos"]] <= pivot_doc:
+                    if bi < len(c["bm"]):
                         block_ub += c["idf"] * c["bm"][bi]
-                if block_ub > threshold:
+                if block_ub > threshold - self._EPS:
                     score = self._score_doc(pivot_doc, terms, post)
                     if len(heap) < k:
                         heapq.heappush(heap, (score, -pivot_doc))

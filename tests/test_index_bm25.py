@@ -85,6 +85,77 @@ def test_bmw_matches_exact(built_index):
         assert bmw == exact, text
 
 
+def test_bmw_pivot_tie_regression(built_index):
+    """BMW block-max refinement must sum EVERY cursor sitting at the pivot
+    doc: when two query terms' cursors tie at the same doc and pivot=0,
+    bounding by only live[:pivot+1] understates the doc's score and silently
+    drops a true top-k doc (seen live at 960k docs).  Constructed geometry
+    over real docids via a monkeypatched lookup: term A has a high-tf spike
+    doc (global upper bound ≫ typical block max) and doc X sits in a weak
+    A-block; an earlier two-A+B doc sets the threshold above X's A-only
+    block bound, so only the B cursor tied at X proves X can qualify."""
+    import numpy as np
+
+    from terrier_ray.index.bm25 import B, K1, idf
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    cand = idx._dl_docids[:40].astype(np.uint64)  # real docids, sorted unique
+
+    def wd(docid, tf):
+        dl = float(idx.doc_len(np.asarray([int(docid)], dtype=np.int64))[0])
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+
+    # roles: spike < Y < X by docid, with wd1(Y) just above wd1(X) so the
+    # k=2 threshold set at Y rejects X's A-only block bound but not X itself
+    spike = cand[0]
+    wd1 = {int(dd): wd(dd, 1) for dd in cand[1:]}
+    pick = None
+    for yi, y in enumerate(cand[1:-1], start=1):
+        for x in cand[yi + 1:]:
+            gap = wd1[int(y)] - wd1[int(x)]
+            if 0.0 < gap < 0.08:
+                pick = (y, x)
+                break
+        if pick:
+            break
+    assert pick, "no (Y, X) docid pair with the needed doc-length relation"
+    y_doc, x_doc = pick
+
+    # term A: spike tf=20 (block 1, with Y), X alone in block 2
+    a_dids = np.array([spike, y_doc, x_doc], dtype=np.uint64)
+    a_tfs = np.array([20, 1, 1], dtype=np.uint32)
+    a_bl = np.array([y_doc, x_doc], dtype=np.uint64)
+    a_bm = np.array([max(wd(spike, 20), wd(y_doc, 1)), wd(x_doc, 1)],
+                    dtype=np.float32)
+    # term B: tf=1 at Y (the threshold-setter), tf=8 at X
+    b_dids = np.array([y_doc, x_doc], dtype=np.uint64)
+    b_tfs = np.array([1, 8], dtype=np.uint32)
+    b_bl = np.array([x_doc], dtype=np.uint64)
+    b_bm = np.array([max(wd(y_doc, 1), wd(x_doc, 8))], dtype=np.float32)
+    df_a, df_b = 100, 300  # idf_B ≪ idf_A so A's ub alone clears the bar
+    post = {"qqqa": (df_a, a_dids, a_tfs, a_bl, a_bm),
+            "qqqb": (df_b, b_dids, b_tfs, b_bl, b_bm)}
+    idx.lookup = lambda terms: {t: post.get(t) for t in terms}
+    getattr(idx, "_wd_cache", {}).clear()  # drop cached synthetic weights
+
+    w_a, w_b = idf(idx.n_docs, df_a), idf(idx.n_docs, df_b)
+    score = {
+        int(dd): w_a * wd(dd, int(a_tfs[i])) for i, dd in enumerate(a_dids)
+    }
+    for i, dd in enumerate(b_dids):
+        score[int(dd)] = score.get(int(dd), 0.0) + w_b * wd(dd, int(b_tfs[i]))
+    # geometry preconditions (if these fail the test no longer proves the bug)
+    thr = score[int(y_doc)]  # k=2 threshold when cursors reach X
+    assert w_a * float(a_bm.max()) > thr          # pivot=0 at X
+    assert w_a * float(a_bm[1]) <= thr            # A-only block bound rejects X
+    assert score[int(x_doc)] > thr                # but X truly beats the kth
+    want = sorted(score.items(), key=lambda x: (-x[1], x[0]))[:2]
+    got = idx.search_bmw("qqqa qqqb", 2)
+    assert [dd for dd, _ in got] == [dd for dd, _ in want]
+    assert got == idx.search("qqqa qqqb", 2)
+
+
 def test_scorer_stage(ray_session, built_index, oracle):
     import ray.data as rd
 
