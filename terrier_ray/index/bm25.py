@@ -70,9 +70,12 @@ class BM25Index:
     #: term's decoded list is ~16B/doc; 4096 hot terms is plenty per actor)
     CACHE_CAP = 4096
 
-    #: derived per-term BM25 weight arrays (float64, 8 B/posting) — smaller
-    #: cap than the postings cache because these are pure derivations
-    WD_CACHE_CAP = 1024
+    #: derived per-term BM25 weight arrays (float64, 8 B/posting); sized to
+    #: the postings cache — a weight array is half its term's cached
+    #: postings, and a serving query mix (bench: 1,818 distinct terms per
+    #: 2,000 queries) must fit or the warm window pays the doc_len gather
+    #: + weight arithmetic on every repeat
+    WD_CACHE_CAP = 4096
 
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -316,15 +319,30 @@ class BM25Index:
                             / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
                         )
                 continue
-            # full merge of this term's postings into the candidate set
+            # full merge of this term's postings into the candidate set.
+            # Both sides are sorted unique, so a searchsorted scatter-merge
+            # replaces unique(concatenate)'s full re-sort — same values, same
+            # per-doc add order (one add per term, in term-processing order),
+            # ~4 linear passes instead of an n-log-n sort of the union.
             contrib = w * self._wd_of(t, (df, dids, tfs, None, None))
             d64 = dids.astype(np.int64)
-            merged = np.concatenate([cand_d, d64])
-            accs = np.concatenate([cand_acc, contrib])
-            uniq, inverse = np.unique(merged, return_inverse=True)
-            acc = np.zeros(len(uniq), dtype=np.float64)
-            np.add.at(acc, inverse, accs)
-            cand_d, cand_acc = uniq, acc
+            if not len(cand_d):
+                cand_d, cand_acc = d64, contrib.copy()
+                continue
+            pos = np.searchsorted(cand_d, d64)
+            pos_c = np.clip(pos, 0, len(cand_d) - 1)
+            dup = cand_d[pos_c] == d64
+            if dup.any():
+                cand_acc[pos_c[dup]] += contrib[dup]
+            nd, nc = d64[~dup], contrib[~dup]
+            if len(nd):
+                out_d = np.empty(len(cand_d) + len(nd), dtype=np.int64)
+                out_a = np.empty(len(out_d), dtype=np.float64)
+                ia = np.arange(len(cand_d)) + np.searchsorted(nd, cand_d)
+                ib = np.arange(len(nd)) + np.searchsorted(cand_d, nd)
+                out_d[ia], out_a[ia] = cand_d, cand_acc
+                out_d[ib], out_a[ib] = nd, nc
+                cand_d, cand_acc = out_d, out_a
 
         kk = min(2 * k, len(cand_d))
         part = np.argpartition(-cand_acc, kk - 1)[:kk] if len(cand_d) > kk else np.arange(len(cand_d))

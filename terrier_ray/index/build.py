@@ -96,7 +96,7 @@ def _total_bytes(path: str) -> int:
     )
 
 
-def _scan_blocks(path: str, per_cpu: int = 2) -> int | None:
+def _scan_blocks(path: str, per_cpu: int = 2, floor_files: bool = True) -> int | None:
     """Read-block target for the corpus scans.
 
     Ray's parquet reader splits work at ROW-GROUP granularity; without an
@@ -106,11 +106,21 @@ def _scan_blocks(path: str, per_cpu: int = 2) -> int | None:
     passes want ~2 blocks/cpu for wave balance; shuffle inputs want ~1/cpu
     (see ops/relational._read_blocks_for).  Ray silently caps the override
     at the total row-group count, so this is safe on coarse files too.
+
+    ``floor_files=False`` (shuffle inputs): do NOT floor at the file count —
+    a corpus written as hundreds of task files otherwise forces hundreds of
+    shuffle input blocks, and the all-to-all's task/fetch overhead grows
+    with block count × partitions (measured: the 7.68M-doc postings exchange
+    dropped 74 → 57 s at 16 cpus from this cap alone).  Oversized read
+    blocks are safe: Ray's dynamic block splitting re-chops map outputs at
+    target_max_block_size, so worker memory stays bounded.
     """
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_files = len(glob.glob(os.path.join(path, "*.parquet"))) or 1
+    if not floor_files:
+        return per_cpu * cpus
     return max(n_files, per_cpu * cpus)
 
 
@@ -387,6 +397,29 @@ def compute_stats(
     est = df_tab["df_est"] / max(frac, 1e-9)
     heavy = sorted(df_tab.loc[est >= heavy_min_df, "term"].tolist())
 
+    # per-bucket posting-mass estimate from the same sample: lets the
+    # postings exchange LPT-pack buckets into balanced reduce groups
+    # (Zipf head terms carry most of the mass and are all in the sample;
+    # the unsampled tail spreads ~uniformly by hashing, so a uniform floor
+    # keeps zero-sample buckets from clumping into one group)
+    mass = np.zeros(num_buckets, dtype=np.float64)
+    s_terms = np.asarray(df_tab["term"].tolist(), dtype=object)
+    s_est = est.to_numpy()
+    if len(s_terms):
+        th = term_hash(s_terms)
+        heavy_mask = np.fromiter(
+            (t in set(heavy) for t in s_terms), dtype=bool, count=len(s_terms)
+        )
+        plain_b = (th[~heavy_mask] % num_buckets).astype(np.int64)
+        np.add.at(mass, plain_b, s_est[~heavy_mask])
+        n_salts = max(1, int(num_salts))
+        for s in range(n_salts):
+            hb = salted_bucket(
+                th[heavy_mask], np.full(heavy_mask.sum(), s, np.int64), num_buckets
+            )
+            np.add.at(mass, hb, s_est[heavy_mask] / n_salts)
+    mass += max(1.0, float(mass.mean()) * 0.25)
+
     stats = {
         "n_docs": n_docs,
         "total_dl": total_dl,
@@ -399,6 +432,7 @@ def compute_stats(
         "heavy_terms": heavy,
         "heavy_min_df": heavy_min_df,
         "sample_frac": frac,
+        "bucket_mass": [round(float(m), 2) for m in mass],
     }
     os.makedirs(os.path.dirname(stats_path), exist_ok=True)
     with open(stats_path + ".tmp", "w") as f:
@@ -460,7 +494,7 @@ def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
         ds = rd.read_parquet(
             corpus_dir,
             columns=["docid", "dl"],
-            override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1),
+            override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1, floor_files=False),
         ).sort("docid")
         buf_d: list[np.ndarray] = []
         buf_l: list[np.ndarray] = []
@@ -558,10 +592,23 @@ class _Exploder:
     shipped to tasks as a plain callable).
     """
 
-    def __init__(self, num_buckets: int, heavy_terms=(), num_salts: int = 1):
+    def __init__(
+        self,
+        num_buckets: int,
+        heavy_terms=(),
+        num_salts: int = 1,
+        group_of: "np.ndarray | None" = None,
+    ):
         self.num_buckets = num_buckets
         self.num_salts = max(1, int(num_salts))
         self.heavy = frozenset(heavy_terms) if self.num_salts > 1 else frozenset()
+        # bucket → LPT-balanced exchange group (see build_postings); identity
+        # when the exchange runs one bucket per group
+        self.group_of = (
+            group_of
+            if group_of is not None
+            else np.arange(num_buckets, dtype=np.int32)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -594,6 +641,9 @@ class _Exploder:
             if hm.any():
                 salt[hm] = salt_of_docid(docid[hm], self.num_salts)
                 bucket[hm] = salted_bucket(th[hm], salt[hm], self.num_buckets)
+        # ship only the GROUP key; the group builder recomputes each row's
+        # bucket from (term, salt) — same hash both sides — so the balanced
+        # exchange costs no extra payload over the one-bucket-per-group shape
         return pa.table(
             {
                 "term": flat,
@@ -601,12 +651,39 @@ class _Exploder:
                 "tf": pa.array(flat_tfs),
                 "dl": pa.array(dl),
                 "salt": pa.array(salt),
-                "bucket": pa.array(bucket.astype(np.int32)),
+                "gkey": pa.array(self.group_of[bucket.astype(np.int32)]),
             }
         )
 
 
-def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | None = None):
+def _lpt_pack(mass: np.ndarray, num_groups: int) -> np.ndarray:
+    """Longest-processing-time bin packing: bucket → exchange group.
+
+    Greedy LPT over the stats epoch's per-bucket mass estimates keeps every
+    reduce group within ~4/3 of the optimal balance, so the exchange has no
+    range-glob straggler (Ray's sort-shuffle range partitioning over raw
+    bucket ids put several heavy buckets in one reduce task — a measured
+    22.6 s max task vs 4.7 s mean at 7.68M docs).  Deterministic given the
+    stats, so resumed builds repack identically."""
+    import heapq
+
+    heap = [(0.0, g) for g in range(num_groups)]
+    heapq.heapify(heap)
+    out = np.zeros(len(mass), dtype=np.int32)
+    for b in np.argsort(-mass, kind="stable"):
+        load, g = heapq.heappop(heap)
+        out[b] = g
+        heapq.heappush(heap, (load + float(mass[b]), g))
+    return out
+
+
+def _make_bucket_builder(
+    postings_dir: str,
+    avgdl: float,
+    ef_threshold: int | None = None,
+    num_buckets: int | None = None,
+    heavy_terms=(),
+):
     """Per-bucket builder: raw postings of the bucket's terms → final file.
 
     Entirely vectorized over the bucket: one lexsort by (term, salt, docid),
@@ -626,10 +703,9 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
     from terrier_ray.index.codec import _nbytes_for, ef_encode
 
     ef_t = EF_THRESHOLD if ef_threshold is None else ef_threshold
+    heavy_set = frozenset(heavy_terms)
 
-    def build_bucket(group: pa.Table) -> pa.Table:
-        bucket = int(group.column("bucket")[0].as_py())
-        g = group.combine_chunks()
+    def build_bucket(g: pa.Table, bucket: int) -> pa.Table:
         term_col = g.column("term")
         if isinstance(term_col, pa.ChunkedArray):
             term_col = term_col.chunk(0)
@@ -743,7 +819,59 @@ def _make_bucket_builder(postings_dir: str, avgdl: float, ef_threshold: int | No
             }
         )
 
-    return build_bucket
+    def build_group(group: pa.Table) -> pa.Table:
+        """One LPT exchange group → its buckets' final files.
+
+        Recomputes each row's layout bucket from (term, salt) with the same
+        hashes the exploder used, sorts the group once by bucket, and runs
+        the vectorized per-bucket encoder on each contiguous slice."""
+        g = group.drop_columns(["gkey"]).combine_chunks() if "gkey" in group.column_names else group.combine_chunks()
+        if "bucket" in g.column_names:  # direct per-bucket input (tests)
+            row_bucket = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int32)
+            g = g.drop_columns(["bucket"])
+        else:
+            term_col = g.column("term")
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.chunk(0)
+            dic = term_col.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+            uh = term_hash(uniq)
+            row_bucket = ((uh % num_buckets)[codes]).astype(np.int32)
+            if heavy_set:
+                # a heavy term's rows route via salted_bucket for EVERY
+                # salt, including salt 0 — membership decides the route
+                salt = g.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+                heavy_u = np.fromiter(
+                    (t in heavy_set for t in uniq), dtype=bool, count=len(uniq)
+                )
+                hm = heavy_u[codes]
+                if hm.any():
+                    row_bucket[hm] = salted_bucket(
+                        uh[codes[hm]], salt[hm], num_buckets
+                    ).astype(np.int32)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "n_terms": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_postings": pa.array([], pa.int64()),
+                    "max_group_postings": pa.array([], pa.int64()),
+                    "file": pa.array([], pa.string()),
+                }
+            )
+        order = np.argsort(row_bucket, kind="stable")
+        gs = g.take(pa.array(order))
+        rb = row_bucket[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(rb)) + 1))
+        ends = np.concatenate((starts[1:], [len(rb)]))
+        return pa.concat_tables(
+            build_bucket(gs.slice(int(s), int(e - s)).combine_chunks(), int(rb[s]))
+            for s, e in zip(starts, ends)
+        )
+
+    return build_group
 
 
 def decode_final_postings(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
@@ -775,17 +903,31 @@ def build_postings(
     import ray.data as rd
 
     num_buckets = stats["num_buckets"]
+    # LPT-balanced exchange groups: FIXED count (a function of the data
+    # layout, not the cluster size) so scaling legs run the identical job;
+    # 64 groups keep every reduce task within the balance bound while the
+    # sort key cardinality stays tiny (sort-shuffle cost grows with key
+    # cardinality — 64 keys is ~free, 1024 raw buckets was not, and its
+    # range partitioning glommed heavy buckets into one straggler task)
+    num_groups = min(num_buckets, 64)
+    mass = np.asarray(stats.get("bucket_mass", ()), dtype=np.float64)
+    if len(mass) != num_buckets:
+        mass = np.ones(num_buckets, dtype=np.float64)
+    group_of = _lpt_pack(mass, num_groups)
     explode = _Exploder(
         num_buckets,
         heavy_terms=stats.get("heavy_terms", ()),
         num_salts=stats.get("num_salts", 1),
+        group_of=group_of,
     )
 
     ds = rd.read_parquet(
         corpus_dir,
         columns=["docid", "dl", "terms", "tfs"],
-        # shuffle input: ~1 block/cpu (more oversubscribes the aggregator)
-        override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1),
+        # shuffle input: ~1 block/cpu, NOT floored at the corpus file count
+        # (task-written corpora have hundreds of files; block count × reduce
+        # partitions drives the all-to-all's fetch overhead)
+        override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1, floor_files=False),
     )
     ds = ds.map_batches(
         explode,
@@ -793,8 +935,19 @@ def build_postings(
         batch_size=1024,
         zero_copy_batch=True,
     )
-    metrics = ds.groupby("bucket").map_groups(
-        _make_bucket_builder(postings_dir, stats["avgdl"], ef_threshold),
+    metrics = ds.groupby("gkey").map_groups(
+        _make_bucket_builder(
+            postings_dir,
+            stats["avgdl"],
+            ef_threshold,
+            num_buckets=num_buckets,
+            # mirror _Exploder's gate: salted routing only when salting is on
+            heavy_terms=(
+                stats.get("heavy_terms", ())
+                if stats.get("num_salts", 1) > 1
+                else ()
+            ),
+        ),
         batch_format="pyarrow",
     )
     return metrics.to_pandas()

@@ -550,6 +550,29 @@ def test_heavy_term_salted_subpostings(ray_session, tmp_root):
         assert a.search(q, 10) == b.search(q, 10), q
 
 
+def test_lpt_grouped_exchange_rank_identical(ray_session, webtext_small, tmp_root, oracle):
+    """num_buckets > 64 forces the postings exchange into LPT-packed
+    multi-bucket groups (64 balanced gkeys); the group builder must route
+    every row back to its true (term, salt) bucket — rank-AND-score
+    identical to the oracle, with every expected bucket file present."""
+    out = os.path.join(str(tmp_root), "idx_lpt130")
+    build_index(webtext_small, out, num_buckets=130, num_salts=3, heavy_min_df=20)
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(out, "postings", "bucket-*.parquet"))
+    assert len(files) > 64  # more buckets than exchange groups
+    # df across all bucket files must reconstruct the oracle's df map
+    engine_df: dict[str, int] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            engine_df[term] = engine_df.get(term, 0) + df
+    assert engine_df == oracle.df
+    idx = BM25Index(out)
+    for q in generate_queries(30).column("text").to_pylist():
+        assert idx.search(q, 10) == oracle.search(q, 10), q
+
+
 def test_doclens_sidecar_memmap(built_index):
     """Scorer doclen state is a docid-sorted memmap sidecar (O(touched
     pages) per actor, not O(N) heap), exact vs the corpus scan."""
