@@ -153,7 +153,10 @@ def run_bench() -> dict:
     # ---- query throughput: steady-state over a PRE-WARMED actor pool ----
     # (map_batches actor pools pay index-load per execution; QPS is a
     # steady-state serving metric, so actors are created+warmed untimed)
-    pool = max(2, NUM_CPUS // 2)
+    # one scorer actor per allocated cpu: the pool is the "cluster serving
+    # throughput at N cpus" metric, so it should use the whole allocation
+    # (NUM_CPUS//2 left half the hi scaling leg idle during the pool window)
+    pool = max(2, NUM_CPUS)
     RemoteScorer = ray.remote(num_cpus=1)(BM25Scorer)
     actors = [
         RemoteScorer.remote(index_dir=idx_dir, k=10) for _ in range(pool)

@@ -886,19 +886,37 @@ def build_postings(
     stats: dict,
     *,
     ef_threshold: int | None = None,
+    exchange: str = "hash",
 ):
     """Tokenized corpus → final per-bucket posting files in ONE exchange.
 
-    explode (map) → groupby(term-bucket) → per-bucket final encode+write.
-    The term's full posting list is co-located by the one shuffle, already
-    in its final layout bucket, so there is no intermediate segment
-    encode/decode and no second sort barrier (the two-stage salted design
-    this replaces spent 130 + 136 cpu·s on the segment and merge stages and
-    a full extra all-to-all at 3.84M docs).  Per-bucket memory is bounded by
-    total_postings / num_buckets — num_buckets scales with data — and the
-    Zipf head is bounded by heavy-term docid-range salting (the stats
-    epoch's detected heavy terms each split into num_salts sub-postings
-    routed to distinct buckets; see _Exploder).
+    explode (map) → hash exchange on the LPT group key → per-bucket final
+    encode+write.  The term's full posting list is co-located by the one
+    exchange, already in its final layout bucket, so there is no
+    intermediate segment encode/decode and no second sort barrier.
+    Per-bucket memory is bounded by total_postings / num_buckets —
+    num_buckets scales with data — and the Zipf head is bounded by
+    heavy-term docid-range salting (the stats epoch's detected heavy terms
+    each split into num_salts sub-postings routed to distinct buckets; see
+    _Exploder).
+
+    ``exchange="hash"`` (default) runs the exchange as a two-stage raw-task
+    hash shuffle: M explode tasks each return num_groups pre-partitioned
+    slices (``num_returns``), and one encode task per group gathers its
+    parts from every map task.  The Dataset API cannot express a
+    hash-partitioned co-location without imposing a global order — its
+    ``groupby`` exchange is sort-based, and the Sort operator carries a
+    measured cpu-count-INDEPENDENT serial floor (boundary sampling +
+    phase barriers: ~37 s at 7.68M docs vs ~12 s for the hash exchange,
+    quiet-host fits), which is exactly the term the N-vs-4N scaling
+    criterion cannot amortize.  Partitioning assumptions documented:
+    every posting of a (term, salt) maps to one group via
+    ``group_of[bucket(term, salt)]`` on both sides; map outputs live in
+    the object store until their group's encode consumes them (spills on
+    pressure, exactly like the built-in shuffle's blocks); a multi-node
+    deployment moves the same parts through plasma transfers.
+    ``exchange="sort"`` keeps the Ray Data ``groupby(gkey).map_groups``
+    plan (identical output files).
     """
     import ray.data as rd
 
@@ -920,6 +938,19 @@ def build_postings(
         num_salts=stats.get("num_salts", 1),
         group_of=group_of,
     )
+    builder = _make_bucket_builder(
+        postings_dir,
+        stats["avgdl"],
+        ef_threshold,
+        num_buckets=num_buckets,
+        # mirror _Exploder's gate: salted routing only when salting is on
+        heavy_terms=(
+            stats.get("heavy_terms", ()) if stats.get("num_salts", 1) > 1 else ()
+        ),
+    )
+
+    if exchange == "hash":
+        return _hash_exchange_postings(corpus_dir, explode, builder, num_groups)
 
     ds = rd.read_parquet(
         corpus_dir,
@@ -935,22 +966,96 @@ def build_postings(
         batch_size=1024,
         zero_copy_batch=True,
     )
-    metrics = ds.groupby("gkey").map_groups(
-        _make_bucket_builder(
-            postings_dir,
-            stats["avgdl"],
-            ef_threshold,
-            num_buckets=num_buckets,
-            # mirror _Exploder's gate: salted routing only when salting is on
-            heavy_terms=(
-                stats.get("heavy_terms", ())
-                if stats.get("num_salts", 1) > 1
-                else ()
-            ),
-        ),
-        batch_format="pyarrow",
-    )
+    metrics = ds.groupby("gkey").map_groups(builder, batch_format="pyarrow")
     return metrics.to_pandas()
+
+
+#: target tokenized-corpus bytes per explode task in the hash exchange —
+#: bounds per-task heap (a chunk's exploded rows are held until the split)
+#: independent of cluster size
+_EXPLODE_CHUNK_BYTES = 512 << 20
+
+
+def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
+    """Two-stage raw-task hash shuffle for the postings exchange.
+
+    Stage 1: M explode tasks (M = max(cpus, corpus_bytes / 512 MiB), so task
+    heap is bounded at any scale) read their corpus files, explode to
+    posting rows, sort once by group key, and return ``num_groups``
+    pre-partitioned slices via ``num_returns`` — each slice is its own
+    object, so stage 2 fetches exactly its group's bytes.  Stage 2: one
+    encode task per LPT-balanced group concatenates its M parts and runs
+    the vectorized per-bucket encoder.  See build_postings for why this
+    replaces the Dataset sort exchange.
+    """
+    import ray
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    if not files:
+        return _empty_metrics_df()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    total = sum(os.path.getsize(f) for f in files)
+    m = max(cpus, -(-total // _EXPLODE_CHUNK_BYTES))
+    m = min(m, len(files))
+    chunks = [files[i::m] for i in range(m)]
+
+    explode_task = ray.remote(num_returns=num_groups)(_explode_part)
+    encode_task = ray.remote(_encode_group)
+    refs = [explode_task.remote(c, explode, num_groups) for c in chunks]
+    if num_groups == 1:  # num_returns=1 yields a bare ref, not a list
+        refs = [[r] for r in refs]
+    enc = [
+        encode_task.remote(builder, *[r[g] for r in refs])
+        for g in range(num_groups)
+    ]
+    metrics = [m_ for m_ in ray.get(enc) if m_ is not None]
+    if not metrics:
+        return _empty_metrics_df()
+    return pa.concat_tables(metrics).to_pandas()
+
+
+def _explode_part(files, exploder, num_groups):
+    """Hash-exchange stage 1: corpus files → num_groups partitioned slices."""
+    outs = []
+    for f in files:
+        tab = pq.read_table(f, columns=["docid", "dl", "terms", "tfs"])
+        for s in range(0, tab.num_rows, 1024):
+            outs.append(exploder(tab.slice(s, 1024)))
+    big = pa.concat_tables(outs).combine_chunks()
+    del outs
+    gk = big.column("gkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(gk, kind="stable")
+    big = big.take(pa.array(order))
+    gks = gk[order]
+    starts = np.searchsorted(gks, np.arange(num_groups))
+    ends = np.concatenate((starts[1:], [len(gks)]))
+    return tuple(
+        big.slice(int(st), int(en - st)).combine_chunks() if en > st else None
+        for st, en in zip(starts, ends)
+    )
+
+
+def _encode_group(builder, *parts):
+    """Hash-exchange stage 2: gather one group's parts, encode its buckets."""
+    live = [p for p in parts if p is not None and p.num_rows]
+    if not live:
+        return None
+    return builder(pa.concat_tables(live).combine_chunks())
+
+
+def _empty_metrics_df():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "bucket": pd.Series([], dtype="int32"),
+            "n_terms": pd.Series([], dtype="int64"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_postings": pd.Series([], dtype="int64"),
+            "max_group_postings": pd.Series([], dtype="int64"),
+            "file": pd.Series([], dtype="object"),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -968,6 +1073,7 @@ def build_index(
     batch_size: int = 512,
     ef_threshold: int | None = None,
     force: bool = False,
+    exchange: str = "hash",
 ) -> dict:
     """Build (or resume building) a BM25 index at ``out_dir``.
 
@@ -1048,8 +1154,11 @@ def build_index(
         import shutil
 
         shutil.rmtree(postings_dir, ignore_errors=True)
+        # exchange choice affects execution only, never the output files —
+        # deliberately NOT part of the epoch fingerprint
         bucket_metrics = build_postings(
             corpus_dir, postings_dir, stats, ef_threshold=ef_threshold,
+            exchange=exchange,
         )
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))

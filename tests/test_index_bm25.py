@@ -573,6 +573,33 @@ def test_lpt_grouped_exchange_rank_identical(ray_session, webtext_small, tmp_roo
         assert idx.search(q, 10) == oracle.search(q, 10), q
 
 
+def test_hash_exchange_matches_sort_exchange(ray_session, webtext_small, tmp_root):
+    """The raw-task hash exchange (default) and the Dataset sort exchange
+    must produce byte-identical bucket files — same terms, salts, dfs,
+    posting bytes, and block metadata in every bucket."""
+    import pyarrow.parquet as pq
+
+    dirs = {}
+    for ex in ("hash", "sort"):
+        out = os.path.join(str(tmp_root), f"idx_exchange_{ex}")
+        build_index(webtext_small, out, num_buckets=130, num_salts=3,
+                    heavy_min_df=20, exchange=ex)
+        dirs[ex] = out
+    h_files = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(dirs["hash"], "postings", "*.parquet"))
+    )
+    s_files = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(dirs["sort"], "postings", "*.parquet"))
+    )
+    assert h_files == s_files and h_files
+    for name in h_files:
+        th = pq.read_table(os.path.join(dirs["hash"], "postings", name))
+        ts = pq.read_table(os.path.join(dirs["sort"], "postings", name))
+        assert th.equals(ts), name
+
+
 def test_doclens_sidecar_memmap(built_index):
     """Scorer doclen state is a docid-sorted memmap sidecar (O(touched
     pages) per actor, not O(N) heap), exact vs the corpus scan."""
