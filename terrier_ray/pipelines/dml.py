@@ -1,12 +1,13 @@
-"""SQL DML pipelines: INSERT INTO … SELECT / DELETE FROM … WHERE over
-snapshot stores, plus parameterized ($n) statements.
+"""SQL DML pipelines: INSERT INTO … SELECT / UPDATE … SET / DELETE FROM …
+WHERE over snapshot stores, plus parameterized ($n) statements.
 
-Reference analogs: insert_translator.cpp / delete_translator.cpp (DML
-through codegen) and the extended-query protocol's parameter binding
-(parser/expression_defs.h:66 PARAMETER, network/postgres/statement.cpp).
-Here DML lowers onto immutable snapshot versions (state/snapshots.py) —
-INSERT appends part files, DELETE is a filtered rewrite, every prior
-version stays readable (time travel).
+Reference analogs: insert_translator.cpp / update_translator.cpp /
+delete_translator.cpp (DML through codegen) and the extended-query
+protocol's parameter binding (parser/expression_defs.h:66 PARAMETER,
+network/postgres/statement.cpp).  Here DML lowers onto immutable snapshot
+versions (state/snapshots.py) — INSERT appends part files, UPDATE is a
+mapped rewrite, DELETE is a filtered rewrite, every prior version stays
+readable (time travel).
 """
 
 from __future__ import annotations
@@ -52,6 +53,37 @@ def sql_dml_roundtrip(sf_dir: str):
     )
 
 
+def sql_update_roundtrip(sf_dir: str):
+    """Parameterized ``UPDATE … SET … WHERE`` through SQL text.
+
+    Seeds a snapshot store with ``nation`` and shifts region-$1 keys by
+    +100; matched rows take the SET expression (evaluated on the original
+    row values), others pass through unchanged.  The oracle recomputes the
+    post-image with a CASE projection over the base table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(
+        "/tmp/terrier_ray_dml_upd", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(
+        root, rd.read_parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    )
+    sql_dml(
+        "UPDATE nat SET n_nationkey = n_nationkey + 100 WHERE n_regionkey = $1",
+        sf_dir,
+        {"nat": root},
+        params=[1],
+    )
+    df = snapshots.scan(root).to_pandas()[["n_name", "n_nationkey"]]
+    df["new_key"] = df.pop("n_nationkey").astype("int64")
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def sql_param_segment_counts(sf_dir: str):
     """Parameterized SELECT: the same statement text the oracle runs with
     literals, executed here with $1/$2 bind values."""
@@ -68,6 +100,7 @@ def sql_param_segment_counts(sf_dir: str):
 
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_update_roundtrip": sql_update_roundtrip,
     "sql_param_segment_counts": sql_param_segment_counts,
 }
 
@@ -81,6 +114,12 @@ ORACLE_SQL = {
                (SELECT COUNT(*) FROM nation)
              + (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_rows
         ORDER BY phase
+    """,
+    "sql_update_roundtrip": """
+        SELECT n_name,
+               CAST(CASE WHEN n_regionkey = 1 THEN n_nationkey + 100
+                         ELSE n_nationkey END AS BIGINT) AS new_key
+        FROM nation ORDER BY n_name
     """,
     "sql_param_segment_counts": """
         SELECT c_mktsegment, count(*) AS n FROM customer

@@ -31,13 +31,15 @@ def plan(
     ``params`` binds ``$n`` placeholders (1-based) before lowering — the
     extended-query-protocol shape (reference: parser/expression_defs.h:66
     PARAMETER, network/postgres/statement.cpp)."""
-    from terrier_ray.sql.ast import Delete, Insert, bind_params
+    from terrier_ray.sql.ast import Delete, Insert, Update, bind_params
 
     stmt = parse(query)
     if params is not None:
         stmt = bind_params(stmt, list(params))
-    if isinstance(stmt, (Insert, Delete)):
-        raise ValueError("INSERT/DELETE execute via sql_dml(), not plan()/sql()")
+    if isinstance(stmt, (Insert, Delete, Update)):
+        raise ValueError(
+            "INSERT/UPDATE/DELETE execute via sql_dml(), not plan()/sql()"
+        )
     return _plan_stmt(stmt, sf_dir, optimized)
 
 
@@ -63,21 +65,24 @@ def sql_dml(
     stores: Mapping[str, str],
     params: "Any | None" = None,
 ) -> int:
-    """Execute ``INSERT INTO t SELECT …`` / ``DELETE FROM t [WHERE …]``.
+    """Execute ``INSERT INTO t SELECT …`` / ``UPDATE t SET … [WHERE …]`` /
+    ``DELETE FROM t [WHERE …]``.
 
     ``stores`` maps mutable table names to snapshot-store roots
-    (state/snapshots.py); SELECT sources and WHERE columns bind against the
-    sf_dir catalog and the target snapshot's schema respectively.  Returns
-    the newly published snapshot version (INSERT = append parts, DELETE =
-    filtered rewrite; both leave prior versions readable — time travel).
-    Reference analog: insert_translator.cpp / delete_translator.cpp, here
-    lowered onto immutable snapshots instead of MVCC in-place writes."""
+    (state/snapshots.py); SELECT sources and SET/WHERE columns bind against
+    the sf_dir catalog and the target snapshot's schema respectively.
+    Returns the newly published snapshot version (INSERT = append parts,
+    UPDATE = mapped rewrite, DELETE = filtered rewrite; all leave prior
+    versions readable — time travel).  Reference analog:
+    insert_translator.cpp / update_translator.cpp / delete_translator.cpp,
+    here lowered onto immutable snapshots instead of MVCC in-place
+    writes."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from terrier_ray.api import _compile_expr, build
-    from terrier_ray.sql.ast import Delete, Insert, bind_params
+    from terrier_ray.sql.ast import Delete, Insert, Update, bind_params
     from terrier_ray.sql.lower import Binder, _Lowerer
     from terrier_ray.state import snapshots
 
@@ -123,7 +128,54 @@ def sql_dml(
             return pc.fill_null(pc.invert(cond(batch)), True)
 
         return snapshots.delete_rows(root, keep)
-    raise ValueError("sql_dml requires an INSERT or DELETE statement")
+    if isinstance(stmt, Update):
+        if stmt.table not in stores:
+            raise ValueError(f"unknown mutable table {stmt.table!r}")
+        root = stores[stmt.table]
+        schema = pads.dataset(snapshots.snapshot_dir(root)).schema
+        catalog = Catalog(sf_dir)
+        catalog.register_view(stmt.table, schema, {"scan": {"table": stmt.table}})
+        low = _Lowerer(Binder(catalog, [(stmt.table, None)]))
+        set_fns = []
+        for col, e in stmt.sets:
+            if col not in schema.names:
+                raise ValueError(f"UPDATE target column {col!r} not in table")
+            set_fns.append((col, _compile_expr(low.lower(e))))
+        cond = (
+            _compile_expr(low.lower(stmt.where)) if stmt.where is not None else None
+        )
+
+        def _fit(val, typ):
+            # SET value → something pc.if_else can blend with the old
+            # column: arrays cast to the column type, literals to a typed
+            # scalar (if_else broadcasts scalars)
+            if isinstance(val, pa.ChunkedArray):
+                val = val.combine_chunks()
+            if isinstance(val, pa.Array):
+                return val if val.type == typ else pc.cast(val, typ)
+            if not isinstance(val, pa.Scalar):
+                val = pa.scalar(val)
+            return val if val.type == typ else val.cast(typ)
+
+        def transform(batch: pa.Table) -> pa.Table:
+            # UPDATE applies where the predicate is TRUE; FALSE and NULL
+            # rows keep their old values (SQL three-valued semantics).
+            # All SET expressions read the ORIGINAL batch (SET a=b, b=a
+            # swaps), then the columns are replaced.
+            mask = pc.fill_null(cond(batch), False) if cond is not None else None
+            news = [(col, fn(batch)) for col, fn in set_fns]
+            for col, val in news:
+                i = batch.schema.get_field_index(col)
+                old = batch.column(i)
+                val = _fit(val, old.type)
+                new = val if mask is None else pc.if_else(mask, val, old)
+                if isinstance(new, pa.Scalar):  # unconditional literal SET
+                    new = pc.fill_null(pa.nulls(batch.num_rows, old.type), new)
+                batch = batch.set_column(i, batch.field(i), new)
+            return batch
+
+        return snapshots.update_rows(root, transform)
+    raise ValueError("sql_dml requires an INSERT, UPDATE or DELETE statement")
 
 
 def explain(query: str, sf_dir: str, optimized: bool = True) -> str:

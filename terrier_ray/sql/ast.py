@@ -249,6 +249,20 @@ class Delete:
     where: Optional[Expr] = None
 
 
+@dataclass
+class Update:
+    """UPDATE <table> SET col = expr [, …] [WHERE <expr>].  Reference
+    analog: src/execution/compiler/operator/update_translator.cpp (delete +
+    re-insert through the same pipeline); here one mapped snapshot rewrite
+    (state/snapshots.py update_rows) — matched rows take the SET
+    expressions (all evaluated against the ORIGINAL row, so ``SET a=b,
+    b=a`` swaps), others pass through unchanged."""
+
+    table: str
+    sets: list  # list[tuple[str, Expr]]
+    where: Optional[Expr] = None
+
+
 def bind_params(node, params):
     """Substitute ``$n`` Param nodes with ``params[n-1]`` literals.
 

@@ -49,6 +49,7 @@ from terrier_ray.sql.ast import (
     Star,
     TableRef,
     Unary,
+    Update,
     WindowDef,
     WindowFn,
 )
@@ -73,7 +74,7 @@ _KEYWORDS = {
     "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "ASC", "DESC",
     "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
     "ALL", "WITH", "EXISTS", "OVER", "PARTITION", "WINDOW",
-    "INSERT", "INTO", "DELETE", "VALUES",
+    "INSERT", "INTO", "DELETE", "VALUES", "UPDATE", "SET",
 }
 
 
@@ -153,7 +154,7 @@ class Parser:
         raise SyntaxError(f"expected identifier at {t.text!r}")
 
     # -- entry --------------------------------------------------------------
-    def parse_statement(self) -> "Select | SetOpStmt | Insert | Delete":
+    def parse_statement(self) -> "Select | SetOpStmt | Insert | Delete | Update":
         if self.accept_kw("INSERT"):
             self.expect_kw("INTO")
             table = self.expect_ident()
@@ -165,6 +166,18 @@ class Parser:
             table = self.expect_ident()
             where = self.expr() if self.accept_kw("WHERE") else None
             stmt = Delete(table, where)
+        elif self.accept_kw("UPDATE"):
+            table = self.expect_ident()
+            self.expect_kw("SET")
+            sets: list[tuple[str, Expr]] = []
+            while True:
+                col = self.expect_ident()
+                self.expect_op("=")
+                sets.append((col, self.expr()))
+                if not self.accept_op(","):
+                    break
+            where = self.expr() if self.accept_kw("WHERE") else None
+            stmt = Update(table, sets, where)
         else:
             stmt = self.statement()
         if self.peek().kind != "eof":

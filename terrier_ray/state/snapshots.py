@@ -45,11 +45,21 @@ def _publish(root: str, version: int) -> None:
     os.replace(tmp, _current_path(root))
 
 
+def _strip_meta(batch):
+    # Schemas carrying pandas metadata are unhashable (hash(pa.Schema)
+    # trips on the metadata dict), which makes Ray's block-schema dedup
+    # log a warning per task during rewrites. Snapshots never need the
+    # pandas round-trip metadata — drop it at every write (zero-copy).
+    return batch.replace_schema_metadata(None)
+
+
 def create_snapshot(root: str, ds) -> int:
     """Initial load (v1) from a Dataset."""
     os.makedirs(root, exist_ok=True)
     out = snapshot_dir(root, 1)
-    ds.write_parquet(out)
+    ds.map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out)
     _publish(root, 1)
     return 1
 
@@ -74,7 +84,30 @@ def append_rows(root: str, ds) -> int:
             os.link(f, dst)  # zero-copy share of immutable parts
         except OSError:
             shutil.copy2(f, dst)
-    ds.write_parquet(out)
+    ds.map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out)
+    _publish(root, nxt)
+    return nxt
+
+
+def update_rows(root: str, transform_fn) -> int:
+    """UPDATE: mapped rewrite into the next snapshot.
+
+    transform_fn(batch: pa.Table) -> pa.Table with the SAME schema — SET
+    expressions applied to matching rows, others passed through unchanged.
+    The reference's delete+re-insert (update_translator.cpp) collapses to
+    one streaming rewrite pass over immutable parts.
+    """
+    cur = current_version(root)
+    nxt = cur + 1
+    ds = scan(root)
+    out = snapshot_dir(root, nxt)
+    ds.map_batches(
+        lambda b: _strip_meta(transform_fn(b)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(out)
     _publish(root, nxt)
     return nxt
 
@@ -89,7 +122,7 @@ def delete_rows(root: str, keep_mask_fn) -> int:
     ds = scan(root)
 
     def apply(batch):
-        return batch.filter(keep_mask_fn(batch))
+        return _strip_meta(batch.filter(keep_mask_fn(batch)))
 
     out = snapshot_dir(root, nxt)
     ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True).write_parquet(out)

@@ -492,6 +492,63 @@ def test_sql_dml_insert_delete_roundtrip(ray_session, sf_smoke, tmp_root):
     assert snapshots.scan(root, version=2).count() == n0 + n_r1
 
 
+def test_sql_dml_update(ray_session, sf_smoke, tmp_root):
+    """UPDATE … SET … WHERE: matched rows take the SET expressions
+    (evaluated against the ORIGINAL row — SET a=b, b=a swaps), others pass
+    through; schema/dtypes preserved; prior versions stay readable."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(str(tmp_root), "dml_upd_store")
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(
+        root, rd.read_parquet(f"{sf_smoke}/customer.parquet")
+    )
+    stores = {"cust": root}
+    before = snapshots.scan(root).to_pandas().sort_values("c_custkey")
+
+    v2 = sql_dml(
+        "UPDATE cust SET c_acctbal = c_acctbal + 100.0, "
+        "c_mktsegment = 'touched' WHERE c_nationkey = $1",
+        sf_smoke, stores, params=[1],
+    )
+    assert v2 == 2
+    after = snapshots.scan(root).to_pandas().sort_values("c_custkey")
+    assert list(after.dtypes) == list(before.dtypes)
+    hit = before["c_nationkey"].to_numpy() == 1
+    assert (
+        after["c_acctbal"].to_numpy()
+        == before["c_acctbal"].to_numpy() + 100.0 * hit
+    ).all()
+    assert (after["c_mktsegment"].to_numpy()[hit] == "touched").all()
+    assert (
+        after["c_mktsegment"].to_numpy()[~hit]
+        == before["c_mktsegment"].to_numpy()[~hit]
+    ).all()
+    # SET reads the original row: swap two columns in one statement
+    sql_dml("UPDATE cust SET c_custkey = c_nationkey, "
+            "c_nationkey = c_custkey", sf_smoke, stores)
+    swapped = snapshots.scan(root).to_pandas().sort_values("c_name")
+    after_byname = after.sort_values("c_name")
+    assert (
+        swapped["c_custkey"].to_numpy()
+        == after_byname["c_nationkey"].to_numpy()
+    ).all()
+    assert (
+        swapped["c_nationkey"].to_numpy()
+        == after_byname["c_custkey"].to_numpy()
+    ).all()
+    # time travel: v1 unchanged
+    assert snapshots.scan(root, version=1).to_pandas().sort_values(
+        "c_custkey"
+    )["c_acctbal"].tolist() == before["c_acctbal"].tolist()
+
+
 def test_sql_dml_rejected_by_select_path(sf_smoke):
     import pytest as _pytest
 
@@ -499,6 +556,8 @@ def test_sql_dml_rejected_by_select_path(sf_smoke):
 
     with _pytest.raises(ValueError, match="sql_dml"):
         plan("DELETE FROM t WHERE x = 1", sf_smoke)
+    with _pytest.raises(ValueError, match="sql_dml"):
+        plan("UPDATE t SET x = 1", sf_smoke)
 
 
 def test_sql_params_match_literals(ray_session, sf_smoke):

@@ -1,0 +1,99 @@
+"""QPS-vs-actor-count curve for the warm BM25 serving pool.
+
+VERDICT round-2 item 6: the query pool scaled 2->8 actors at only ~2.3x
+(memory-bandwidth-bound posting decode when every actor decodes its own
+lists cold).  Round-3 query-path work (per-term weight cache, searchsorted
+scatter-merge, full-query-set warm-up) moves the steady-state window to
+cached-weight scoring; this tool measures the resulting curve.
+
+Usage:
+    python tools/pool_curve.py [index_dir] [--docs 960000] [--actors 2,4,8,16]
+
+One Ray session (32 cpus), one index; per actor count: fresh actors, full
+warm pass (untimed), then the timed window over the same 2,000 queries.
+Prints one JSON line per actor count plus a summary.  Run on a QUIET host
+and never concurrently with bench.py --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    docs = 960_000
+    actor_counts = [2, 4, 8, 16]
+    args = [a for a in sys.argv[1:]]
+    idx_dir = None
+    i = 0
+    while i < len(args):
+        if args[i] == "--docs":
+            docs = int(args[i + 1]); i += 2
+        elif args[i] == "--actors":
+            actor_counts = [int(x) for x in args[i + 1].split(",")]; i += 2
+        else:
+            idx_dir = args[i]; i += 1
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from terrier_ray.datagen.webtext import generate_queries, generate_webtext_parquet
+    from terrier_ray.index.bm25 import BM25Scorer
+    from terrier_ray.index.build import build_index
+
+    if idx_dir is None:
+        web = generate_webtext_parquet(
+            f"/tmp/terrier_ray_webtext/scaling-{docs}", num_docs=docs, seed=42
+        )
+        idx_dir = f"/tmp/terrier_ray_pool_curve_{docs}"
+        if not os.path.exists(os.path.join(idx_dir, "_manifest")):
+            build_index(web, idx_dir, num_buckets=256, num_salts=4)
+
+    queries = generate_queries(2000)
+    rows = []
+    for n in actor_counts:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+        RemoteScorer = ray.remote(num_cpus=1)(BM25Scorer)
+        actors = [RemoteScorer.remote(index_dir=idx_dir, k=10) for _ in range(n)]
+        ray.get([a.__call__.remote(queries) for a in actors])  # full warm, untimed
+        n_slices = n * 4
+        per = max(1, -(-queries.num_rows // n_slices))
+        slices = [
+            queries.slice(i * per, per)
+            for i in range(n_slices)
+            if i * per < queries.num_rows
+        ]
+        t0 = time.perf_counter()
+        ray.get([actors[i % n].__call__.remote(s) for i, s in enumerate(slices)])
+        wall = time.perf_counter() - t0
+        for a in actors:
+            ray.kill(a)
+        qps = queries.num_rows / wall
+        rows.append({"actors": n, "wall_s": round(wall, 3),
+                     "qps": round(qps, 1), "load_pre": load})
+        print(json.dumps(rows[-1]))
+    base = rows[0]
+    print(json.dumps({
+        "metric": "pool_scaling_curve",
+        "index": idx_dir,
+        "rows": rows,
+        "speedup_vs_first": [
+            round(r["qps"] / base["qps"], 2) for r in rows
+        ],
+        "ideal": [r["actors"] // base["actors"] for r in rows],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
