@@ -734,6 +734,13 @@ def setop_all(
     with m left copies and n right copies the output carries min(m, n)
     copies (intersect) or max(m - n, 0) copies (except), per SQL standard.
 
+    NULL-keys caveat (same class as the NOT-IN-subquery note in
+    _semi_anti_join_op): the count tables meet through a hash join that
+    drops NULL keys, whereas SQL set operations treat NULLs as EQUAL
+    (NULL INTERSECT NULL yields a NULL row in DuckDB).  Rows whose value
+    tuple contains a NULL are therefore omitted; coalesce NULLs to a
+    sentinel first if they must participate.
+
     Scale shape: each side collapses to one (key, count) row per distinct
     key via the bucket-shuffled grouped_aggregate (no raw-row exchange),
     the two count tables co-partition through partitioned_join, and the
