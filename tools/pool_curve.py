@@ -66,6 +66,10 @@ def main() -> None:
         RemoteScorer = ray.remote(num_cpus=1)(BM25Scorer)
         actors = [RemoteScorer.remote(index_dir=idx_dir, k=10) for _ in range(n)]
         ray.get([a.__call__.remote(queries) for a in actors])  # full warm, untimed
+        # Tile the (warm) query set with the actor count so every leg's timed
+        # window stays seconds-long — a fixed 2000 queries at 32 actors is a
+        # ~0.2 s window where dispatch overhead, not scoring, is measured.
+        reps = max(1, n // 2)
         n_slices = n * 4
         per = max(1, -(-queries.num_rows // n_slices))
         slices = [
@@ -73,12 +77,13 @@ def main() -> None:
             for i in range(n_slices)
             if i * per < queries.num_rows
         ]
+        timed = [s for _ in range(reps) for s in slices]
         t0 = time.perf_counter()
-        ray.get([actors[i % n].__call__.remote(s) for i, s in enumerate(slices)])
+        ray.get([actors[i % n].__call__.remote(s) for i, s in enumerate(timed)])
         wall = time.perf_counter() - t0
         for a in actors:
             ray.kill(a)
-        qps = queries.num_rows / wall
+        qps = reps * queries.num_rows / wall
         rows.append({"actors": n, "wall_s": round(wall, 3),
                      "qps": round(qps, 1), "load_pre": load})
         print(json.dumps(rows[-1]))
