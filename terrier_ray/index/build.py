@@ -450,6 +450,21 @@ def compute_stats(
 _DOCLEN_PART_ROWS = 8 << 20
 
 
+def _write_doclen_part(did: np.ndarray, dl: np.ndarray, out_dir: str) -> dict:
+    """Atomically write one docid-range doclen part.
+
+    The name derives from the range's first docid, so task retries and
+    build re-runs overwrite the same file idempotently (ranges are
+    disjoint, so names cannot collide across parts)."""
+    name = f"part-{int(did[0]):020d}.bin"
+    tmp = os.path.join(out_dir, f"{name}.tmp-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(np.ascontiguousarray(did, dtype="<i8").tobytes())
+        f.write(np.ascontiguousarray(dl, dtype="<i4").tobytes())
+    os.replace(tmp, os.path.join(out_dir, name))
+    return {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
+
+
 def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
     """Write the (docid, dl) map as docid-SORTED fixed-width binary parts.
 
@@ -461,22 +476,15 @@ def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
     only the pages a query actually touches, and a cluster deployment hands
     each scorer actor its docid-range subset (DistributedBM25's scatter
     path).  Small corpora sort driver-side; large ones run a Ray sort and
-    stream batches out (driver memory stays O(batch)).
+    write every part INSIDE the sort's output tasks: sorted blocks are
+    disjoint contiguous docid ranges, so each task persists its range under
+    a range-derived name and only the tiny per-part metadata reaches the
+    driver.  (An earlier version streamed the whole sorted map through the
+    driver via iter_batches: O(batch) memory, but all of the payload --
+    ~12 TB at 1e12 docs -- through one process.)
     """
     os.makedirs(doclens_dir, exist_ok=True)
     parts: list[dict] = []
-
-    def write_part(did: np.ndarray, dl: np.ndarray):
-        i = len(parts)
-        name = f"part-{i:05d}.bin"
-        tmp = os.path.join(doclens_dir, f"{name}.tmp-{os.getpid()}")
-        with open(tmp, "wb") as f:
-            f.write(np.ascontiguousarray(did, dtype="<i8").tobytes())
-            f.write(np.ascontiguousarray(dl, dtype="<i4").tobytes())
-        os.replace(tmp, os.path.join(doclens_dir, name))
-        parts.append(
-            {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
-        )
 
     if _total_bytes(corpus_dir) < _DRIVER_SIDE_BYTES:
         import pyarrow.dataset as pads
@@ -487,28 +495,53 @@ def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
         order = np.argsort(d)
         d, l = d[order], l[order]
         for s in range(0, len(d), _DOCLEN_PART_ROWS):
-            write_part(d[s : s + _DOCLEN_PART_ROWS], l[s : s + _DOCLEN_PART_ROWS])
+            parts.append(
+                _write_doclen_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    l[s : s + _DOCLEN_PART_ROWS],
+                    doclens_dir,
+                )
+            )
     else:
         import ray.data as rd
+
+        def write_task(b: pa.Table) -> pa.Table:
+            cols = ("file", "n", "lo", "hi")
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "file": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "lo": pa.array([], pa.int64()),
+                        "hi": pa.array([], pa.int64()),
+                    }
+                )
+            d = b.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            l = b.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
+            rows = [
+                _write_doclen_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    l[s : s + _DOCLEN_PART_ROWS],
+                    doclens_dir,
+                )
+                for s in range(0, len(d), _DOCLEN_PART_ROWS)
+            ]
+            return pa.table({k: [r[k] for r in rows] for k in cols})
 
         ds = rd.read_parquet(
             corpus_dir,
             columns=["docid", "dl"],
             override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1, floor_files=False),
         ).sort("docid")
-        buf_d: list[np.ndarray] = []
-        buf_l: list[np.ndarray] = []
-        held = 0
-        # Ray sort emits blocks in global order; stream them into parts
-        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            buf_d.append(b.column("docid").to_numpy(zero_copy_only=False).astype(np.int64))
-            buf_l.append(b.column("dl").to_numpy(zero_copy_only=False).astype(np.int32))
-            held += len(buf_d[-1])
-            if held >= _DOCLEN_PART_ROWS:
-                write_part(np.concatenate(buf_d), np.concatenate(buf_l))
-                buf_d, buf_l, held = [], [], 0
-        if held:
-            write_part(np.concatenate(buf_d), np.concatenate(buf_l))
+        # Each sorted block is a contiguous, disjoint docid range (Ray sort
+        # range-partitions); write it where it lands, ship only metadata.
+        meta_rows = ds.map_batches(
+            write_task, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        parts = sorted(
+            ({k: r[k] for k in ("file", "n", "lo", "hi")} for r in meta_rows),
+            key=lambda r: r["lo"],
+        )
     meta = {"parts": parts, "n": sum(p["n"] for p in parts)}
     mp = os.path.join(doclens_dir, "meta.json")
     with open(mp + ".tmp", "w") as f:

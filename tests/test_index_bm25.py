@@ -618,3 +618,50 @@ def test_doclens_sidecar_memmap(built_index):
     got = idx.doc_len(d)
     assert np.array_equal(got, l)
     assert got.dtype == np.float64
+
+
+def test_doclens_distributed_path_identical(built_index, tmp_root, monkeypatch):
+    """The large-corpus doclen path (Ray sort + in-task part writes) must
+    produce byte-identical content to the driver-side sort, and never move
+    the payload through the driver."""
+    import json
+
+    import numpy as np
+
+    from terrier_ray.index import build as build_mod
+
+    out, _ = built_index
+    corpus_dir = os.path.join(out, "corpus")
+
+    def read_all(doclens_dir):
+        with open(os.path.join(doclens_dir, "meta.json")) as f:
+            meta = json.load(f)
+        dids, dls = [], []
+        prev_hi = -1
+        for p in meta["parts"]:
+            fp = os.path.join(doclens_dir, p["file"])
+            n = p["n"]
+            did = np.fromfile(fp, dtype="<i8", count=n)
+            dl = np.fromfile(fp, dtype="<i4", offset=8 * n, count=n)
+            assert p["lo"] == int(did[0]) and p["hi"] == int(did[-1])
+            assert p["lo"] > prev_hi, "parts must be disjoint ascending ranges"
+            prev_hi = p["hi"]
+            dids.append(did)
+            dls.append(dl)
+        return meta["n"], np.concatenate(dids), np.concatenate(dls)
+
+    drv_dir = os.path.join(str(tmp_root), "doclens_driver")
+    build_mod.build_doclens(corpus_dir, drv_dir)
+
+    # force the distributed branch with small in-task parts (splits inside
+    # a single sorted block are exercised too)
+    monkeypatch.setattr(build_mod, "_DRIVER_SIDE_BYTES", 0)
+    monkeypatch.setattr(build_mod, "_DOCLEN_PART_ROWS", 64)
+    dist_dir = os.path.join(str(tmp_root), "doclens_dist")
+    build_mod.build_doclens(corpus_dir, dist_dir)
+
+    n_a, d_a, l_a = read_all(drv_dir)
+    n_b, d_b, l_b = read_all(dist_dir)
+    assert n_a == n_b
+    assert np.array_equal(d_a, d_b)
+    assert np.array_equal(l_a, l_b)
