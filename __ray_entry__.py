@@ -162,6 +162,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["sql_explain_q3"] = sql_explain_q3
+
+    def sql_explain_analyze_agg(sf_dir: str):
+        """EXPLAIN ANALYZE surface: execute a grouped aggregate from SQL
+        text and report the streaming executor's per-operator runtime rows
+        (reference analog: per-pipeline operating-unit recording,
+        self_driving/modeling/operating_unit_recorder.cpp).  Timing columns
+        are runtime-dependent → rows-only check on the deterministic
+        operator list; rows_out is plan-determined."""
+        from terrier_ray.sql import explain_analyze as _ea
+
+        _res, metrics = _ea(
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+            sf_dir,
+        )
+        return metrics.select(["operator", "rows_out"])
+
+    q["sql_explain_analyze_agg"] = sql_explain_analyze_agg
     return q
 
 

@@ -185,4 +185,82 @@ def explain(query: str, sf_dir: str, optimized: bool = True) -> str:
     return _explain(plan(query, sf_dir, optimized=optimized))
 
 
-__all__ = ["sql", "sql_dml", "plan", "explain", "parse", "lower", "optimize", "Catalog"]
+def explain_analyze(query: str, sf_dir: str, optimized: bool = True,
+                    params: "Any | None" = None):
+    """EXPLAIN ANALYZE: execute the SELECT and report per-operator runtime
+    metrics from the streaming executor.
+
+    Returns ``(result, metrics)`` — ``result`` is the fully-executed
+    (materialized) Dataset, ``metrics`` a pyarrow Table with one row per
+    executed operator (fused stages appear under their fused name, shuffle
+    sub-operators prefixed with the parent): output rows/bytes and total
+    wall/cpu/UDF seconds summed over the operator's tasks.  This is the
+    runtime half the static ``explain()`` lacks — the reference records the
+    same per-pipeline operating-unit features for its self-driving models
+    (src/self_driving/modeling/operating_unit_recorder.cpp; metrics are
+    accumulated per pipeline into the MetricsStore,
+    src/include/metrics/metrics_store.h).
+
+    Timing values are runtime-dependent by nature; consumers that need
+    determinism should read only ``operator``/``rows_out``.
+    """
+    import pyarrow as pa
+
+    ds = sql(query, sf_dir, optimized=optimized, params=params).materialize()
+    ops: list[dict] = []
+    try:  # private stats API (same family raycompat already leans on)
+        summ = ds._get_stats_summary()
+        flat: list = []
+
+        def _walk(s) -> None:  # parents hold the upstream stages
+            for parent in s.parents:
+                _walk(parent)
+            flat.extend(s.operators_stats)
+
+        _walk(summ)  # source-first, like the static explain()
+        for op in flat:
+            name = op.operator_name
+            rows = op.output_num_rows or {}
+            size = op.output_size_bytes or {}
+            wall = op.wall_time or {}
+            cpu = op.cpu_time or {}
+            udf = op.udf_time or {}
+            ops.append(
+                {
+                    "operator": name,
+                    "rows_out": int(rows.get("sum", 0) or 0),
+                    "bytes_out": int(size.get("sum", 0) or 0),
+                    "wall_s": float(wall.get("sum", 0.0) or 0.0),
+                    "cpu_s": float(cpu.get("sum", 0.0) or 0.0),
+                    "udf_s": float(udf.get("sum", 0.0) or 0.0),
+                }
+            )
+    except Exception:  # stats shape changed: degrade to the result row only
+        pass
+    ops.append(
+        {
+            "operator": "Result",
+            "rows_out": int(ds.count()),
+            "bytes_out": 0,
+            "wall_s": 0.0,
+            "cpu_s": 0.0,
+            "udf_s": 0.0,
+        }
+    )
+    metrics = pa.table(
+        {
+            "operator": pa.array([o["operator"] for o in ops], pa.string()),
+            "rows_out": pa.array([o["rows_out"] for o in ops], pa.int64()),
+            "bytes_out": pa.array([o["bytes_out"] for o in ops], pa.int64()),
+            "wall_s": pa.array([o["wall_s"] for o in ops], pa.float64()),
+            "cpu_s": pa.array([o["cpu_s"] for o in ops], pa.float64()),
+            "udf_s": pa.array([o["udf_s"] for o in ops], pa.float64()),
+        }
+    )
+    return ds, metrics
+
+
+__all__ = [
+    "sql", "sql_dml", "plan", "explain", "explain_analyze",
+    "parse", "lower", "optimize", "Catalog",
+]

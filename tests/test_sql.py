@@ -580,3 +580,28 @@ def test_sql_param_missing_raises(sf_smoke):
     with _pytest.raises(ValueError, match=r"\$2"):
         plan("SELECT * FROM nation WHERE n_regionkey = $2", sf_smoke,
              params=[1])
+
+
+def test_sql_explain_analyze_runtime_metrics(ray_session, sf_smoke):
+    """EXPLAIN ANALYZE executes the query and reports per-operator runtime
+    rows; the operator list and rows_out are plan-deterministic."""
+    from terrier_ray.sql import explain_analyze
+
+    q = (
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    res, metrics = explain_analyze(q, sf_smoke)
+    names = metrics.column("operator").to_pylist()
+    rows = metrics.column("rows_out").to_pylist()
+    assert names[-1] == "Result" and rows[-1] == res.count()
+    assert any("ReadParquet" in n for n in names)
+    assert any("SortMap" in n for n in names)  # the shuffle shows up
+    # the source reads more rows than the aggregate emits
+    assert rows[0] > rows[-1]
+    # timing columns exist and are non-negative
+    assert all(w >= 0 for w in metrics.column("wall_s").to_pylist())
+    # a second run yields the identical operator list (determinism contract)
+    _res2, metrics2 = explain_analyze(q, sf_smoke)
+    assert metrics2.column("operator").to_pylist() == names
+    assert metrics2.column("rows_out").to_pylist() == rows
