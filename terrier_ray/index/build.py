@@ -407,8 +407,9 @@ def compute_stats(
     s_est = est.to_numpy()
     if len(s_terms):
         th = term_hash(s_terms)
+        heavy_set = set(heavy)
         heavy_mask = np.fromiter(
-            (t in set(heavy) for t in s_terms), dtype=bool, count=len(s_terms)
+            (t in heavy_set for t in s_terms), dtype=bool, count=len(s_terms)
         )
         plain_b = (th[~heavy_mask] % num_buckets).astype(np.int64)
         np.add.at(mass, plain_b, s_est[~heavy_mask])
