@@ -98,10 +98,33 @@ def sql_param_segment_counts(sf_dir: str):
     )
 
 
+def sql_prepared_reexecute(sf_dir: str):
+    """Prepared statement (parse once, execute many — statement.cpp
+    extended-query-protocol analog): two executions of one handle with
+    different $1 bindings, stacked with their binding tag.  The oracle runs
+    the same text twice with the literals inlined."""
+    import pyarrow as pa
+
+    from terrier_ray.sql import prepare
+
+    ps = prepare(
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "WHERE c_acctbal > $1 GROUP BY c_mktsegment ORDER BY c_mktsegment",
+        sf_dir,
+    )
+    outs = []
+    for tag, bal in (("hi", 5000.0), ("lo", 0.0)):
+        t = pa.Table.from_pandas(ps.execute([bal]).to_pandas())
+        outs.append(t.append_column("bind", pa.array([tag] * t.num_rows)))
+    both = pa.concat_tables(outs)
+    return both.sort_by([("bind", "ascending"), ("c_mktsegment", "ascending")])
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,
     "sql_param_segment_counts": sql_param_segment_counts,
+    "sql_prepared_reexecute": sql_prepared_reexecute,
 }
 
 ORACLE_SQL = {
@@ -125,5 +148,14 @@ ORACLE_SQL = {
         SELECT c_mktsegment, count(*) AS n FROM customer
         WHERE c_acctbal > 1000.0 AND c_nationkey < 20
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "sql_prepared_reexecute": """
+        SELECT * FROM (
+            SELECT c_mktsegment, count(*) AS n, 'hi' AS bind FROM customer
+            WHERE c_acctbal > 5000.0 GROUP BY c_mktsegment
+            UNION ALL
+            SELECT c_mktsegment, count(*) AS n, 'lo' AS bind FROM customer
+            WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
+        ) ORDER BY bind, c_mktsegment
     """,
 }

@@ -59,6 +59,52 @@ def sql(query: str, sf_dir: str, optimized: bool = True,
     return build(plan(query, sf_dir, optimized=optimized, params=params), sf_dir)
 
 
+class PreparedStatement:
+    """Parse-once / execute-many SELECT statement — the extended-query-
+    protocol object (reference: network/postgres/statement.cpp caches the
+    parsed statement per session; PARAMETER expressions bind at Execute,
+    parser/expression_defs.h:66).
+
+    ``prepare()`` pays parsing once; every ``execute(params)`` binds the
+    ``$n`` placeholders as typed literals into the CACHED AST, then lowers
+    and optimizes — deliberately per-execute, because bound literals feed
+    constant pushdown (parquet row-group pruning), the optimization a
+    placeholder-shaped cached plan could not perform.  Lowering is
+    microseconds next to any distributed read, so the trade is free here;
+    the reference re-optimizes on bind for the same reason when parameter
+    peeking matters.
+    """
+
+    def __init__(self, query: str, sf_dir: str, optimized: bool = True):
+        from terrier_ray.sql.ast import Delete, Insert, Update
+
+        self.query = query
+        self.sf_dir = sf_dir
+        self.optimized = optimized
+        self._stmt = parse(query)
+        if isinstance(self._stmt, (Insert, Delete, Update)):
+            raise ValueError("prepare() takes a SELECT; DML runs via sql_dml()")
+
+    def plan(self, params: "Any | None" = None) -> Mapping[str, Any]:
+        from terrier_ray.sql.ast import bind_params
+
+        stmt = self._stmt
+        if params is not None:
+            stmt = bind_params(stmt, list(params))
+        return _plan_stmt(stmt, self.sf_dir, self.optimized)
+
+    def execute(self, params: "Any | None" = None):
+        """Bind + lower + build → lazy Dataset."""
+        from terrier_ray.api import build
+
+        return build(self.plan(params), self.sf_dir)
+
+
+def prepare(query: str, sf_dir: str, optimized: bool = True) -> PreparedStatement:
+    """PREPARE analog: returns a reusable parse-cached statement handle."""
+    return PreparedStatement(query, sf_dir, optimized=optimized)
+
+
 def sql_dml(
     query: str,
     sf_dir: str,
@@ -262,5 +308,6 @@ def explain_analyze(query: str, sf_dir: str, optimized: bool = True,
 
 __all__ = [
     "sql", "sql_dml", "plan", "explain", "explain_analyze",
+    "prepare", "PreparedStatement",
     "parse", "lower", "optimize", "Catalog",
 ]

@@ -605,3 +605,36 @@ def test_sql_explain_analyze_runtime_metrics(ray_session, sf_smoke):
     _res2, metrics2 = explain_analyze(q, sf_smoke)
     assert metrics2.column("operator").to_pylist() == names
     assert metrics2.column("rows_out").to_pylist() == rows
+
+
+def test_prepared_statement_execute_many(ray_session, sf_smoke):
+    """prepare() parses once; execute(params) binds $n per call and matches
+    the one-shot sql() result for each binding."""
+    import pandas as pd
+
+    from terrier_ray.sql import prepare, sql
+
+    q = (
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "WHERE c_acctbal > $1 GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    ps = prepare(q, sf_smoke)
+    for bal in (0.0, 5000.0):
+        got = ps.execute([bal]).to_pandas()
+        want = sql(q, sf_smoke, params=[bal]).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+    # distinct bindings actually change the result
+    a = ps.execute([0.0]).to_pandas()["n"].sum()
+    b = ps.execute([5000.0]).to_pandas()["n"].sum()
+    assert a > b
+    # bound literals reach the optimizer: the pushed plan shows the value
+    assert "5000" in str(ps.plan([5000.0]))
+
+
+def test_prepared_statement_rejects_dml(sf_smoke):
+    import pytest as _pytest
+
+    from terrier_ray.sql import prepare
+
+    with _pytest.raises(ValueError, match="DML"):
+        prepare("DELETE FROM orders WHERE o_orderkey = $1", sf_smoke)
