@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_cosine_ivf_indexed"] = knn_cosine_ivf_indexed
     q["dup_clusters"] = dup_clusters
+    from terrier_ray.pipelines.dedup import dup_clusters_distributed
+
+    q["dup_clusters_distributed"] = dup_clusters_distributed
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
     q["bm25_topk"] = bm25_topk
     q["bm25_topk_distributed"] = bm25_topk_distributed

@@ -633,6 +633,57 @@ def dup_clusters(sf_dir: str, jaccard_threshold: float = 0.7):
     )
 
 
+def dup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.7):
+    """``dup_clusters`` with the components step DISTRIBUTED — the scale
+    path the driver union-find's docstring promises for extreme duplication
+    rates, where even the above-threshold pair list outgrows one node.
+
+    Pairs → ``ops.graph.connected_components`` (hash-min label propagation:
+    per round one co-partitioned join + one bucket-shuffled groupby-min,
+    O(E) label-only exchange, driver sees a scalar) → cluster sizes via a
+    grouped count joined back per bucket.  Output is row-identical to
+    ``dup_clusters`` (asserted by test) with the same
+    (doc_id, cluster_id, cluster_size) schema, sorted by doc_id.
+    """
+    import ray.data as rd
+
+    from terrier_ray.ops.graph import connected_components
+    from terrier_ray.ops.relational import grouped_aggregate, partitioned_join
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    edges = pa.table(
+        {
+            "src": pc.cast(pairs.column("doc_a"), pa.int64()),
+            "dst": pc.cast(pairs.column("doc_b"), pa.int64()),
+        }
+    )
+    cc = connected_components(edges)
+    if cc.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+                "cluster_size": pa.array([], type=pa.int64()),
+            }
+        )
+    cc_ds = rd.from_arrow(cc)
+    sizes = grouped_aggregate(
+        cc_ds, ["label"], [("count", "node", "cluster_size")]
+    )
+    out = partitioned_join(cc_ds, sizes, on=["label"])
+    tab = pa.concat_tables(
+        list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    tab = pa.table(
+        {
+            "doc_id": tab.column("node"),
+            "cluster_id": tab.column("label"),
+            "cluster_size": pc.cast(tab.column("cluster_size"), pa.int64()),
+        }
+    )
+    return tab.sort_by([("doc_id", "ascending")])
+
+
 def ngram_jaccard_exact(text_a: str, text_b: str, width: int = 5) -> float:
     sa = set(_shingle_hashes(text_a, width).tolist())
     sb = set(_shingle_hashes(text_b, width).tolist())
