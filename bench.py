@@ -192,7 +192,12 @@ def run_bench() -> dict:
     # (with RayActorError) once the death is registered and the resources
     # are back.  Untimed teardown.
     term = [a.__ray_terminate__.remote() for a in actors]
-    ray.wait(term, num_returns=len(term), timeout=15)
+    _, not_dead = ray.wait(term, num_returns=len(term), timeout=15)
+    if not_dead:  # a wedged actor would hold its CPU reservation forever
+        done = {id(t) for t in term} - {id(t) for t in not_dead}
+        for a, t in zip(actors, term):
+            if id(t) not in done:
+                ray.kill(a)
     # The one-actor-per-cpu pool evicts Ray's idle Data-worker processes;
     # the next Dataset pipeline would then pay the full ~2.2 s worker-pool
     # respawn (measured: trivial pipeline 2.21 s, and q1 read 5-6 s instead

@@ -14,6 +14,13 @@ The reference system has no graph operator; this exists for the
 training-data pipeline tier (duplicate-cluster extraction at corpus
 scale), matching the repo's scale posture: all exchanges bucket-bounded,
 labels-only payloads, driver sees one scalar per round.
+
+Driver boundary, stated plainly: the propagation ROUNDS never collect —
+labels live as a Dataset and every round is join + groupby-min.  The
+default ``collect=True`` return gathers the final (node, label) table to
+the driver for small results; pass ``collect=False`` (and a Dataset of
+edges) to keep both ends distributed — the caller then consumes via
+``write_parquet``/further stages.
 """
 
 from __future__ import annotations
@@ -39,13 +46,17 @@ def connected_components(
     edges,
     max_rounds: int = 25,
     num_partitions: int = 32,
+    collect: bool = True,
 ):
     """Connected components of an undirected edge list.
 
     ``edges``: Dataset or pyarrow Table with two int64 columns ``src``,
-    ``dst`` (direction ignored; self-loops and duplicates tolerated).
-    Returns a pyarrow Table ``(node, label)`` covering every endpoint,
-    where ``label`` is the component's minimum node id.
+    ``dst`` (direction ignored; self-loops and duplicates tolerated; pass a
+    Dataset when the edge list itself is large).  Returns ``(node, label)``
+    covering every endpoint, ``label`` = the component's minimum node id —
+    as a pyarrow Table when ``collect=True`` (default; driver-resident, for
+    small results), else as the materialized Dataset (nothing but the
+    per-round convergence scalar ever reaches the driver).
 
     Per round: attach each node's current label to its outgoing edges
     (co-partitioned join), send it to the neighbour, and take the
@@ -61,7 +72,7 @@ def connected_components(
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges) if edges.num_rows else None
     if edges is None:
-        return _EMPTY_CC
+        return _EMPTY_CC if collect else rd.from_arrow(_EMPTY_CC)
 
     def undirect(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column("src"), pa.int64())
@@ -74,7 +85,7 @@ def connected_components(
         undirect, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # consumed once per round: pin the lineage
     if und.count() == 0:
-        return _EMPTY_CC
+        return _EMPTY_CC if collect else rd.from_arrow(_EMPTY_CC)
 
     # round 0 fused: label(v) = min(v, min neighbour)
     lab = grouped_aggregate(
@@ -107,6 +118,8 @@ def connected_components(
         ).materialize()
         new = lab.sum("label")
         if new == cur:
+            if not collect:
+                return lab
             tabs = list(lab.iter_batches(batch_size=None, batch_format="pyarrow"))
             return pa.concat_tables(tabs) if tabs else _EMPTY_CC
         cur = new

@@ -636,7 +636,7 @@ def dup_clusters(sf_dir: str, jaccard_threshold: float = 0.7):
 def dup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.7):
     """``dup_clusters`` with the components step DISTRIBUTED — the scale
     path the driver union-find's docstring promises for extreme duplication
-    rates, where even the above-threshold pair list outgrows one node.
+    rates.
 
     Pairs → ``ops.graph.connected_components`` (hash-min label propagation:
     per round one co-partitioned join + one bucket-shuffled groupby-min,
@@ -644,6 +644,12 @@ def dup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.7):
     grouped count joined back per bucket.  Output is row-identical to
     ``dup_clusters`` (asserted by test) with the same
     (doc_id, cluster_id, cluster_size) schema, sorted by doc_id.
+
+    Driver boundary: this convenience wrapper still takes the pair TABLE
+    from ``minhash_lsh_pairs`` and returns a driver-resident result, both
+    O(duplicated docs).  If even those outgrow one node, feed a pair
+    Dataset straight into ``connected_components(..., collect=False)`` and
+    write the labels from tasks — the propagation itself never collects.
     """
     import ray.data as rd
 
@@ -667,9 +673,11 @@ def dup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.7):
             }
         )
     cc_ds = rd.from_arrow(cc)
+    # materialize: partitioned_join probes right.schema(), which would
+    # re-execute the aggregation's whole shuffle lineage (CLAUDE.md pitfall)
     sizes = grouped_aggregate(
         cc_ds, ["label"], [("count", "node", "cluster_size")]
-    )
+    ).materialize()
     out = partitioned_join(cc_ds, sizes, on=["label"])
     tab = pa.concat_tables(
         list(out.iter_batches(batch_size=None, batch_format="pyarrow"))

@@ -88,9 +88,13 @@ class PreparedStatement:
     def plan(self, params: "Any | None" = None) -> Mapping[str, Any]:
         from terrier_ray.sql.ast import bind_params
 
-        stmt = self._stmt
-        if params is not None:
-            stmt = bind_params(stmt, list(params))
+        # Always bind (None -> []): a prepared statement is exactly the
+        # surface where $n placeholders are expected, and binding against
+        # the empty list turns execute() on a parameterized statement into
+        # the clear "no value bound for parameter $n" error instead of an
+        # unlowered-Param failure deep in the planner.  Unparameterized
+        # statements pass through bind_params untouched.
+        stmt = bind_params(self._stmt, list(params) if params is not None else [])
         return _plan_stmt(stmt, self.sf_dir, self.optimized)
 
     def execute(self, params: "Any | None" = None):

@@ -79,3 +79,18 @@ def test_dup_clusters_distributed_identical(ray_session, sf_smoke):
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
     assert len(b) > 0, "sf_smoke must contain at least one dup cluster"
+
+
+def test_cc_collect_false_returns_dataset(ray_session):
+    import pyarrow as pa
+
+    from terrier_ray.ops.graph import connected_components
+
+    ds = connected_components(
+        pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())}),
+        collect=False,
+    )
+    assert hasattr(ds, "iter_batches")  # a Dataset, not a driver table
+    got = dict(zip(*[ds.to_pandas()[c].tolist() for c in ("node", "label")]))
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -638,3 +638,13 @@ def test_prepared_statement_rejects_dml(sf_smoke):
 
     with _pytest.raises(ValueError, match="DML"):
         prepare("DELETE FROM orders WHERE o_orderkey = $1", sf_smoke)
+
+
+def test_prepared_statement_unbound_param_clear_error(sf_smoke):
+    import pytest as _pytest
+
+    from terrier_ray.sql import prepare
+
+    ps = prepare("SELECT * FROM nation WHERE n_regionkey = $1", sf_smoke)
+    with _pytest.raises(ValueError, match=r"no value bound for parameter \$1"):
+        ps.plan()  # execute() without params must not reach the planner
