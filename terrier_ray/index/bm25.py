@@ -59,11 +59,16 @@ class BM25Index:
     boundary.  Legacy indexes without the sidecar fall back to a pruned
     corpus scan (docid, dl columns only).
 
-    Heavy terms (stats['heavy_terms']) are stored as ``num_salts``
-    docid-range sub-postings in per-salt buckets (build.salted_bucket);
-    ``lookup`` reads all candidate buckets and concatenates the parts in
-    salt order — ranges are disjoint and ascending, so postings, block_last
-    and block_max metadata concatenate verbatim into one valid list.
+    Heavy terms: the build's second pass (build.fold_salted_postings) folds
+    each heavy term's salted sub-postings into ONE fmt-2 row in its primary
+    bucket, so a lookup probes exactly one bucket per term.  Only terms in
+    stats['salted_terms'] (too big to fold into one parquet cell at scale)
+    keep the multi-bucket layout; for those ``lookup`` reads the candidate
+    buckets and concatenates the parts in salt order — ranges are disjoint
+    and ascending, so postings, block_last and block_max metadata
+    concatenate verbatim into one valid list.  Legacy (pre-fold, v3)
+    indexes lack 'salted_terms' and fall back to multi-probing every
+    heavy term.
     """
 
     #: decoded-postings cache entries per index handle (bounded: a heavy
@@ -84,7 +89,11 @@ class BM25Index:
         self.avgdl = self.stats["avgdl"]
         self.num_buckets = self.stats["num_buckets"]
         self.num_salts = int(self.stats.get("num_salts", 1))
-        self._heavy = frozenset(self.stats.get("heavy_terms", ()))
+        # terms still split across salted buckets: post-fold indexes list
+        # them explicitly (usually empty); legacy v3 = every heavy term
+        self._heavy = frozenset(
+            self.stats.get("salted_terms", self.stats.get("heavy_terms", ()))
+        )
         self.postings_dir = os.path.join(index_dir, "postings")
         doclens_dir = os.path.join(index_dir, "doclens")
         meta_path = os.path.join(doclens_dir, "meta.json")
@@ -146,13 +155,34 @@ class BM25Index:
         q = docids.astype(np.int64)
         if len(self._dl_parts) == 1:
             did, dl = self._dl_parts[0]
-            return dl[np.searchsorted(did, q)].astype(np.float64)
+            pos = np.clip(np.searchsorted(did, q), 0, len(did) - 1)
+            if not (did[pos] == q).all():
+                raise KeyError(
+                    "posting docid missing from the doclens sidecar — "
+                    "index sidecar/corpus mismatch"
+                )
+            return dl[pos].astype(np.float64)
         pi = np.searchsorted(self._dl_lo, q, side="right") - 1
+        if (pi < 0).any():
+            # a posting docid below every doclen part's range means the
+            # sidecar and corpus disagree — fail loudly, never score with a
+            # silently-wrong doc length (ADVICE r3)
+            raise KeyError(
+                f"docid(s) {q[pi < 0][:5].tolist()} not covered by any "
+                "doclens part — index sidecar/corpus mismatch"
+            )
         out = np.empty(len(q), dtype=np.float64)
         for p in np.unique(pi):
             m = pi == p
             did, dl = self._dl_parts[p]
-            out[m] = dl[np.searchsorted(did, q[m])].astype(np.float64)
+            pos = np.searchsorted(did, q[m])
+            pos_c = np.clip(pos, 0, len(did) - 1)
+            if not (did[pos_c] == q[m]).all():
+                raise KeyError(
+                    "posting docid missing from its doclens part — "
+                    "index sidecar/corpus mismatch"
+                )
+            out[m] = dl[pos_c].astype(np.float64)
         return out
 
     def _buckets_of(self, term: str, h: int) -> list[int]:
@@ -209,15 +239,22 @@ class BM25Index:
                 if not os.path.exists(path):
                     continue
                 tab = pq.read_table(path, filters=[("term", "in", ts)])
-                has_salt = "salt" in tab.column_names
-                for i in range(tab.num_rows):
-                    term = tab.column("term")[i].as_py()
-                    dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
-                    bl = np.frombuffer(tab.column("block_last")[i].as_py(), dtype="<u8")
-                    bm = np.frombuffer(tab.column("block_max_wd")[i].as_py(), dtype="<f4")
-                    salt = int(tab.column("salt")[i].as_py()) if has_salt else 0
+                d = tab.to_pydict()  # one columnar decode, no per-cell .as_py()
+                salts = d["salt"] if "salt" in d else [0] * tab.num_rows
+                for term, salt, df, post, bl_b, bm_b in zip(
+                    d["term"], salts, d["df"],
+                    d["postings"], d["block_last"], d["block_max_wd"],
+                ):
+                    dids, tfs = decode_final_postings(post)
                     parts.setdefault(term, []).append(
-                        (salt, int(tab.column("df")[i].as_py()), dids, tfs, bl, bm)
+                        (
+                            int(salt),
+                            int(df),
+                            dids,
+                            tfs,
+                            np.frombuffer(bl_b, dtype="<u8"),
+                            np.frombuffer(bm_b, dtype="<f4"),
+                        )
                     )
             for t in missing:
                 result[t] = self._merge_parts(parts[t]) if t in parts else None
@@ -594,8 +631,12 @@ class BM25Index:
         return np.sort(acc)
 
     def _score_doc(self, docid: int, terms: list[str], post: dict) -> float:
-        """Exact score of one doc, accumulated in query-term order."""
-        dl = float(self.doc_len(np.asarray([docid]))[0])
+        """Exact score of one doc, accumulated in query-term order.
+
+        Hot terms reuse the cached idf-free weight array (same float64
+        expression + op order, so scores stay bit-identical); only cold
+        terms pay the doclen memmap gather."""
+        dl: float | None = None
         score = 0.0
         for t in terms:
             p = post.get(t)
@@ -604,6 +645,13 @@ class BM25Index:
             df, dids, tfs, _, _ = p
             i = np.searchsorted(dids, np.uint64(docid))
             if i < len(dids) and dids[i] == np.uint64(docid):
+                wd_all = self._wd_cache.get(t)
+                if wd_all is not None:
+                    self._wd_cache.move_to_end(t)
+                    score += idf(self.n_docs, df) * wd_all[i]
+                    continue
+                if dl is None:
+                    dl = float(self.doc_len(np.asarray([docid]))[0])
                 tf = float(tfs[i])
                 score += idf(self.n_docs, df) * (
                     tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
@@ -682,14 +730,11 @@ def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
     out: dict[str, list] = {}
     if os.path.exists(path):
         tab = pq.read_table(path, filters=[("term", "in", terms)])
-        has_salt = "salt" in tab.column_names
-        for i in range(tab.num_rows):
-            term = tab.column("term")[i].as_py()
-            dids, tfs = decode_final_postings(tab.column("postings")[i].as_py())
-            salt = int(tab.column("salt")[i].as_py()) if has_salt else 0
-            out.setdefault(term, []).append(
-                (salt, int(tab.column("df")[i].as_py()), dids, tfs)
-            )
+        d = tab.to_pydict()
+        salts = d["salt"] if "salt" in d else [0] * tab.num_rows
+        for term, salt, df, post in zip(d["term"], salts, d["df"], d["postings"]):
+            dids, tfs = decode_final_postings(post)
+            out.setdefault(term, []).append((int(salt), int(df), dids, tfs))
     return out
 
 

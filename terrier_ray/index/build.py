@@ -984,7 +984,9 @@ def build_postings(
     )
 
     if exchange == "hash":
-        return _hash_exchange_postings(corpus_dir, explode, builder, num_groups)
+        metrics_df = _hash_exchange_postings(corpus_dir, explode, builder, num_groups)
+        stats["salted_terms"] = fold_salted_postings(postings_dir, stats)
+        return metrics_df
 
     ds = rd.read_parquet(
         corpus_dir,
@@ -1001,26 +1003,30 @@ def build_postings(
         zero_copy_batch=True,
     )
     metrics = ds.groupby("gkey").map_groups(builder, batch_format="pyarrow")
-    return metrics.to_pandas()
+    metrics_df = metrics.to_pandas()
+    stats["salted_terms"] = fold_salted_postings(postings_dir, stats)
+    return metrics_df
 
 
-#: target tokenized-corpus bytes per explode task in the hash exchange —
-#: bounds per-task heap (a chunk's exploded rows are held until the split)
-#: independent of cluster size
-_EXPLODE_CHUNK_BYTES = 512 << 20
+#: target UNCOMPRESSED corpus bytes per explode task in the hash exchange —
+#: bounds per-task heap (a task's exploded rows are held until return)
+#: independent of cluster size AND of the corpus file layout (work splits at
+#: parquet row-group granularity, so few-but-huge files can't void the bound)
+_EXPLODE_CHUNK_BYTES = 384 << 20
 
 
 def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
     """Two-stage raw-task hash shuffle for the postings exchange.
 
-    Stage 1: M explode tasks (M = max(cpus, corpus_bytes / 512 MiB), so task
-    heap is bounded at any scale) read their corpus files, explode to
-    posting rows, sort once by group key, and return ``num_groups``
-    pre-partitioned slices via ``num_returns`` — each slice is its own
-    object, so stage 2 fetches exactly its group's bytes.  Stage 2: one
-    encode task per LPT-balanced group concatenates its M parts and runs
-    the vectorized per-bucket encoder.  See build_postings for why this
-    replaces the Dataset sort exchange.
+    Stage 1: M explode tasks (M = max(cpus, uncompressed_bytes / chunk
+    target); work assigned at ROW-GROUP granularity via LPT so task heap is
+    bounded at any scale and any file layout) read their row groups, explode
+    to posting rows, and return ``num_groups`` pre-partitioned slices via
+    ``num_returns`` — each slice is its own object, so stage 2 fetches
+    exactly its group's bytes.  Stage 2: one encode task per LPT-balanced
+    group concatenates its M parts and runs the vectorized per-bucket
+    encoder.  See build_postings for why this replaces the Dataset sort
+    exchange.
     """
     import ray
 
@@ -1028,10 +1034,23 @@ def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
     if not files:
         return _empty_metrics_df()
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    total = sum(os.path.getsize(f) for f in files)
-    m = max(cpus, -(-total // _EXPLODE_CHUNK_BYTES))
-    m = min(m, len(files))
-    chunks = [files[i::m] for i in range(m)]
+    # row-group work units (footer metadata only — no data reads)
+    units: list[tuple[str, int]] = []
+    sizes: list[int] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        for i in range(md.num_row_groups):
+            units.append((f, i))
+            sizes.append(md.row_group(i).total_byte_size)
+    if not units:
+        return _empty_metrics_df()
+    total = sum(sizes)
+    m = min(len(units), max(cpus, -(-total // _EXPLODE_CHUNK_BYTES)))
+    task_of = _lpt_pack(np.asarray(sizes, dtype=np.float64), m)
+    chunks: list[list[tuple[str, int]]] = [[] for _ in range(m)]
+    for u, t in zip(units, task_of):
+        chunks[int(t)].append(u)
+    chunks = [c for c in chunks if c]
 
     explode_task = ray.remote(num_returns=num_groups)(_explode_part)
     encode_task = ray.remote(_encode_group)
@@ -1048,24 +1067,39 @@ def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
     return pa.concat_tables(metrics).to_pandas()
 
 
-def _explode_part(files, exploder, num_groups):
-    """Hash-exchange stage 1: corpus files → num_groups partitioned slices."""
-    outs = []
-    for f in files:
-        tab = pq.read_table(f, columns=["docid", "dl", "terms", "tfs"])
-        for s in range(0, tab.num_rows, 1024):
-            outs.append(exploder(tab.slice(s, 1024)))
-    big = pa.concat_tables(outs).combine_chunks()
-    del outs
-    gk = big.column("gkey").to_numpy(zero_copy_only=False)
-    order = np.argsort(gk, kind="stable")
-    big = big.take(pa.array(order))
-    gks = gk[order]
-    starts = np.searchsorted(gks, np.arange(num_groups))
-    ends = np.concatenate((starts[1:], [len(gks)]))
+def _explode_part(units, exploder, num_groups):
+    """Hash-exchange stage 1: row groups → num_groups partitioned slices.
+
+    Each 1024-row slice is exploded, sorted by group key and split into
+    per-group pieces immediately, so the task never holds an unsorted AND a
+    sorted copy of its whole exploded output — peak heap is the exploded
+    rows (which must exist to be returned) plus one slice.  Row order within
+    a group is irrelevant: the bucket builder lexsorts by (term, salt,
+    docid), so output files are byte-identical regardless of assignment.
+    """
+    per_group: list[list] = [[] for _ in range(num_groups)]
+    by_file: dict[str, list[int]] = {}
+    for f, rg in units:
+        by_file.setdefault(f, []).append(rg)
+    for f, rgs in sorted(by_file.items()):
+        pf = pq.ParquetFile(f)
+        for rg in sorted(rgs):
+            tab = pf.read_row_group(rg, columns=["docid", "dl", "terms", "tfs"])
+            for s in range(0, tab.num_rows, 1024):
+                out = exploder(tab.slice(s, 1024))
+                gk = out.column("gkey").to_numpy(zero_copy_only=False)
+                order = np.argsort(gk, kind="stable")
+                srt = out.take(pa.array(order))
+                gks = gk[order]
+                starts = np.searchsorted(gks, np.arange(num_groups))
+                ends = np.concatenate((starts[1:], [len(gks)]))
+                for g in range(num_groups):
+                    if ends[g] > starts[g]:
+                        per_group[g].append(
+                            srt.slice(int(starts[g]), int(ends[g] - starts[g]))
+                        )
     return tuple(
-        big.slice(int(st), int(en - st)).combine_chunks() if en > st else None
-        for st, en in zip(starts, ends)
+        pa.concat_tables(p).combine_chunks() if p else None for p in per_group
     )
 
 
@@ -1075,6 +1109,157 @@ def _encode_group(builder, *parts):
     if not live:
         return None
     return builder(pa.concat_tables(live).combine_chunks())
+
+
+# ---------------------------------------------------------------------------
+# epoch 3, second pass: fold salted heavy-term sub-postings into one row
+# ---------------------------------------------------------------------------
+
+#: a heavy term folds only when its full posting list fits one parquet cell
+#: with headroom (merged blob is ~2-3 B/posting; 64M postings ≈ 200 MB).
+#: Terms above the bound KEEP the salted multi-bucket layout and are listed
+#: in stats['salted_terms'] for the query side's multi-probe fallback —
+#: at 1e12 docs the Zipf head ('the', df ~ N) can never be one cell.
+_FOLD_MAX_POSTINGS = 64 << 20
+
+
+def _extract_heavy_rows(path: str, terms: "list[str]") -> pa.Table:
+    """Fold stage A (one task per affected bucket file): cut the listed
+    terms' sub-posting rows OUT of the file (atomic rewrite) and return
+    them.  Blobs move through the object store, never the driver."""
+    tab = pq.read_table(path)
+    mask = pc.is_in(tab.column("term"), value_set=pa.array(terms, pa.string()))
+    keep = tab.filter(pc.invert(mask))
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(keep, tmp, row_group_size=64)
+    os.replace(tmp, path)
+    return tab.filter(mask)
+
+
+def _fold_primary(path: str, bucket_terms: "list[str]", *parts) -> int:
+    """Fold stage B (one task per primary bucket): merge each listed term's
+    extracted sub-posting rows into ONE row (fmt-2 byte concat — parts are
+    disjoint ascending docid ranges in salt order, so postings, block_last
+    and block_max_wd concatenate verbatim; df/cf sum) and rewrite the
+    primary bucket file term-sorted."""
+    from terrier_ray.index.codec import encode_multipart
+
+    live = [p for p in parts if p is not None and p.num_rows]
+    rows = pa.concat_tables(live) if live else None
+    if rows is None:
+        return 0
+    want = pc.is_in(rows.column("term"), value_set=pa.array(bucket_terms, pa.string()))
+    rows = rows.filter(want).combine_chunks()
+    if rows.num_rows == 0:
+        return 0
+    d = rows.to_pydict()
+    per_term: dict[str, list[tuple]] = {}
+    for t, s, df, cf, po, bl, bm in zip(
+        d["term"], d["salt"], d["df"], d["cf"],
+        d["postings"], d["block_last"], d["block_max_wd"],
+    ):
+        per_term.setdefault(t, []).append((s, df, cf, po, bl, bm))
+    out_rows = {"term": [], "salt": [], "df": [], "cf": [],
+                "postings": [], "block_last": [], "block_max_wd": []}
+    for t in sorted(per_term):
+        ps = sorted(per_term[t])  # salt order == ascending docid ranges
+        out_rows["term"].append(t)
+        out_rows["salt"].append(0)
+        out_rows["df"].append(sum(p[1] for p in ps))
+        out_rows["cf"].append(sum(p[2] for p in ps))
+        out_rows["postings"].append(
+            ps[0][3] if len(ps) == 1 else encode_multipart([p[3] for p in ps])
+        )
+        out_rows["block_last"].append(b"".join(p[4] for p in ps))
+        out_rows["block_max_wd"].append(b"".join(p[5] for p in ps))
+    merged = pa.table(
+        {
+            "term": pa.array(out_rows["term"], pa.string()),
+            "salt": pa.array(out_rows["salt"], pa.int32()),
+            "df": pa.array(out_rows["df"], pa.int64()),
+            "cf": pa.array(out_rows["cf"], pa.int64()),
+            "postings": pa.array(out_rows["postings"], pa.binary()),
+            "block_last": pa.array(out_rows["block_last"], pa.binary()),
+            "block_max_wd": pa.array(out_rows["block_max_wd"], pa.binary()),
+        }
+    )
+    base = pq.read_table(path) if os.path.exists(path) else merged.slice(0, 0)
+    out = pa.concat_tables([base, merged]).sort_by([("term", "ascending")])
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(out, tmp, row_group_size=64)
+    os.replace(tmp, path)
+    return merged.num_rows
+
+
+def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
+    """The north rule's 'merged in a second small pass': after the exchange,
+    each heavy term's ``num_salts`` docid-range sub-posting rows are folded
+    into ONE fmt-2 multi-part row in the term's PRIMARY bucket
+    (``term_hash % num_buckets``), so salting becomes purely an
+    exchange-time skew mechanism and a query lookup probes exactly one
+    bucket per term (round-3 lookups probed ``num_salts`` buckets — a
+    measured 60-125%% query-latency tax at sandbox scale).
+
+    Entirely byte-level: parts stay encoded (no decode/re-encode), blobs
+    move task→task through the object store, and the touched files are
+    bounded by heavy_terms × num_salts.  Terms whose total df exceeds
+    ``_FOLD_MAX_POSTINGS`` (one parquet cell can't hold the merged blob at
+    1e12-doc scale) keep the salted layout; the returned list of such
+    still-salted terms goes to stats['salted_terms'] for the query side's
+    multi-bucket probe fallback.  Idempotence: the pass runs inside the
+    postings epoch, whose manifest only commits after it completes — a
+    killed run rebuilds the epoch from the corpus."""
+    heavy = list(stats.get("heavy_terms", ()))
+    num_salts = int(stats.get("num_salts", 1))
+    if not heavy or num_salts <= 1:
+        return []
+    import ray
+
+    num_buckets = stats["num_buckets"]
+    th = term_hash(np.asarray(heavy, dtype=object))
+    primary = {t: int(h % num_buckets) for t, h in zip(heavy, th)}
+    file_terms: dict[int, set] = {}
+    salts = np.arange(num_salts, dtype=np.int64)
+    for t, h in zip(heavy, th):
+        for b in salted_bucket(np.full(num_salts, h, np.int64), salts, num_buckets):
+            file_terms.setdefault(int(b), set()).add(t)
+
+    def bpath(b: int) -> str:
+        return os.path.join(postings_dir, f"bucket-{b:05d}.parquet")
+
+    # pre-pass: per-term total df from the (term, df) columns only (no blob
+    # reads) decides the fold set BEFORE any file is touched
+    sizes: dict[str, int] = {t: 0 for t in heavy}
+    for b, ts in file_terms.items():
+        p = bpath(b)
+        if not os.path.exists(p):
+            continue
+        t_df = pq.read_table(
+            p, columns=["term", "df"], filters=[("term", "in", sorted(ts))]
+        )
+        for t, df in zip(t_df.column("term").to_pylist(), t_df.column("df").to_pylist()):
+            sizes[t] += df
+    fold = {t for t in heavy if sizes[t] <= _FOLD_MAX_POSTINGS}
+    unfolded = sorted(set(heavy) - fold)
+    if not fold:
+        return unfolded
+
+    extract = ray.remote(_extract_heavy_rows)
+    a_refs = []
+    for b, ts in sorted(file_terms.items()):
+        ts_f = sorted(t for t in ts if t in fold)
+        if ts_f and os.path.exists(bpath(b)):
+            a_refs.append(extract.remote(bpath(b), ts_f))
+    by_primary: dict[int, list[str]] = {}
+    for t in sorted(fold):
+        by_primary.setdefault(primary[t], []).append(t)
+    fold_task = ray.remote(_fold_primary)
+    # every B task takes every A ref: the refs ARE the read-before-write
+    # barrier (a B task only starts after all extractions/rewrites finished)
+    ray.get(
+        [fold_task.remote(bpath(pb), ts, *a_refs) for pb, ts in sorted(by_primary.items())]
+    )
+    return unfolded
 
 
 def _empty_metrics_df():
@@ -1122,8 +1307,9 @@ def build_index(
         "heavy_min_df": heavy_min_df,
         "ef_threshold": ef_threshold,
         # bump to invalidate cached indexes on on-disk format changes
-        # (v3: salted heavy-term sub-postings + salt column + doclen sidecar)
-        "format_version": 3,
+        # (v4: salted sub-postings folded into the primary bucket as fmt-2
+        # multi-part rows; stats['salted_terms'] lists the unfolded rest)
+        "format_version": 4,
     }
     # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
     fp_in = _input_fingerprint(webtext_path, {"corpus_format": 2})
@@ -1194,6 +1380,11 @@ def build_index(
             corpus_dir, postings_dir, stats, ef_threshold=ef_threshold,
             exchange=exchange,
         )
+        # persist the fold outcome: the query side single-probes every term
+        # EXCEPT those listed here (too big to fold at scale)
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(stats_path + ".tmp", stats_path)
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))
         bucket_metrics.to_parquet(os.path.join(out_dir, "bucket_metrics.parquet"))

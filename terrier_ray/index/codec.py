@@ -171,6 +171,10 @@ def ef_decode(buf: bytes | memoryview) -> np.ndarray:
 EF_THRESHOLD = 4096
 _FMT_VBYTE = 0
 _FMT_EF = 1
+#: container-of-containers: a heavy term's salted docid-range sub-postings
+#: folded into one row by the build's second pass (build.fold_salted_postings)
+#: — parts stay encoded verbatim (fold is a byte concat, no re-encode)
+_FMT_MULTI = 2
 
 
 def encode_posting_list(
@@ -194,10 +198,40 @@ def encode_posting_list(
     return header + did_bytes + tf_bytes
 
 
+def encode_multipart(parts: "list[bytes]") -> bytes:
+    """Concatenate encoded posting containers into ONE multi-part container.
+
+    Parts must hold disjoint, ascending docid ranges in list order (the
+    build's docid-range salts guarantee it) so the decoded concatenation is
+    a valid docid-sorted posting list.  Pure byte shuffling — the fold pass
+    never decodes.  Layout: fmt=2:u8 | nparts:u32 | part_len:u32[nparts] |
+    part blobs (each a full fmt-0/1 container).
+    """
+    header = np.uint8(_FMT_MULTI).tobytes() + np.uint32(len(parts)).tobytes()
+    lens = np.asarray([len(p) for p in parts], dtype=np.uint32).tobytes()
+    return header + lens + b"".join(parts)
+
+
 def decode_posting_list(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
-    """Decode ``encode_posting_list`` output → (doc_ids, tfs)."""
+    """Decode ``encode_posting_list`` output → (doc_ids, tfs).
+
+    fmt=2 (multi-part, see ``encode_multipart``) decodes each part and
+    concatenates — parts are disjoint ascending docid ranges by contract.
+    """
     b = memoryview(buf)
     fmt = int(np.frombuffer(b[0:1], dtype=np.uint8)[0])
+    if fmt == _FMT_MULTI:
+        nparts = int(np.frombuffer(b[1:5], dtype=np.uint32)[0])
+        lens = np.frombuffer(b[5 : 5 + 4 * nparts], dtype=np.uint32)
+        offs = 5 + 4 * nparts + np.concatenate(([0], np.cumsum(lens)))
+        decoded = [
+            decode_posting_list(b[int(offs[i]) : int(offs[i + 1])])
+            for i in range(nparts)
+        ]
+        return (
+            np.concatenate([d for d, _ in decoded]),
+            np.concatenate([t for _, t in decoded]),
+        )
     n = int(np.frombuffer(b[1:5], dtype=np.uint32)[0])
     did_len = int(np.frombuffer(b[5:9], dtype=np.uint32)[0])
     did_bytes = b[9 : 9 + did_len]

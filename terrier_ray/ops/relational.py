@@ -746,13 +746,7 @@ def setop_all(
     the two count tables co-partition through partitioned_join, and the
     multiplicity re-expansion runs INSIDE the join bucket via ``post_fn``
     (np.repeat over the joined counts) — rows shipped across the wire are
-    O(distinct keys), never O(input rows).
-
-    Caveat (same class as the NOT-IN-subquery note in _semi_anti_join_op):
-    keys flow through a hash JOIN, which drops NULL keys, whereas SQL set
-    operations treat NULLs as equal (``NULL INTERSECT NULL`` yields a NULL
-    row in DuckDB).  Rows with a NULL in any set-op column are therefore
-    dropped; coalesce NULLs to a sentinel first if they must participate."""
+    O(distinct keys), never O(input rows)."""
     columns = list(columns)
     right_columns = list(right_columns or columns)
     if right_columns != columns:

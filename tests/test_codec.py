@@ -162,3 +162,38 @@ def test_bucket_builder_bit_identical_to_container_codec(tmp_path):
         wd = _wd(tf.astype(np.float64), dl.astype(np.float64), avgdl)
         per_block_true = [wd[s : s + BLOCK_SIZE].max() for s in block_starts]
         assert (bm.astype(np.float64) >= np.asarray(per_block_true) - 1e-12).all()
+
+
+def test_multipart_container_roundtrip():
+    """fmt-2 container: encoded parts concat verbatim, decode == concat of
+    part decodes (the fold pass's byte-level merge contract)."""
+    import numpy as np
+
+    from terrier_ray.index.codec import (
+        decode_posting_list,
+        encode_multipart,
+        encode_posting_list,
+    )
+
+    rng = np.random.default_rng(11)
+    span = np.uint64(1 << 60)
+    parts, all_d, all_t = [], [], []
+    lo = np.uint64(0)
+    for n in (1, 300, 5000):  # includes an EF-encoded part
+        d = lo + np.sort(
+            np.unique(rng.integers(0, int(span), size=2 * n).astype(np.uint64))
+        )[:n]
+        assert len(d) == n
+        t = rng.integers(1, 50, size=n).astype(np.uint64)
+        parts.append(encode_posting_list(d, t))
+        all_d.append(d)
+        all_t.append(t)
+        lo += span
+    blob = encode_multipart(parts)
+    assert blob[0] == 2
+    dd, tt = decode_posting_list(blob)
+    assert (dd == np.concatenate(all_d)).all()
+    assert (tt == np.concatenate(all_t)).all()
+    # single-part containers decode unchanged (fold keeps them verbatim)
+    d1, t1 = decode_posting_list(parts[1])
+    assert (d1 == all_d[1]).all() and (t1 == all_t[1]).all()

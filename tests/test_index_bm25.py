@@ -52,12 +52,27 @@ def test_df_matches_oracle(built_index, oracle):
             engine_df[term] = engine_df.get(term, 0) + df  # sum salted parts
             rows_per_term[term] = rows_per_term.get(term, 0) + 1
     assert engine_df == oracle.df
-    # salting actually split the detected heavy terms into multiple rows
-    split = [t for t in stats["heavy_terms"] if rows_per_term.get(t, 0) > 1]
-    assert split, "no heavy term was salted into sub-postings"
-    # and every non-heavy term stayed single-row
-    heavy = set(stats["heavy_terms"])
-    assert all(n == 1 for t, n in rows_per_term.items() if t not in heavy)
+    # the fold pass merged every heavy term's salted sub-postings into ONE
+    # row (fmt-2 multi-part container) in its primary bucket — salting is
+    # exchange-time only, and lookups single-probe every term
+    assert stats.get("salted_terms") == []
+    assert all(n == 1 for n in rows_per_term.values()), rows_per_term
+    import numpy as np
+
+    from terrier_ray.index.build import term_hash
+
+    heavy = sorted(stats["heavy_terms"])
+    th = term_hash(np.asarray(heavy, dtype=object))
+    folded_fmt2 = 0
+    for t_name, h in zip(heavy, th):
+        b = int(h % stats["num_buckets"])
+        tab = pq.read_table(
+            os.path.join(out, "postings", f"bucket-{b:05d}.parquet"),
+            filters=[("term", "==", t_name)],
+        )
+        assert tab.num_rows == 1, t_name  # merged row lives in the primary
+        folded_fmt2 += tab.column("postings")[0].as_py()[0] == 2
+    assert folded_fmt2 > 0, "no heavy term was exchange-split then folded"
 
 
 def test_topk_rank_identical(built_index, oracle):
@@ -515,21 +530,37 @@ def test_heavy_term_salted_subpostings(ray_session, tmp_root):
                         heavy_min_df=50)
     assert "zzzhot" in stats["heavy_terms"]
 
-    # per-row df of the planted term across all buckets
-    dfs = []
+    # post-fold the planted term has exactly ONE row, in its PRIMARY bucket,
+    # holding an fmt-2 multi-part container whose parts are the exchange-time
+    # docid-range sub-postings — parse the container header to verify the
+    # split really happened and was balanced
+    from terrier_ray.index.build import term_hash
+
+    rows = []
     for bf in glob.glob(os.path.join(salted_dir, "postings", "bucket-*.parquet")):
-        t = pq.read_table(bf, filters=[("term", "==", "zzzhot")],
-                          columns=["term", "salt", "df"])
-        dfs.extend(t.column("df").to_pylist())
+        t = pq.read_table(bf, filters=[("term", "==", "zzzhot")])
+        rows.extend(zip([bf] * t.num_rows, t.column("df").to_pylist(),
+                        t.column("postings").to_pylist()))
+    assert len(rows) == 1, "fold pass left multiple rows"
+    bf, total_df, blob = rows[0]
+    primary = int(term_hash(np.asarray(["zzzhot"], dtype=object))[0] % 8)
+    assert bf.endswith(f"bucket-{primary:05d}.parquet")
     n = stats["n_docs"]
-    total_df = sum(dfs)
     # ~1/8 of generated pages end in an unterminated <script> the extractor
     # strips to EOF (plant swallowed), so coverage is ~87%, not 100%
     assert total_df >= 0.8 * n
-    assert len(dfs) >= 2, "heavy term was not split"
+    assert blob[0] == 2, "merged row is not a multi-part container"
+    nparts = int.from_bytes(blob[1:5], "little")
+    assert nparts >= 2, "heavy term was not exchange-split"
+    lens = np.frombuffer(blob[5 : 5 + 4 * nparts], dtype=np.uint32)
+    offs = 5 + 4 * nparts + np.concatenate(([0], np.cumsum(lens)))
+    part_n = [
+        int.from_bytes(blob[int(o) + 1 : int(o) + 5], "little") for o in offs[:-1]
+    ]
+    assert sum(part_n) == total_df
     # docid-range salting over uniform 63-bit docids: no part should hold
     # more than ~2x the fair share
-    assert max(dfs) <= max(2 * total_df // salts, 1), dfs
+    assert max(part_n) <= max(2 * total_df // salts, 1), part_n
 
     unsalted_dir = os.path.join(str(tmp_root), "idx_planted_unsalted")
     build_index(src, unsalted_dir, num_buckets=8, num_salts=1, heavy_min_df=50)
