@@ -82,6 +82,13 @@ class BM25Index:
     #: + weight arithmetic on every repeat
     WD_CACHE_CAP = 4096
 
+    #: open ParquetFile handles (+ per-row-group term fences from footer
+    #: statistics) per bucket file; a cold term lookup is then one direct
+    #: read_row_group call (~0.5 ms) instead of a pq.read_table dataset
+    #: scan with filter expressions (~2.9 ms measured) — at 1e12 docs a
+    #: scorer touches a bounded hot set of buckets, so LRU-cap the handles
+    PF_CACHE_CAP = 1024
+
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -120,6 +127,74 @@ class BM25Index:
 
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._wd_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._pf_cache: "OrderedDict[int, tuple | None]" = OrderedDict()
+
+    def _bucket_handle(self, bucket: int):
+        """(ParquetFile, rg_term_mins, rg_term_maxs) for a bucket, LRU-cached.
+
+        The fences come from the parquet footer's per-row-group statistics
+        on the ``term`` column (already parsed when the file opens — no data
+        read).  Rows are term-sorted with 64-row groups (build contract), so
+        locating a term is a binary search over the fences.  Truncated
+        statistics stay safe: parquet truncates min DOWN and max UP, so the
+        containment test can only widen, never miss."""
+        if bucket in self._pf_cache:
+            self._pf_cache.move_to_end(bucket)
+            return self._pf_cache[bucket]
+        path = os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet")
+        if not os.path.exists(path):
+            ent = None
+        else:
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            ti = pf.schema_arrow.get_field_index("term")
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ti).statistics
+                if st is None or st.min is None or st.max is None:
+                    mins = None  # stats missing: fall back to filtered read
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            ent = (pf, mins, maxs)
+        self._pf_cache[bucket] = ent
+        while len(self._pf_cache) > self.PF_CACHE_CAP:
+            self._pf_cache.popitem(last=False)
+        return ent
+
+    def _read_term_rows(self, bucket: int, ts: "list[str]") -> "pa.Table | None":
+        """Posting rows of ``ts`` from one bucket: row-group-pruned direct
+        reads through the cached file handle."""
+        ent = self._bucket_handle(bucket)
+        if ent is None:
+            return None
+        pf, mins, maxs = ent
+        if mins is None:  # no footer statistics (foreign writer): slow path
+            return pq.read_table(
+                os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet"),
+                filters=[("term", "in", ts)],
+            )
+        import bisect
+
+        want = set(ts)
+        rgs: set[int] = set()
+        for t in ts:
+            i = bisect.bisect_right(mins, t) - 1
+            # a term can span adjacent groups only as multiple rows (salted
+            # sub-postings colliding into one bucket / legacy v3 layout)
+            while 0 <= i < len(mins) and mins[i] <= t <= maxs[i]:
+                rgs.add(i)
+                i += 1
+                if i >= len(mins) or mins[i] > t:
+                    break
+        if not rgs:
+            return None
+        tab = pf.read_row_groups(sorted(rgs))
+        import pyarrow.compute as _pc
+
+        return tab.filter(
+            _pc.is_in(tab.column("term"), value_set=pa.array(sorted(want)))
+        )
 
     def _wd_of(self, t: str, p: tuple) -> np.ndarray:
         """Idf-free BM25 doc-weight array for term ``t``'s postings, cached.
@@ -235,10 +310,9 @@ class BM25Index:
                     by_bucket.setdefault(b, []).append(t)
             parts: dict[str, list[tuple]] = {}
             for bucket, ts in by_bucket.items():
-                path = os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet")
-                if not os.path.exists(path):
+                tab = self._read_term_rows(bucket, ts)
+                if tab is None or tab.num_rows == 0:
                     continue
-                tab = pq.read_table(path, filters=[("term", "in", ts)])
                 d = tab.to_pydict()  # one columnar decode, no per-cell .as_py()
                 salts = d["salt"] if "salt" in d else [0] * tab.num_rows
                 for term, salt, df, post, bl_b, bm_b in zip(

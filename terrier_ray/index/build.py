@@ -1124,71 +1124,82 @@ _FOLD_MAX_POSTINGS = 64 << 20
 
 
 def _extract_heavy_rows(path: str, terms: "list[str]") -> pa.Table:
-    """Fold stage A (one task per affected bucket file): cut the listed
-    terms' sub-posting rows OUT of the file (atomic rewrite) and return
-    them.  Blobs move through the object store, never the driver."""
-    tab = pq.read_table(path)
-    mask = pc.is_in(tab.column("term"), value_set=pa.array(terms, pa.string()))
-    keep = tab.filter(pc.invert(mask))
-    tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(keep, tmp, row_group_size=64)
-    os.replace(tmp, path)
-    return tab.filter(mask)
+    """Fold stage A (one task per affected bucket file): READ-ONLY pruned
+    fetch of the listed terms' sub-posting rows (term-sorted rows + 64-row
+    row groups make the predicate pushdown touch only matching row groups).
+    Blobs move task→task through the object store, never the driver."""
+    return pq.read_table(path, filters=[("term", "in", terms)])
 
 
-def _fold_primary(path: str, bucket_terms: "list[str]", *parts) -> int:
-    """Fold stage B (one task per primary bucket): merge each listed term's
-    extracted sub-posting rows into ONE row (fmt-2 byte concat — parts are
-    disjoint ascending docid ranges in salt order, so postings, block_last
-    and block_max_wd concatenate verbatim; df/cf sum) and rewrite the
-    primary bucket file term-sorted."""
+def _fold_rewrite(
+    path: str, drop_terms: "list[str]", merge_terms: "list[str]", *parts
+) -> int:
+    """Fold stage B (ONE rewrite per affected bucket file): drop the salted
+    sub-posting rows of ``drop_terms``, and for ``merge_terms`` (terms whose
+    PRIMARY bucket is this file) append one merged row each — fmt-2 byte
+    concat of the extracted parts in salt order (disjoint ascending docid
+    ranges, so postings, block_last and block_max_wd concatenate verbatim;
+    df/cf sum).  Depends on every stage-A ref, which is the read-before-
+    write barrier."""
     from terrier_ray.index.codec import encode_multipart
 
-    live = [p for p in parts if p is not None and p.num_rows]
-    rows = pa.concat_tables(live) if live else None
-    if rows is None:
-        return 0
-    want = pc.is_in(rows.column("term"), value_set=pa.array(bucket_terms, pa.string()))
-    rows = rows.filter(want).combine_chunks()
-    if rows.num_rows == 0:
-        return 0
-    d = rows.to_pydict()
-    per_term: dict[str, list[tuple]] = {}
-    for t, s, df, cf, po, bl, bm in zip(
-        d["term"], d["salt"], d["df"], d["cf"],
-        d["postings"], d["block_last"], d["block_max_wd"],
-    ):
-        per_term.setdefault(t, []).append((s, df, cf, po, bl, bm))
-    out_rows = {"term": [], "salt": [], "df": [], "cf": [],
-                "postings": [], "block_last": [], "block_max_wd": []}
-    for t in sorted(per_term):
-        ps = sorted(per_term[t])  # salt order == ascending docid ranges
-        out_rows["term"].append(t)
-        out_rows["salt"].append(0)
-        out_rows["df"].append(sum(p[1] for p in ps))
-        out_rows["cf"].append(sum(p[2] for p in ps))
-        out_rows["postings"].append(
-            ps[0][3] if len(ps) == 1 else encode_multipart([p[3] for p in ps])
+    merged = None
+    if merge_terms:
+        live = [p for p in parts if p is not None and p.num_rows]
+        rows = pa.concat_tables(live).combine_chunks() if live else None
+        want = pc.is_in(
+            rows.column("term"), value_set=pa.array(merge_terms, pa.string())
         )
-        out_rows["block_last"].append(b"".join(p[4] for p in ps))
-        out_rows["block_max_wd"].append(b"".join(p[5] for p in ps))
-    merged = pa.table(
-        {
-            "term": pa.array(out_rows["term"], pa.string()),
-            "salt": pa.array(out_rows["salt"], pa.int32()),
-            "df": pa.array(out_rows["df"], pa.int64()),
-            "cf": pa.array(out_rows["cf"], pa.int64()),
-            "postings": pa.array(out_rows["postings"], pa.binary()),
-            "block_last": pa.array(out_rows["block_last"], pa.binary()),
-            "block_max_wd": pa.array(out_rows["block_max_wd"], pa.binary()),
-        }
-    )
-    base = pq.read_table(path) if os.path.exists(path) else merged.slice(0, 0)
-    out = pa.concat_tables([base, merged]).sort_by([("term", "ascending")])
+        rows = rows.filter(want)
+        d = rows.to_pydict()
+        per_term: dict[str, list[tuple]] = {}
+        for t, s, df, cf, po, bl, bm in zip(
+            d["term"], d["salt"], d["df"], d["cf"],
+            d["postings"], d["block_last"], d["block_max_wd"],
+        ):
+            per_term.setdefault(t, []).append((s, df, cf, po, bl, bm))
+        out_rows = {"term": [], "salt": [], "df": [], "cf": [],
+                    "postings": [], "block_last": [], "block_max_wd": []}
+        for t in sorted(per_term):
+            ps = sorted(per_term[t])  # salt order == ascending docid ranges
+            out_rows["term"].append(t)
+            out_rows["salt"].append(0)
+            out_rows["df"].append(sum(p[1] for p in ps))
+            out_rows["cf"].append(sum(p[2] for p in ps))
+            out_rows["postings"].append(
+                ps[0][3] if len(ps) == 1 else encode_multipart([p[3] for p in ps])
+            )
+            out_rows["block_last"].append(b"".join(p[4] for p in ps))
+            out_rows["block_max_wd"].append(b"".join(p[5] for p in ps))
+        merged = pa.table(
+            {
+                "term": pa.array(out_rows["term"], pa.string()),
+                "salt": pa.array(out_rows["salt"], pa.int32()),
+                "df": pa.array(out_rows["df"], pa.int64()),
+                "cf": pa.array(out_rows["cf"], pa.int64()),
+                "postings": pa.array(out_rows["postings"], pa.binary()),
+                "block_last": pa.array(out_rows["block_last"], pa.binary()),
+                "block_max_wd": pa.array(out_rows["block_max_wd"], pa.binary()),
+            }
+        )
+    if os.path.exists(path):
+        base = pq.read_table(path)
+        if drop_terms:
+            keep = pc.invert(
+                pc.is_in(
+                    base.column("term"),
+                    value_set=pa.array(drop_terms, pa.string()),
+                )
+            )
+            base = base.filter(keep)
+    else:
+        base = merged.slice(0, 0)
+    out = base if merged is None else pa.concat_tables([base, merged])
+    out = out.sort_by([("term", "ascending")])
     tmp = path + f".tmp-{os.getpid()}"
     pq.write_table(out, tmp, row_group_size=64)
     os.replace(tmp, path)
-    return merged.num_rows
+    return 0 if merged is None else merged.num_rows
 
 
 def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
@@ -1246,18 +1257,25 @@ def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
 
     extract = ray.remote(_extract_heavy_rows)
     a_refs = []
+    drop_of: dict[int, list[str]] = {}
     for b, ts in sorted(file_terms.items()):
         ts_f = sorted(t for t in ts if t in fold)
         if ts_f and os.path.exists(bpath(b)):
             a_refs.append(extract.remote(bpath(b), ts_f))
+            drop_of[b] = ts_f
     by_primary: dict[int, list[str]] = {}
     for t in sorted(fold):
         by_primary.setdefault(primary[t], []).append(t)
-    fold_task = ray.remote(_fold_primary)
-    # every B task takes every A ref: the refs ARE the read-before-write
-    # barrier (a B task only starts after all extractions/rewrites finished)
+    fold_task = ray.remote(_fold_rewrite)
+    # ONE rewrite per affected file (drop + merge together); every B task
+    # takes every A ref — the refs ARE the read-before-write barrier
     ray.get(
-        [fold_task.remote(bpath(pb), ts, *a_refs) for pb, ts in sorted(by_primary.items())]
+        [
+            fold_task.remote(
+                bpath(b), drop_of.get(b, []), by_primary.get(b, []), *a_refs
+            )
+            for b in sorted(set(drop_of) | set(by_primary))
+        ]
     )
     return unfolded
 

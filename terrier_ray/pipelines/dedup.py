@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from terrier_ray.ops.relational import grouped_aggregate, read_table
+from terrier_ray.ops.taskstate import task_fn
 
 _MERSENNE = (1 << 61) - 1
 
@@ -254,12 +255,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # stateless task stage: MinHasher's state is two num_perm-long coefficient
+    # arrays — an actor pool would pay a fresh ~1 s actor spawn per pipeline
+    # execution for state that rebuilds in microseconds (taskstate.task_fn)
     sigs = docs.map_batches(
-        MinHasher,
+        task_fn(MinHasher, num_perm=num_perm),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(2, 8),
-        fn_constructor_kwargs={"num_perm": num_perm},
     ).materialize()  # reused: band explode + both verify joins
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -489,7 +491,7 @@ class SimHasher:
 def simhash_signatures(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=256, concurrency=2
+        task_fn(SimHasher), batch_format="pyarrow", batch_size=256
     )
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from terrier_ray.ops.relational import grouped_aggregate, read_table
+from terrier_ray.ops.taskstate import task_fn
 from terrier_ray.text.analysis import (
     LangId,
     QualityScorer,
@@ -18,18 +19,20 @@ def token_counts(sf_dir: str):
 
 
 def quality_scores(sf_dir: str):
-    """Quality heuristics via actor pool (stopword set built per actor)."""
+    """Quality heuristics (stopword set is cheap state → stateless task fn,
+    built once per worker process; see ops.taskstate)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
-        QualityScorer, batch_format="pyarrow", batch_size=256, concurrency=2
+        task_fn(QualityScorer), batch_format="pyarrow", batch_size=256
     )
 
 
 def lang_id(sf_dir: str):
-    """Heuristic n-gram language ID per document (actor pool)."""
+    """Heuristic n-gram language ID per document (tiny n-gram tables are
+    cheap state → stateless task fn built once per worker process)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
-        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+        task_fn(LangId), batch_format="pyarrow", batch_size=256
     )
 
 

@@ -240,6 +240,19 @@ class Insert:
 
 
 @dataclass
+class InsertValues:
+    """INSERT INTO <table> [(col, …)] VALUES (lit, …)[, …].  The inline-
+    values sibling of Insert (reference: insert_translator.cpp handles both
+    the VALUES and the scan child); row expressions are literals / ``$n``
+    parameters / signed numbers — evaluated driver-side, appended as one
+    part via the snapshot store."""
+
+    table: str
+    columns: Optional[list]  # None = table order
+    rows: list  # list[list[Expr]]
+
+
+@dataclass
 class Delete:
     """DELETE FROM <table> [WHERE <expr>].  Reference analog:
     src/execution/compiler/operator/delete_translator.cpp; here a filtered
