@@ -120,14 +120,62 @@ def sql_prepared_reexecute(sf_dir: str):
     return both.sort_by([("bind", "ascending"), ("c_mktsegment", "ascending")])
 
 
+def sql_insert_values_roundtrip(sf_dir: str):
+    """``INSERT INTO t (cols) VALUES (...), (...)`` through SQL text (the
+    inline-values sibling of the SELECT-sourced INSERT; reference:
+    insert_translator.cpp covers both children).  Seeds a snapshot store
+    with ``nation``, appends two literal rows (one value bound via $1), and
+    returns the appended rows plus the post-insert total.  The oracle
+    reproduces the literals and recomputes the count from the base table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(
+        "/tmp/terrier_ray_dml_vals", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(
+        root, rd.read_parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    )
+    sql_dml(
+        "INSERT INTO nat (n_nationkey, n_name, n_regionkey) "
+        "VALUES (100, 'ATLANTIS', $1), (101, 'LEMURIA', 2)",
+        sf_dir,
+        {"nat": root},
+        params=[1],
+    )
+    df = snapshots.scan(root).to_pandas()
+    new = df[df["n_nationkey"] >= 100][
+        ["n_nationkey", "n_name", "n_regionkey"]
+    ].copy()
+    new["n_total"] = int(len(df))
+    for c in ("n_nationkey", "n_regionkey", "n_total"):
+        new[c] = new[c].astype("int64")
+    return new.sort_values("n_nationkey").reset_index(drop=True)
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_insert_values_roundtrip": sql_insert_values_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,
     "sql_param_segment_counts": sql_param_segment_counts,
     "sql_prepared_reexecute": sql_prepared_reexecute,
 }
 
 ORACLE_SQL = {
+    "sql_insert_values_roundtrip": """
+        SELECT *
+        FROM (
+            SELECT 100 AS n_nationkey, 'ATLANTIS' AS n_name, 1 AS n_regionkey,
+                   (SELECT COUNT(*) + 2 FROM nation) AS n_total
+            UNION ALL
+            SELECT 101, 'LEMURIA', 2, (SELECT COUNT(*) + 2 FROM nation)
+        ) v
+        ORDER BY n_nationkey
+    """,
     "sql_dml_roundtrip": """
         SELECT 'after_delete' AS phase,
                (SELECT COUNT(*) FROM nation)

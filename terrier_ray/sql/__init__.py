@@ -31,12 +31,12 @@ def plan(
     ``params`` binds ``$n`` placeholders (1-based) before lowering — the
     extended-query-protocol shape (reference: parser/expression_defs.h:66
     PARAMETER, network/postgres/statement.cpp)."""
-    from terrier_ray.sql.ast import Delete, Insert, Update, bind_params
+    from terrier_ray.sql.ast import Delete, Insert, InsertValues, Update, bind_params
 
     stmt = parse(query)
     if params is not None:
         stmt = bind_params(stmt, list(params))
-    if isinstance(stmt, (Insert, Delete, Update)):
+    if isinstance(stmt, (Insert, InsertValues, Delete, Update)):
         raise ValueError(
             "INSERT/UPDATE/DELETE execute via sql_dml(), not plan()/sql()"
         )
@@ -76,13 +76,13 @@ class PreparedStatement:
     """
 
     def __init__(self, query: str, sf_dir: str, optimized: bool = True):
-        from terrier_ray.sql.ast import Delete, Insert, Update
+        from terrier_ray.sql.ast import Delete, Insert, InsertValues, Update
 
         self.query = query
         self.sf_dir = sf_dir
         self.optimized = optimized
         self._stmt = parse(query)
-        if isinstance(self._stmt, (Insert, Delete, Update)):
+        if isinstance(self._stmt, (Insert, InsertValues, Delete, Update)):
             raise ValueError("prepare() takes a SELECT; DML runs via sql_dml()")
 
     def plan(self, params: "Any | None" = None) -> Mapping[str, Any]:
@@ -109,6 +109,29 @@ def prepare(query: str, sf_dir: str, optimized: bool = True) -> PreparedStatemen
     return PreparedStatement(query, sf_dir, optimized=optimized)
 
 
+def _values_literal(e):
+    """Evaluate a VALUES row expression: literals, bound $n params (already
+    substituted by bind_params), NULL, and signed numbers.  Anything richer
+    belongs in INSERT INTO t SELECT ..."""
+    from terrier_ray.sql.ast import Lit, Unary
+
+    if isinstance(e, Lit):
+        if e.type == "timestamp":
+            import datetime as _dt
+
+            return _dt.datetime.fromisoformat(e.value)
+        if e.type == "date":
+            import datetime as _dt
+
+            return _dt.date.fromisoformat(e.value)
+        return e.value
+    if isinstance(e, Unary) and e.op == "neg":
+        return -_values_literal(e.operand)
+    raise ValueError(
+        f"INSERT ... VALUES supports literals/$n parameters, got {type(e).__name__}"
+    )
+
+
 def sql_dml(
     query: str,
     sf_dir: str,
@@ -132,7 +155,7 @@ def sql_dml(
     import pyarrow.dataset as pads
 
     from terrier_ray.api import _compile_expr, build
-    from terrier_ray.sql.ast import Delete, Insert, Update, bind_params
+    from terrier_ray.sql.ast import Delete, Insert, InsertValues, Update, bind_params
     from terrier_ray.sql.lower import Binder, _Lowerer
     from terrier_ray.state import snapshots
 
@@ -158,6 +181,33 @@ def sql_dml(
                 zero_copy_batch=True,
             )
         return snapshots.append_rows(root, ds)
+    if isinstance(stmt, InsertValues):
+        if stmt.table not in stores:
+            raise ValueError(f"unknown mutable table {stmt.table!r}")
+        root = stores[stmt.table]
+        target = pads.dataset(snapshots.snapshot_dir(root)).schema
+        names = stmt.columns if stmt.columns is not None else list(target.names)
+        unknown = [c for c in names if c not in target.names]
+        if unknown:
+            raise ValueError(f"INSERT columns not in table: {unknown}")
+        for r in stmt.rows:
+            if len(r) != len(names):
+                raise ValueError(
+                    f"INSERT row has {len(r)} values for {len(names)} columns"
+                )
+        cols = {}
+        for j, c in enumerate(target.names):
+            typ = target.field(c).type
+            if c in names:
+                vals = [_values_literal(r[names.index(c)]) for r in stmt.rows]
+            else:  # unspecified column → NULL
+                vals = [None] * len(stmt.rows)
+            cols[c] = pa.array(vals).cast(typ) if vals else pa.nulls(0, typ)
+        import ray.data as rd
+
+        return snapshots.append_rows(
+            root, rd.from_arrow(pa.table(cols).cast(target))
+        )
     if isinstance(stmt, Delete):
         if stmt.table not in stores:
             raise ValueError(f"unknown mutable table {stmt.table!r}")

@@ -34,6 +34,7 @@ from terrier_ray.sql.ast import (
     Expr,
     Fn,
     Insert,
+    InsertValues,
     InList,
     InSubquery,
     IsNull,
@@ -154,13 +155,32 @@ class Parser:
         raise SyntaxError(f"expected identifier at {t.text!r}")
 
     # -- entry --------------------------------------------------------------
-    def parse_statement(self) -> "Select | SetOpStmt | Insert | Delete | Update":
+    def parse_statement(self) -> "Select | SetOpStmt | Insert | InsertValues | Delete | Update":
         if self.accept_kw("INSERT"):
             self.expect_kw("INTO")
             table = self.expect_ident()
-            stmt: "Select | SetOpStmt | Insert | Delete" = Insert(
-                table, self.statement()
-            )
+            cols = None
+            if self.accept_op("("):
+                cols = [self.expect_ident()]
+                while self.accept_op(","):
+                    cols.append(self.expect_ident())
+                self.expect_op(")")
+            if self.accept_kw("VALUES"):
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.expr()]
+                    while self.accept_op(","):
+                        row.append(self.expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                stmt: "Select | SetOpStmt | Insert | InsertValues | Delete" = (
+                    InsertValues(table, cols, rows)
+                )
+            else:
+                stmt = Insert(table, self.statement())
         elif self.accept_kw("DELETE"):
             self.expect_kw("FROM")
             table = self.expect_ident()

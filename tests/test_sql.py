@@ -648,3 +648,48 @@ def test_prepared_statement_unbound_param_clear_error(sf_smoke):
     ps = prepare("SELECT * FROM nation WHERE n_regionkey = $1", sf_smoke)
     with _pytest.raises(ValueError, match=r"no value bound for parameter \$1"):
         ps.plan()  # execute() without params must not reach the planner
+
+
+def test_sql_insert_values(ray_session, sf_smoke, tmp_root):
+    """INSERT INTO t [(cols)] VALUES (...), (...): literal rows append as a
+    new snapshot; unspecified columns become NULL; $n parameters bind; and
+    non-literal row expressions / bad shapes fail with clear errors."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    root = os.path.join(str(tmp_root), "dml_values_store")
+    shutil.rmtree(root, ignore_errors=True)
+    snapshots.create_snapshot(root, rd.read_parquet(f"{sf_smoke}/nation.parquet"))
+    n0 = snapshots.scan(root).count()
+    stores = {"nat": root}
+
+    v = sql_dml(
+        "INSERT INTO nat (n_nationkey, n_name, n_regionkey) "
+        "VALUES (900, 'XANADU', $1), (901, 'EREWHON', 4)",
+        sf_smoke, stores, params=[3],
+    )
+    assert v == 2
+    df = snapshots.scan(root).to_pandas()
+    assert len(df) == n0 + 2
+    new = df[df["n_nationkey"] >= 900].sort_values("n_nationkey")
+    assert new["n_name"].tolist() == ["XANADU", "EREWHON"]
+    assert new["n_regionkey"].tolist() == [3, 4]
+
+    # column subset → NULL fill, negative literals evaluate
+    sql_dml("INSERT INTO nat (n_nationkey) VALUES (-5)", sf_smoke, stores)
+    df = snapshots.scan(root).to_pandas()
+    row = df[df["n_nationkey"] == -5]
+    assert len(row) == 1 and row["n_name"].isna().all()
+
+    with _pytest.raises(ValueError, match="literals"):
+        sql_dml("INSERT INTO nat (n_nationkey) VALUES (1 + 2)", sf_smoke, stores)
+    with _pytest.raises(ValueError, match="columns"):
+        sql_dml("INSERT INTO nat (bogus) VALUES (1)", sf_smoke, stores)
+    with _pytest.raises(ValueError, match="values for"):
+        sql_dml("INSERT INTO nat (n_nationkey) VALUES (1, 2)", sf_smoke, stores)
