@@ -373,6 +373,13 @@ def build(spec: Mapping[str, Any], sf_dir: str, _ctx=None):
             ds = grouped_aggregate(
                 ds, op["keys"], [tuple(a) for a in op["aggs"]]
             )
+        elif kind == "quantile":
+            from terrier_ray.ops.orderagg import grouped_quantiles
+
+            ds = grouped_quantiles(
+                ds, op["keys"], [tuple(s) for s in op["specs"]],
+                num_partitions=op.get("num_partitions", 32),
+            )
         elif kind == "window":
             ds = windowed(
                 ds,

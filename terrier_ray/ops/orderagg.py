@@ -138,6 +138,74 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_quantiles(
+    ds,
+    keys: Sequence[str],
+    specs: "Sequence[tuple[str, str, float, str]]",
+    num_partitions: int = 32,
+):
+    """Several exact percentiles in ONE bucket shuffle: ``specs`` is
+    (func, col, q, alias) with func percentile_cont | percentile_disc.
+    Semantics per spec are exactly grouped_quantile / grouped_quantile_disc
+    (cont: DuckDB-identical float64 interpolation; disc: group member at
+    ceil(q*n)-1, input type preserved).  The SQL WITHIN-GROUP lowering
+    lands here so a SELECT with multiple percentile aggregates still costs
+    one exchange."""
+    keys = list(keys)
+    specs = [tuple(s) for s in specs]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__qbucket"])
+        if g.num_rows == 0:
+            cols = {k: g.column(k) for k in keys}
+            for func, col, _q, alias in specs:
+                typ = (
+                    pa.float64()
+                    if func == "percentile_cont"
+                    else g.schema.field(col).type
+                )
+                cols[alias] = pa.array([], type=typ)
+            return pa.table(cols)
+        out_cols: dict = {}
+        head = None
+        for func, col, q, alias in specs:
+            t = g.sort_by(
+                [(k, "ascending") for k in keys] + [(col, "ascending")]
+            )
+            starts = _change_mask(t, keys)
+            start_idx = np.flatnonzero(starts)
+            counts = np.diff(np.append(start_idx, t.num_rows))
+            if head is None:  # group heads identical across sorts (same keys)
+                head = t.take(pa.array(start_idx)).select(keys)
+            if func == "percentile_cont":
+                v = pc.cast(t.column(col).combine_chunks(), pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                pos = q * (counts - 1).astype(np.float64)
+                lo = np.floor(pos).astype(np.int64)
+                frac = pos - lo
+                lo_idx = start_idx + lo
+                hi_idx = np.minimum(lo_idx + 1, start_idx + counts - 1)
+                out_cols[alias] = pa.array(
+                    v[lo_idx] * (1.0 - frac) + v[hi_idx] * frac, type=pa.float64()
+                )
+            else:  # percentile_disc
+                off = np.ceil(q * counts.astype(np.float64)).astype(np.int64) - 1
+                off = np.clip(off, 0, counts - 1)
+                out_cols[alias] = t.column(col).combine_chunks().take(
+                    pa.array(start_idx + off)
+                )
+        for alias, arr in out_cols.items():
+            head = head.append_column(alias, arr)
+        return head
+
+    return (
+        _tagged(ds, keys, num_partitions)
+        .groupby("__qbucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_string_agg(
     ds,
     keys: Sequence[str],

@@ -108,6 +108,17 @@ def approx_percentiles_order_value(sf_dir: str):
 
 
 SQL = {
+    "sql_percentile_within_group": """
+        SELECT o_orderpriority,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY tp_c) / 100.0
+                   AS median_price,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY tp_c) AS p90_c,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY tp_c) AS p75_c
+        FROM (SELECT o_orderpriority,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+        GROUP BY o_orderpriority
+""",
     "p75_disc_order_value": """
         SELECT o_orderpriority,
                PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY o_totalprice)
@@ -138,7 +149,27 @@ SQL = {
     """,
 }
 
+def sql_percentile_within_group(sf_dir: str):
+    """PERCENTILE_CONT / PERCENTILE_DISC ... WITHIN GROUP (ORDER BY ...)
+    as SQL TEXT — lowers to ONE grouped_quantiles exchange; oracle runs
+    the identical text."""
+    from terrier_ray.sql import sql
+
+    return sql("""
+        SELECT o_orderpriority,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY tp_c) / 100.0
+                   AS median_price,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY tp_c) AS p90_c,
+               PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY tp_c) AS p75_c
+        FROM (SELECT o_orderpriority,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+        GROUP BY o_orderpriority
+""", sf_dir)
+
+
 QUERIES = {
+    "sql_percentile_within_group": sql_percentile_within_group,
     "median_order_value": median_order_value,
     "p90_order_value": p90_order_value,
     "nations_csv": nations_csv,

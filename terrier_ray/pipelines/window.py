@@ -183,6 +183,28 @@ def top2_orders_per_priority(sf_dir: str):
 
 
 SQL = {
+    "sql_window_frames": """
+        SELECT o_custkey, o_orderkey,
+               SUM(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   / 100.0 AS mv_sum,
+               AVG(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mv_avg,
+               SUM(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_sum,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_ord
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+""",
     "top2_orders_per_priority": """
         SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
             SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -259,7 +281,38 @@ SQL = {
     """,
 }
 
+def sql_window_frames(sf_dir: str):
+    """The moving/running/unbounded window frames written as SQL TEXT —
+    the parser's ROWS BETWEEN clause (round-3 gap) driving the engine's
+    windowed() kinds; oracle runs the identical text."""
+    from terrier_ray.sql import sql
+
+    return sql("""
+        SELECT o_custkey, o_orderkey,
+               SUM(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   / 100.0 AS mv_sum,
+               AVG(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mv_avg,
+               SUM(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_sum,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_ord
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+""", sf_dir)
+
+
 QUERIES = {
+    "sql_window_frames": sql_window_frames,
     "window_order_rank": window_order_rank,
     "window_running_spend": window_running_spend,
     "window_ntile": window_ntile,

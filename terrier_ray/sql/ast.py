@@ -62,6 +62,17 @@ class Agg(Expr):
 
 
 @dataclass(frozen=True)
+class OrderedAgg(Expr):
+    """Ordered-set aggregate: PERCENTILE_CONT/PERCENTILE_DISC(q) WITHIN
+    GROUP (ORDER BY expr).  Lowers onto ops/orderagg.grouped_quantiles
+    (exact, DuckDB-identical interpolation)."""
+
+    func: str  # percentile_cont | percentile_disc
+    q: float
+    order: Expr
+
+
+@dataclass(frozen=True)
 class Case(Expr):
     whens: tuple[tuple[Expr, Expr], ...]
     default: Optional[Expr]
@@ -103,11 +114,17 @@ class IsNull(Expr):
 
 @dataclass(frozen=True)
 class WindowDef:
-    """``( PARTITION BY ... ORDER BY ... )`` — default frame only (no
-    ROWS/RANGE clause; windowed() kinds carry their own frame semantics)."""
+    """``( PARTITION BY ... ORDER BY ... [ROWS|RANGE BETWEEN ... ] )``.
+
+    ``frame`` is None (default frame) or ``(unit, start, end)`` with unit
+    'rows'/'range' and bounds ('up',) UNBOUNDED PRECEDING / ('pre', n) /
+    ('cur',) CURRENT ROW / ('fol', n) / ('uf',) UNBOUNDED FOLLOWING.
+    Lowering maps the frames the engine's windowed() kinds implement
+    (trailing ROWS windows, unbounded frames) and rejects the rest."""
 
     partition_by: tuple[Expr, ...] = ()
     order_by: tuple[tuple[Expr, bool], ...] = ()  # (expr, descending)
+    frame: "Optional[tuple]" = None
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from terrier_ray.ops.relational import ROUND_MODE
 from terrier_ray.sql.ast import (
+    OrderedAgg,
     Agg,
     Between,
     BinOp,
@@ -276,10 +277,16 @@ def infer_kind(e: Expr, binder: Binder) -> str:
         return _CAST_KIND.get(e.to, "other")
     if isinstance(e, (Like, InList, Between, IsNull, Exists, InSubquery)):
         return "bool"
+    if isinstance(e, OrderedAgg):
+        return (
+            "float"
+            if e.func == "percentile_cont"
+            else infer_kind(e.order, binder)
+        )
     if isinstance(e, WindowFn):
         if e.func in ("row_number", "rank", "dense_rank", "ntile"):
             return "int"
-        if e.func in ("percent_rank", "cume_dist"):
+        if e.func in ("percent_rank", "cume_dist", "avg"):
             return "float"
         k = infer_kind(e.args[0], binder) if e.args else "other"
         if e.func == "sum":
@@ -439,6 +446,11 @@ class _Lowerer:
                 ref = {"fn": "cast", "args": [ref],
                        "options": {"target_type": "float64"}}
             return ref
+        if isinstance(e, OrderedAgg):
+            name = self.agg_refs.get(e)
+            if name is None:
+                raise ValueError("ordered-set aggregate in unexpected position")
+            return {"col": name}
         if isinstance(e, Agg):
             name = self.agg_refs.get(e)
             if name is None:
@@ -653,7 +665,7 @@ def _conjuncts(e: Optional[Expr]) -> list[Expr]:
 
 
 def _collect_aggs(e: Expr, out: list[Agg]) -> None:
-    if isinstance(e, Agg):
+    if isinstance(e, (Agg, OrderedAgg)):
         if e not in out:
             out.append(e)
         return
@@ -773,10 +785,52 @@ def _lower_windows(
         order = [phys(c, "ORDER BY key") for c, _ in wd.order_by]
         desc = [d for _, d in wd.order_by]
         specs: list[list[Any]] = []
+        fr = wd.frame
+        whole = fr is not None and fr[1] == ("up",) and fr[2] == ("uf",)
         for wf, name in fns:
             kind = _WIN_KIND.get(wf.func)
+            if wf.func == "avg":
+                kind = "moving_avg"  # only the trailing-ROWS frame exists
             if kind is None:
                 raise ValueError(f"unsupported window function {wf.func!r}")
+            param = None
+            # frame resolution: map onto the frames windowed() implements —
+            # ranking functions / LAG / LEAD ignore the frame (SQL: frames
+            # only affect aggregate and value window functions)
+            if wf.func in ("sum", "avg"):
+                if fr is not None:
+                    unit, s, e = fr
+                    if (unit == "rows" and s == ("up",) and e == ("cur",)
+                            and wf.func == "sum"):
+                        kind = "cumsum"
+                    elif unit == "rows" and s[0] == "pre" and e == ("cur",):
+                        kind = "moving_sum" if wf.func == "sum" else "moving_avg"
+                        param = int(s[1]) + 1
+                    else:
+                        raise ValueError(
+                            f"unsupported window frame for {wf.func.upper()}: "
+                            "use ROWS BETWEEN k PRECEDING AND CURRENT ROW "
+                            "(or UNBOUNDED PRECEDING AND CURRENT ROW for SUM)"
+                        )
+                elif wf.func == "avg":
+                    raise ValueError(
+                        "AVG OVER requires an explicit ROWS BETWEEN k "
+                        "PRECEDING AND CURRENT ROW frame"
+                    )
+            elif fr is not None and wf.func in (
+                "first_value", "last_value", "nth_value"
+            ):
+                first_ok = whole or (fr[1] == ("up",) and fr[0] in ("rows", "range"))
+                if wf.func == "first_value" and not first_ok:
+                    raise ValueError(
+                        "FIRST_VALUE frame must start at UNBOUNDED PRECEDING"
+                    )
+                if wf.func != "first_value" and not whole:
+                    raise ValueError(
+                        f"{wf.func.upper()} supports only ROWS/RANGE BETWEEN "
+                        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+                        "(the default frame's running variant is not implemented)"
+                    )
             if kind in ("row_number", "rank", "dense_rank", "percent_rank",
                         "cume_dist"):
                 specs.append([kind, None, name])
@@ -791,6 +845,10 @@ def _lower_windows(
                     [kind, phys(wf.args[0], "argument"), name,
                      int(wf.args[1].value)]
                 )
+            elif kind in ("moving_sum", "moving_avg"):
+                if not wf.args:
+                    raise ValueError(f"{wf.func} requires a column argument")
+                specs.append([kind, phys(wf.args[0], "argument"), name, param])
             else:  # lag / lead / cumsum / first_value / last_value
                 if kind in ("lag", "lead") and len(wf.args) > 1:
                     if not (isinstance(wf.args[1], Lit)
@@ -1341,7 +1399,34 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
         agg_specs: list[list[str]] = []
         _AGG_OP = {"sum": "sum", "count": "count", "min": "min",
                    "max": "max", "avg": "mean"}
-        if any(a.distinct for a in all_aggs):
+        ord_aggs = [a for a in all_aggs if isinstance(a, OrderedAgg)]
+        if ord_aggs:
+            # PERCENTILE_CONT/DISC(q) WITHIN GROUP (ORDER BY col): lowers to
+            # ONE quantile op (ops/orderagg.grouped_quantiles — complete
+            # groups co-locate per bucket; percentiles are not decomposable
+            # into the group_agg partial/merge shape)
+            if len(ord_aggs) != len(all_aggs):
+                raise ValueError(
+                    "percentile aggregates cannot mix with plain aggregates "
+                    "in one SELECT; compute them in separate CTEs and join"
+                )
+            if group_mode != "group" or not key_names:
+                raise ValueError(
+                    "percentile aggregates require a plain GROUP BY"
+                )
+            qspecs: list[list] = []
+            for ai, a in enumerate(ord_aggs):
+                name = f"__agg{ai}"
+                agg_refs[a] = name
+                if isinstance(a.order, Col):
+                    col = binder.physical(a.order)
+                else:
+                    col = f"__q{ai}"
+                    ops.append({"op": "compute", "alias": col,
+                                "expr": lo.lower(a.order)})
+                qspecs.append([a.func, col, a.q, name])
+            ops.append({"op": "quantile", "keys": key_names, "specs": qspecs})
+        elif any(a.distinct for a in all_aggs):
             # AGG(DISTINCT col): dedup (keys, col) first, then aggregate —
             # the reference's DistinctAggregationFilter
             # (src/include/execution/sql/aggregators.h) as a two-level
@@ -1380,7 +1465,9 @@ def lower(sel: "Select | SetOpStmt", catalog: Catalog) -> Mapping[str, Any]:
                     {"op": "compute", "alias": "__one", "expr": {"lit": 1}}
                 )
 
-        if key_names:
+        if ord_aggs:
+            pass  # the quantile op above IS the aggregation
+        elif key_names:
             kind = {"group": "group_agg", "cube": "cube",
                     "rollup": "rollup"}[group_mode]
             ops.append({"op": kind, "keys": key_names, "aggs": agg_specs})

@@ -41,6 +41,7 @@ from terrier_ray.sql.ast import (
     JoinClause,
     Like,
     Lit,
+    OrderedAgg,
     OrderItem,
     Param,
     ScalarSubquery,
@@ -76,6 +77,8 @@ _KEYWORDS = {
     "TIMESTAMP", "DATE", "TRUE", "FALSE", "UNION", "INTERSECT", "EXCEPT",
     "ALL", "WITH", "EXISTS", "OVER", "PARTITION", "WINDOW",
     "INSERT", "INTO", "DELETE", "VALUES", "UPDATE", "SET",
+    "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW",
+    "WITHIN",
 }
 
 
@@ -515,6 +518,29 @@ class Parser:
             if self.peek(1).kind == "op" and self.peek(1).text == "(":
                 name = self.expect_ident().upper()
                 self.expect_op("(")
+                if name in ("PERCENTILE_CONT", "PERCENTILE_DISC"):
+                    qt = self.peek()
+                    if qt.kind != "num":
+                        raise SyntaxError(
+                            f"{name} requires a literal fraction, got {qt.text!r}"
+                        )
+                    self.next()
+                    q = float(qt.text)
+                    self.expect_op(")")
+                    self.expect_kw("WITHIN")
+                    self.expect_kw("GROUP")
+                    self.expect_op("(")
+                    self.expect_kw("ORDER")
+                    self.expect_kw("BY")
+                    order = self.expr()
+                    if self.accept_kw("DESC"):
+                        raise SyntaxError(
+                            f"{name} WITHIN GROUP (ORDER BY ... DESC) not "
+                            "supported; use 1-q over ASC"
+                        )
+                    self.accept_kw("ASC")
+                    self.expect_op(")")
+                    return OrderedAgg(name.lower(), q, order)
                 if name in _AGG_FUNCS:
                     if self.accept_op("*"):
                         self.expect_op(")")
@@ -567,8 +593,41 @@ class Parser:
                 order.append((oi.expr, oi.descending))
                 if not self.accept_op(","):
                     break
-        self.expect_op(")")  # no ROWS/RANGE frames (default frame only)
-        return WindowDef(tuple(partition), tuple(order))
+        frame = None
+        unit = self.accept_kw("ROWS", "RANGE")
+        if unit:
+            if self.accept_kw("BETWEEN"):
+                start = self._frame_bound()
+                self.expect_kw("AND")
+                end = self._frame_bound()
+            else:  # single-bound shorthand: end is CURRENT ROW
+                start = self._frame_bound()
+                end = ("cur",)
+            frame = (unit.lower(), start, end)
+        self.expect_op(")")
+        return WindowDef(tuple(partition), tuple(order), frame)
+
+    def _frame_bound(self) -> tuple:
+        """UNBOUNDED PRECEDING | n PRECEDING | CURRENT ROW | n FOLLOWING |
+        UNBOUNDED FOLLOWING → ('up',) / ('pre', n) / ('cur',) / ('fol', n) /
+        ('uf',)."""
+        if self.accept_kw("UNBOUNDED"):
+            if self.accept_kw("PRECEDING"):
+                return ("up",)
+            self.expect_kw("FOLLOWING")
+            return ("uf",)
+        if self.accept_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return ("cur",)
+        t = self.peek()
+        if t.kind == "num" and "." not in t.text:
+            self.next()
+            n = int(t.text)
+            if self.accept_kw("PRECEDING"):
+                return ("pre", n)
+            self.expect_kw("FOLLOWING")
+            return ("fol", n)
+        raise SyntaxError(f"expected frame bound at {t.text!r}")
 
     def case_expr(self) -> Expr:
         self.expect_kw("CASE")

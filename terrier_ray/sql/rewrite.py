@@ -39,7 +39,7 @@ from terrier_ray.api import compile_scan_filter
 #: moved (aggregates, windows, sorts and row-slices change row identity)
 _BARRIERS = {
     "group_agg", "global_agg", "window", "sort", "limit", "distinct",
-    "rollup", "cube", "unpivot", "sample",
+    "rollup", "cube", "unpivot", "sample", "quantile",
 }
 
 #: compressed build-side bytes below which a join broadcasts; one object
@@ -252,6 +252,9 @@ def _collect_refs(spec: Mapping[str, Any], out: set[str]) -> None:
         elif kind in ("group_agg", "rollup", "cube"):
             out.update(op.get("keys", []))
             out.update(a[1] for a in op["aggs"])
+        elif kind == "quantile":
+            out.update(op.get("keys", []))
+            out.update(s_[1] for s_ in op["specs"])
         elif kind == "global_agg":
             out.update(a[1] for a in op["aggs"])
         elif kind == "window":

@@ -693,3 +693,96 @@ def test_sql_insert_values(ray_session, sf_smoke, tmp_root):
         sql_dml("INSERT INTO nat (bogus) VALUES (1)", sf_smoke, stores)
     with _pytest.raises(ValueError, match="values for"):
         sql_dml("INSERT INTO nat (n_nationkey) VALUES (1, 2)", sf_smoke, stores)
+
+
+def test_window_frame_clauses(ray_session, sf_smoke):
+    """ROWS/RANGE frame parsing + lowering: trailing ROWS windows map to
+    moving_sum/moving_avg, UNBOUNDED..CURRENT to cumsum, whole-partition
+    frames to first/last/nth; unsupported frames fail with clear errors."""
+    import duckdb
+    import pytest as _pytest
+
+    from terrier_ray.sql import sql
+    from terrier_ray.sql.parser import parse
+
+    wd = parse(
+        "SELECT SUM(a) OVER (ORDER BY b ROWS BETWEEN 3 PRECEDING AND "
+        "CURRENT ROW) FROM t"
+    ).items[0].expr.window
+    assert wd.frame == ("rows", ("pre", 3), ("cur",))
+    wd = parse("SELECT SUM(a) OVER (ORDER BY b ROWS 2 PRECEDING) FROM t") \
+        .items[0].expr.window
+    assert wd.frame == ("rows", ("pre", 2), ("cur",))
+
+    q = """
+        SELECT o_custkey, o_orderkey,
+               SUM(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS mv_sum,
+               AVG(tp_c) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS 1 PRECEDING) AS mv_avg
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+    """
+    mine = (
+        sql(q, sf_smoke).to_pandas()
+        .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/orders.parquet')")
+    want = (
+        con.sql(q).df()
+        .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    )
+    for c in want.columns:
+        assert (mine[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    with _pytest.raises(ValueError, match="unsupported window frame"):
+        sql("SELECT SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM orders", sf_smoke)
+    with _pytest.raises(ValueError, match="AVG OVER requires"):
+        sql("SELECT AVG(o_totalprice) OVER (ORDER BY o_orderkey) FROM orders",
+            sf_smoke)
+    with _pytest.raises(ValueError, match="LAST_VALUE"):
+        sql("SELECT LAST_VALUE(o_orderkey) OVER (ORDER BY o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM orders",
+            sf_smoke)
+
+
+def test_percentile_within_group_sql(ray_session, sf_smoke):
+    """PERCENTILE_CONT/DISC ... WITHIN GROUP through SQL text: exact vs
+    DuckDB on integer-scaled inputs; mixing with plain aggregates errors."""
+    import duckdb
+    import pytest as _pytest
+
+    from terrier_ray.sql import sql
+
+    q = """
+        SELECT o_orderpriority,
+               PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY tp_c) AS p25,
+               PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY tp_c) AS p50d
+        FROM (SELECT o_orderpriority,
+                     CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS tp_c
+              FROM orders) t
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+    mine = sql(q, sf_smoke).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/orders.parquet')")
+    want = con.sql(q).df().reset_index(drop=True)
+    for c in want.columns:
+        assert (mine[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    with _pytest.raises(ValueError, match="cannot mix"):
+        sql("SELECT o_orderpriority, COUNT(*) AS n, "
+            "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS m "
+            "FROM orders GROUP BY o_orderpriority", sf_smoke)
+    with _pytest.raises(ValueError, match="GROUP BY"):
+        sql("SELECT PERCENTILE_CONT(0.5) WITHIN GROUP "
+            "(ORDER BY o_totalprice) AS m FROM orders", sf_smoke)
