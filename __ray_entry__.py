@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
     q["bm25_topk"] = bm25_topk
     q["bm25_topk_distributed"] = bm25_topk_distributed
+    from terrier_ray.pipelines.fulltext import bm25_topk_sharded
+
+    q["bm25_topk_sharded"] = bm25_topk_sharded
     q["index_corpus_stats"] = index_corpus_stats
     q["boolean_matches"] = boolean_matches
     q["bm25_snippets"] = bm25_snippets

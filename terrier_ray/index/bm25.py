@@ -812,23 +812,119 @@ def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
     return out
 
 
-class DistributedBM25:
-    """Scatter-gather query execution: posting fetch fans out as one Ray task
-    per index bucket (the shard-IO stage of a cluster deployment), scoring +
-    top-k happen where the doclens live (here: the caller).
+def _score_range_topk(index_dir: str, lo: int, hi: int,
+                      per_query_terms: "list[list[str]]", k: int):
+    """Shard-side scoring for ``DistributedBM25.search_many_sharded``: score
+    every query against the docid range [lo, hi) and return per-query
+    partial top-k lists.
 
-    Scale note: at 1e12 docs scoring also moves to the shards (each holds the
-    doclens for its docid range and returns partial top-k; the caller merges
-    k-lists), which is exactly the reference's parallel top-k shape
-    (sorter.cpp:424-430).  Results are rank-identical to ``BM25Index.search``
-    (same accumulation order: contributions concatenated in query-term order).
+    Runs where the range's doclens live (BM25Index memmaps only the pages
+    its range touches).  df in the posting rows is GLOBAL (the fold pass
+    sums salted parts), so idf is exact on every shard; contributions are
+    accumulated in query-term order with the pinned float64 expression, and
+    each doc lives in exactly ONE shard — so the merged k-lists are
+    rank-AND-score-identical to ``BM25Index.search``.  Sandbox note: posting
+    rows decode fully and slice to the range; a cluster deployment
+    document-partitions the postings per shard (the fmt-2 multi-part rows
+    are already docid-range parts, so per-range decode is a layout detail,
+    not a redesign)."""
+    idx = BM25Index(index_dir)
+    all_terms = sorted({t for ts in per_query_terms for t in ts})
+    post = idx.lookup(all_terms)
+    lo64, hi64 = np.uint64(lo), np.uint64(hi)
+    results = []
+    for terms in per_query_terms:
+        chunks_d, chunks_c = [], []
+        for t in terms:
+            p = post.get(t)
+            if p is None:
+                continue
+            df, dids, tfs, _, _ = p
+            i0 = int(np.searchsorted(dids, lo64))
+            i1 = int(np.searchsorted(dids, hi64))
+            if i1 <= i0:
+                continue
+            d = dids[i0:i1]
+            tf = tfs[i0:i1].astype(np.float64)
+            dl = idx.doc_len(d)
+            contrib = idf(idx.n_docs, df) * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+            )
+            chunks_d.append(d.astype(np.int64))
+            chunks_c.append(contrib)
+        if not chunks_d:
+            results.append([])
+            continue
+        all_d = np.concatenate(chunks_d)
+        all_c = np.concatenate(chunks_c)
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)
+        order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+        results.append([(int(uniq[i]), float(acc[i])) for i in order])
+    return results
+
+
+class DistributedBM25:
+    """Scatter-gather query execution, two shapes:
+
+    - ``search_many`` — posting fetch fans out as one Ray task per index
+      bucket (the shard-IO stage); scoring + top-k at the caller.
+    - ``search_many_sharded`` — the 1e12-doc shape: the docid space splits
+      into range shards (the doclen sidecar's natural boundaries), one Ray
+      task per shard scores every query against ITS docid range using its
+      locally-memmapped doclens and returns a partial top-k, and the caller
+      merges k-lists — the reference's parallel top-k merge
+      (/root/reference/src/execution/sql/sorter.cpp:424-430).  Decoded
+      postings of hot terms never transit to one process; only k-row lists
+      do.  Rank-AND-score-identical to ``BM25Index.search`` (disjoint
+      shards, query-term-order accumulation; asserted in tests).
     """
 
     def __init__(self, index_dir: str):
+        self.index_dir = index_dir
         self.local = BM25Index(index_dir)
         import ray
 
         self._fetch = ray.remote(_fetch_bucket_postings)
+        self._score_range = ray.remote(_score_range_topk)
+
+    def _shard_ranges(self, num_shards: "int | None") -> "list[tuple[int, int]]":
+        """Docid ranges to score per task: the doclen parts' natural
+        boundaries (each shard's doclens are one contiguous mmap), split
+        further when num_shards asks for more parallelism."""
+        lows = [int(lo) for lo in self.local._dl_lo]
+        bounds = lows + [1 << 63]
+        ranges = list(zip(bounds[:-1], bounds[1:]))
+        if num_shards is None or num_shards <= len(ranges):
+            return ranges
+        per = -(-num_shards // len(ranges))
+        out = []
+        for lo, hi in ranges:
+            step = max(1, (hi - lo) // per)
+            cuts = list(range(lo, hi, step))[:per] + [hi]
+            out.extend(zip(cuts[:-1], cuts[1:]))
+        return out
+
+    def search_many_sharded(
+        self, queries: "list[str]", k: int = 10, num_shards: "int | None" = None
+    ):
+        """Per-query top-k via shard-side scoring + k-list merge (see class
+        docstring).  Returns one [(docid, score), ...] list per query."""
+        import ray
+
+        per_query_terms = [_query_terms(q) for q in queries]
+        futs = [
+            self._score_range.remote(self.index_dir, lo, hi, per_query_terms, k)
+            for lo, hi in self._shard_ranges(num_shards)
+        ]
+        partials = ray.get(futs)
+        results = []
+        for qi in range(len(queries)):
+            cand = [pair for part in partials for pair in part[qi]]
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            results.append(cand[:k])
+        return results
 
     def search_many(self, queries: list[str], k: int = 10):
         import ray

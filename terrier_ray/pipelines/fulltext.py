@@ -69,6 +69,37 @@ def bm25_topk_distributed(sf_dir: str, k: int = 10, num_queries: int = 20):
     )
 
 
+def bm25_topk_sharded(sf_dir: str, k: int = 10, num_queries: int = 20):
+    """Shard-side BM25 scoring: docid-range tasks score with their LOCAL
+    doclens and return partial top-k; caller merges k-lists (the 1e12-doc
+    serving shape — hot-term postings never transit to one process).
+    Rank-AND-score-identical to bm25_topk."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    idx_dir = ensure_index(sf_dir)
+    queries = generate_queries(num_queries)
+    engine = DistributedBM25(idx_dir)
+    res = engine.search_many_sharded(
+        queries.column("text").to_pylist(), k=k, num_shards=4
+    )
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, hits in zip(queries.column("query_id").to_pylist(), res):
+        for rank, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
 def boolean_matches(sf_dir: str, num_queries: int = 10):
     """Unranked boolean retrieval over the same inverted index: for each
     generated query "t1 t2 t3 ..." run MUST=t1 ∧ SHOULD=(t2|t3) ∧ NOT=last

@@ -696,3 +696,20 @@ def test_doclens_distributed_path_identical(built_index, tmp_root, monkeypatch):
     assert n_a == n_b
     assert np.array_equal(d_a, d_b)
     assert np.array_equal(l_a, l_b)
+
+
+def test_distributed_sharded_rank_identical(built_index):
+    """search_many_sharded: shard-side scoring over docid ranges + k-list
+    merge must be rank-AND-score-identical to the single-process search —
+    per-shard idf is global (fold-pass df sums), docs live in exactly one
+    shard, accumulation stays query-term-ordered."""
+    from terrier_ray.index.bm25 import BM25Index, DistributedBM25
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    engine = DistributedBM25(out)
+    texts = generate_queries(15).column("text").to_pylist()
+    for shards in (None, 3, 7):
+        got = engine.search_many_sharded(texts, k=10, num_shards=shards)
+        for q, hits in zip(texts, got):
+            assert hits == idx.search(q, 10), (shards, q)
