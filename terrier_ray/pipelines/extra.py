@@ -508,7 +508,41 @@ def unpivot_nation_counts(sf_dir: str):
     return unpivot(j, ["nationkey"], ["n_supp", "n_cust"], "side", "n")
 
 
+def customer_point_lookup(sf_dir: str):
+    """IndexScan Exact over a RELATIONAL table: cluster ``customer`` by
+    c_custkey into the sorted zone-map layout (cached per sf_dir), then
+    point-look-up a fixed key set through sources.io.point_lookup — row
+    groups located by footer statistics, never a table scan.  The oracle
+    is the plain WHERE ... IN over the base table."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from terrier_ray.ops.relational import read_table
+    from terrier_ray.sources.io import point_lookup, write_sorted_parquet
+
+    root = os.path.join(
+        "/tmp/terrier_ray_ptidx",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ds = read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+        )
+        write_sorted_parquet(ds, root, "c_custkey", row_group_rows=512)
+        open(marker, "w").close()
+    keys = [1, 2, 3, 7, 11]
+    t = point_lookup(root, "c_custkey", keys)
+    df = t.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    return pd.DataFrame(df)
+
+
 QUERIES = {
+    "customer_point_lookup": customer_point_lookup,
     "range_join_order_windows": range_join_order_windows,
     "unpivot_nation_counts": unpivot_nation_counts,
     "funnel_click_purchase": funnel_click_purchase,
@@ -526,6 +560,11 @@ QUERIES = {
 }
 
 SQL = {
+    "customer_point_lookup": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey IN (1, 2, 3, 7, 11)
+        ORDER BY c_custkey
+    """,
     "events_hopping": """
         SELECT event_type,
                make_timestamp(epoch_us(ts) // 1800000000 * 1800000000

@@ -246,3 +246,83 @@ def write_sorted_parquet(
         if writer is not None:
             writer.close()
     return path
+
+
+def point_lookup(path, key_col: str, keys, columns=None) -> pa.Table:
+    """IndexScan-Exact for relational tables: ``(table, key) → rows`` over
+    the sorted-parquet layout (write_sorted_parquet's zone maps).
+
+    Reference analog: the keyed B+Tree/Hash INDEXSCAN over arbitrary tables
+    (/root/reference/src/include/storage/index/index_defs.h:12-17,
+    index_scan_translator.cpp) — here the "index" is the clustered layout
+    itself: per-row-group min/max statistics on ``key_col`` come free from
+    the parquet footer, locating a key is a binary search over those
+    fences, and only the matching row groups are read (same machinery as
+    the BM25 term-dictionary lookup, bm25.BM25Index._bucket_handle).
+
+    ``path`` is one sorted parquet file or a directory of them (each file
+    internally sorted; the file-level [min, max] prunes whole files).
+    Returns the matching rows as one arrow table — point lookups are
+    bounded-small by contract (key sets, not ranges; use read_range_pruned
+    for ranges).
+    """
+    import bisect
+    import glob as _glob
+
+    import numpy as _np
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    keys = sorted(set(keys))
+    out = []
+    for f in files:
+        pf = _pq.ParquetFile(f)
+        md = pf.metadata
+        ki = pf.schema_arrow.get_field_index(key_col)
+        if ki < 0:
+            raise KeyError(f"no column {key_col!r} in {f}")
+        mins, maxs = [], []
+        stats_ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ki).statistics
+            if st is None or st.min is None or st.max is None:
+                stats_ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not stats_ok:  # foreign writer without statistics: filtered read
+            t = _pq.read_table(
+                f, columns=columns, filters=[(key_col, "in", keys)]
+            )
+            if t.num_rows:
+                out.append(t)
+            continue
+        if not mins or keys[-1] < mins[0] or keys[0] > maxs[-1]:
+            continue  # file-level prune
+        rgs: set[int] = set()
+        for kv in keys:
+            i = bisect.bisect_right(mins, kv) - 1
+            # duplicates of one key can span adjacent row groups
+            while 0 <= i < len(mins) and mins[i] <= kv <= maxs[i]:
+                rgs.add(i)
+                i += 1
+                if i >= len(mins) or mins[i] > kv:
+                    break
+        if not rgs:
+            continue
+        cols = None if columns is None else list(dict.fromkeys([key_col] + columns))
+        t = pf.read_row_groups(sorted(rgs), columns=cols)
+        t = t.filter(_pc.is_in(t.column(key_col), value_set=pa.array(keys)))
+        if columns is not None:
+            t = t.select(columns)
+        if t.num_rows:
+            out.append(t)
+    if not out:
+        sch = hashable_schema(files[0], columns=columns)
+        return sch.empty_table()
+    return pa.concat_tables(out)

@@ -181,3 +181,43 @@ def test_sorted_parquet_rowgroup_pruning(ray_session, sf_smoke, tmp_root):
     assert len(hit) == 1
     got = pq.read_table(path, filters=[("o_orderkey", "=", 42)])
     assert got.num_rows == 1
+
+
+def test_point_lookup_sorted_layout(ray_session, sf_smoke, tmp_root):
+    """point_lookup over write_sorted_parquet: exact rows for present keys,
+    empty (schema-preserving) for absent ones, duplicates included, and the
+    read touches only the statistics-matched row groups."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from terrier_ray.sources.io import point_lookup, write_sorted_parquet
+
+    out = os.path.join(str(tmp_root), "ptidx")
+    ds = rd.read_parquet(f"{sf_smoke}/orders.parquet").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    write_sorted_parquet(ds, out, "o_custkey", row_group_rows=256)
+
+    full = pq.read_table(os.path.join(out, "part-0.parquet"))
+    keys_all = full.column("o_custkey").to_pylist()
+    some = sorted(set(keys_all))[:3] + [max(keys_all)]
+    got = point_lookup(out, "o_custkey", some).sort_by(
+        [("o_custkey", "ascending"), ("o_orderkey", "ascending")]
+    )
+    import pyarrow.compute as pc
+
+    want = full.filter(
+        pc.is_in(full.column("o_custkey"), value_set=pa.array(sorted(set(some))))
+    ).sort_by([("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+    assert got.equals(want)  # duplicates of a key all surface
+
+    empty = point_lookup(out, "o_custkey", [max(keys_all) + 999])
+    assert empty.num_rows == 0
+    assert empty.schema.names == full.schema.names
+
+    sub = point_lookup(out, "o_custkey", some, columns=["o_orderkey"])
+    assert sub.column_names == ["o_orderkey"]
+    assert sub.num_rows == want.num_rows
