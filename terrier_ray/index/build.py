@@ -690,6 +690,21 @@ class _Exploder:
         )
 
 
+def _as_dictionary(term_col) -> pa.DictionaryArray:
+    """Term column (plain string, or already dictionary-encoded by the
+    exchange wire format) → a single DictionaryArray.  combine_chunks
+    unifies per-part dictionaries from the hash exchange's concat."""
+    if isinstance(term_col, pa.ChunkedArray):
+        combined = term_col.combine_chunks()
+        if isinstance(combined, pa.ChunkedArray):
+            term_col = combined.chunk(0)
+        else:
+            term_col = combined
+    if pa.types.is_dictionary(term_col.type):
+        return term_col
+    return term_col.dictionary_encode()
+
+
 def _lpt_pack(mass: np.ndarray, num_groups: int) -> np.ndarray:
     """Longest-processing-time bin packing: bucket → exchange group.
 
@@ -740,10 +755,7 @@ def _make_bucket_builder(
     heavy_set = frozenset(heavy_terms)
 
     def build_bucket(g: pa.Table, bucket: int) -> pa.Table:
-        term_col = g.column("term")
-        if isinstance(term_col, pa.ChunkedArray):
-            term_col = term_col.chunk(0)
-        dic = term_col.dictionary_encode()
+        dic = _as_dictionary(g.column("term"))
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
         # dense ids in TERM-SORTED order so output rows come out term-sorted
@@ -864,10 +876,7 @@ def _make_bucket_builder(
             row_bucket = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int32)
             g = g.drop_columns(["bucket"])
         else:
-            term_col = g.column("term")
-            if isinstance(term_col, pa.ChunkedArray):
-                term_col = term_col.chunk(0)
-            dic = term_col.dictionary_encode()
+            dic = _as_dictionary(g.column("term"))
             codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
             uh = term_hash(uniq)
@@ -1067,6 +1076,85 @@ def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
     return pa.concat_tables(metrics).to_pandas()
 
 
+def _pack_exchange(tab: pa.Table) -> pa.Table:
+    """Compact wire format for one map→reduce slice of the hash exchange.
+
+    The exploded posting row is the exchange's whole byte bill (at 7.68M
+    docs ~9.7 GB transits the object store), so the slice that actually
+    ships is narrowed before return: ``term`` dictionary-encoded (int32
+    index + the part's unique strings once, vs the full string repeated
+    per posting), ``tf``/``dl``/``salt`` at the narrowest unsigned width
+    that holds the part's max (uint8/uint16, int32 fallback — a single
+    pathological doc widens only its own part), and the routing-only
+    ``gkey`` dropped (the slice IS its group).  ``docid`` stays int64:
+    docids are 63-bit url hashes, so neither rebasing nor delta coding
+    can narrow them (full-range, incompressible).  Measured
+    ~35 → ~16 B/posting on webtext (tools/exchange_bytes.py); the bucket
+    builder's output is byte-identical (asserted vs ``exchange='sort'``,
+    which ships unpacked rows)."""
+    tab = tab.combine_chunks()
+    term = tab.column("term")
+    if isinstance(term, pa.ChunkedArray):
+        term = term.chunk(0)
+    if not pa.types.is_dictionary(term.type):
+        term = term.dictionary_encode()
+    if len(term.dictionary) < (1 << 15) and term.type.index_type != pa.int16():
+        # a part's unique terms almost always fit int16 — half the index bill
+        term = pa.DictionaryArray.from_arrays(
+            term.indices.cast(pa.int16()), term.dictionary
+        )
+
+    def narrow(name: str) -> pa.Array:
+        v = tab.column(name).to_numpy(zero_copy_only=False)
+        if len(v) and 0 <= int(v.min()):
+            mx = int(v.max())
+            if mx < 1 << 8:
+                return pa.array(v.astype(np.uint8))
+            if mx < 1 << 16:
+                return pa.array(v.astype(np.uint16))
+        return pa.array(v.astype(np.int32))
+
+    return pa.table(
+        {
+            "term": term,
+            "docid": tab.column("docid"),
+            "tf": narrow("tf"),
+            "dl": narrow("dl"),
+            "salt": narrow("salt"),
+        }
+    )
+
+
+def _unpack_exchange(tab: pa.Table) -> pa.Table:
+    """Wire slice → builder input.  Widens tf/dl/salt back to int32 (so
+    parts with different adaptive widths concat) and KEEPS term
+    dictionary-encoded — the bucket builder consumes the dictionary
+    directly (``_as_dictionary``), no re-encode, no string inflation."""
+    wide = {
+        n: pa.array(
+            tab.column(n).to_numpy(zero_copy_only=False).astype(np.int32)
+        )
+        for n in ("tf", "dl", "salt")
+    }
+    term = tab.column("term")
+    if isinstance(term, pa.ChunkedArray):
+        term = term.chunk(0)
+    if pa.types.is_dictionary(term.type) and term.type.index_type != pa.int32():
+        # normalize adaptive index widths so parts concat into one column
+        term = pa.DictionaryArray.from_arrays(
+            term.indices.cast(pa.int32()), term.dictionary
+        )
+    return pa.table(
+        {
+            "term": term,
+            "docid": tab.column("docid"),
+            "tf": wide["tf"],
+            "dl": wide["dl"],
+            "salt": wide["salt"],
+        }
+    )
+
+
 def _explode_part(units, exploder, num_groups):
     """Hash-exchange stage 1: row groups → num_groups partitioned slices.
 
@@ -1076,6 +1164,9 @@ def _explode_part(units, exploder, num_groups):
     rows (which must exist to be returned) plus one slice.  Row order within
     a group is irrelevant: the bucket builder lexsorts by (term, salt,
     docid), so output files are byte-identical regardless of assignment.
+    Each group's concat is packed to the compact wire format
+    (``_pack_exchange``) before return — the pack halves what the object
+    store holds and what a multi-node cluster would move over the network.
     """
     per_group: list[list] = [[] for _ in range(num_groups)]
     by_file: dict[str, list[int]] = {}
@@ -1099,13 +1190,17 @@ def _explode_part(units, exploder, num_groups):
                             srt.slice(int(starts[g]), int(ends[g] - starts[g]))
                         )
     return tuple(
-        pa.concat_tables(p).combine_chunks() if p else None for p in per_group
+        _pack_exchange(pa.concat_tables(p)) if p else None for p in per_group
     )
 
 
 def _encode_group(builder, *parts):
-    """Hash-exchange stage 2: gather one group's parts, encode its buckets."""
-    live = [p for p in parts if p is not None and p.num_rows]
+    """Hash-exchange stage 2: gather one group's parts, encode its buckets.
+    Parts arrive in the compact wire format; widen each and concat (the
+    dictionary term columns unify in combine_chunks)."""
+    live = [
+        _unpack_exchange(p) for p in parts if p is not None and p.num_rows
+    ]
     if not live:
         return None
     return builder(pa.concat_tables(live).combine_chunks())

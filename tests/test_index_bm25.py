@@ -604,6 +604,57 @@ def test_lpt_grouped_exchange_rank_identical(ray_session, webtext_small, tmp_roo
         assert idx.search(q, 10) == oracle.search(q, 10), q
 
 
+def test_exchange_wire_format_roundtrip():
+    """The hash exchange's compact wire format (dictionary terms, adaptive
+    uint8/16 tf/dl/salt, gkey dropped) must round-trip to the exact builder
+    input, shrink the payload ≥1.8x on realistic rows, and fall back to
+    int32 when a column's max exceeds the narrow width."""
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.index.build import _pack_exchange, _unpack_exchange
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    vocab = np.array([f"term{i:04d}" for i in range(500)], dtype=object)
+    raw = pa.table(
+        {
+            "term": pa.array(vocab[rng.integers(0, 500, n)]),
+            "docid": pa.array(rng.integers(0, 2**63, n, dtype=np.int64)),
+            "tf": pa.array(rng.integers(1, 5, n).astype(np.int32)),
+            "dl": pa.array(rng.integers(50, 3000, n).astype(np.int32)),
+            "salt": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+            "gkey": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+    packed = _pack_exchange(raw)
+    assert pa.types.is_dictionary(packed.column("term").type)
+    assert packed.column("tf").type == pa.uint8()
+    assert packed.column("dl").type == pa.uint16()
+    assert packed.column("salt").type == pa.uint8()
+    assert "gkey" not in packed.column_names
+    assert raw.nbytes / packed.nbytes > 1.8
+    back = _unpack_exchange(packed)
+    assert back.column("term").to_pylist() == raw.column("term").to_pylist()
+    for c in ("docid", "tf", "dl", "salt"):
+        assert back.column(c).to_pylist() == raw.column(c).to_pylist(), c
+    assert back.column("tf").type == pa.int32()
+
+    # width fallback: one 70k tf forces the whole part's tf to int32
+    wide = raw.set_column(
+        raw.column_names.index("tf"),
+        "tf",
+        pa.array(np.concatenate(([70_000], np.ones(n - 1))).astype(np.int32)),
+    )
+    pw = _pack_exchange(wide)
+    assert pw.column("tf").type == pa.int32()
+    assert _unpack_exchange(pw).column("tf").to_pylist() == wide.column("tf").to_pylist()
+
+    # empty part stays consistent
+    empty = _pack_exchange(raw.slice(0, 0))
+    assert _unpack_exchange(empty).num_rows == 0
+
+
 def test_hash_exchange_matches_sort_exchange(ray_session, webtext_small, tmp_root):
     """The raw-task hash exchange (default) and the Dataset sort exchange
     must produce byte-identical bucket files — same terms, salts, dfs,
