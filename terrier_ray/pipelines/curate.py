@@ -33,7 +33,19 @@ def curate_documents(
     min_quality: float = 0.2,
     min_words: int = 10,
     keep_lang: str = "en",
+    distributed_labels: bool = False,
 ):
+    """See module docstring.  ``distributed_labels=True`` switches the
+    near-dup stage to the zero-driver-table path: LSH pairs →
+    ``connected_components(..., collect=False)`` (labels stay a Dataset) →
+    keep each cluster's min-doc_id representative via two co-partitioned
+    joins (anti vs labels for non-dup docs, semi vs the grouped-min winners
+    for representatives) — no label, winner, or drop table ever
+    concatenates on the driver, at ANY duplication rate.  Keep semantics
+    differ deliberately from the default pairwise rule (drop every pair's
+    larger id): clusters keep exactly ONE representative, so a doc kept by
+    the pairwise rule because it only ever appeared as a pair's smaller id
+    may still drop if its cluster has a smaller member."""
     # the language gate combines the upstream metadata (`lang` column, the
     # crawl's claim) with the n-gram LangId prediction: keep rows where
     # either agrees with the target — the synthetic corpus has gibberish
@@ -100,16 +112,58 @@ def curate_documents(
     ).materialize()
     n_exact = exact.count()
 
-    # near-dup removal: LSH pair list over the corpus (rare by
-    # construction), drop the larger doc_id of each surviving pair
+    # near-dup removal: LSH pair list over the corpus (rare by construction)
     pairs = minhash_lsh_pairs(sf_dir)
-    drop = np.unique(pairs.column("doc_b").to_numpy(zero_copy_only=False))
-    near = filter_batches(
-        exact,
-        lambda b: pc.invert(
-            pc.is_in(b.column("doc_id"), value_set=pa.array(drop))
-        ),
-    ).materialize()
+    if distributed_labels:
+        import ray.data as rd
+
+        from terrier_ray.ops.graph import connected_components
+        from terrier_ray.ops.relational import union_all
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pc.cast(pairs.column("doc_a"), pa.int64()),
+                    "dst": pc.cast(pairs.column("doc_b"), pa.int64()),
+                }
+            )
+        )
+        # labels stay a Dataset end-to-end (collect=False); winners too
+        labels = connected_components(edges, collect=False)
+        winners = grouped_aggregate(
+            labels, ["label"], [("min", "node", "keep_id")]
+        )
+        # keep = docs in no cluster ∪ each cluster's representative;
+        # two co-partitioned joins, no null-key paths, nothing driver-side
+        non_dup = partitioned_join(
+            exact,
+            labels,
+            on=["doc_id"],
+            right_on=["node"],
+            join_type="left_anti",
+            num_partitions=8,
+        )
+        reps = partitioned_join(
+            exact,
+            winners.map_batches(
+                lambda b: b.select(["keep_id"]), batch_format="pyarrow"
+            ),
+            on=["doc_id"],
+            right_on=["keep_id"],
+            join_type="left_semi",
+            num_partitions=8,
+        )
+        near = union_all(non_dup, reps).materialize()
+    else:
+        # default: drop the larger doc_id of each surviving pair (driver-side
+        # drop set, bounded by the pair list's rare-by-construction size)
+        drop = np.unique(pairs.column("doc_b").to_numpy(zero_copy_only=False))
+        near = filter_batches(
+            exact,
+            lambda b: pc.invert(
+                pc.is_in(b.column("doc_id"), value_set=pa.array(drop))
+            ),
+        ).materialize()
     n_out = near.count()
 
     if out_dir is not None:
@@ -126,4 +180,9 @@ def curate_documents(
     )
 
 
-QUERIES = {"curate_documents": curate_documents}
+QUERIES = {
+    "curate_documents": curate_documents,
+    "curate_documents_distributed": (
+        lambda sf_dir: curate_documents(sf_dir, distributed_labels=True)
+    ),
+}

@@ -253,6 +253,75 @@ def test_curate_documents_funnel(ray_session, tmp_root):
     assert {c: t2.column(c)[0].as_py() for c in t2.column_names} == row
 
 
+def test_curate_documents_distributed_labels(ray_session, tmp_root, monkeypatch):
+    """distributed_labels=True must (a) run connected_components with
+    collect=False so the label path stays a Dataset end-to-end (no driver
+    concat), and (b) keep exactly one min-doc_id representative per
+    near-dup cluster — verified against a reference union-find over the
+    same LSH pairs."""
+    import os
+
+    import terrier_ray.ops.graph as graph_mod
+    from terrier_ray.pipelines.curate import curate_documents
+    from terrier_ray.pipelines.dedup import minhash_lsh_pairs
+
+    seen: dict = {}
+    orig = graph_mod.connected_components
+
+    def spy(edges, *a, **kw):
+        seen["collect"] = kw.get("collect", True)
+        out = orig(edges, *a, **kw)
+        seen["returned_dataset"] = not isinstance(out, pa.Table)
+        return out
+
+    monkeypatch.setattr(graph_mod, "connected_components", spy)
+
+    sf = "/root/testdata/sf0.001"
+    out_dir = os.path.join(str(tmp_root), "curated_dist")
+    t = curate_documents(sf, out_dir=out_dir, distributed_labels=True)
+    assert seen == {"collect": False, "returned_dataset": True}
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert row["n_in"] >= row["n_exact_unique"] >= row["n_curated"] > 0
+
+    # reference semantics: union-find over the pairs, keep cluster minima
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = minhash_lsh_pairs(sf)
+    for a, b in zip(
+        pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()
+    ):
+        parent[find(a)] = find(b)
+    clusters: dict[int, set] = {}
+    for n in list(parent):
+        clusters.setdefault(find(n), set()).add(n)
+    drop = {d for mem in clusters.values() for d in mem - {min(mem)}}
+
+    # the default (pairwise) run's exact-stage survivors give the universe
+    base = curate_documents(sf)
+    n_exact = base.column("n_exact_unique")[0].as_py()
+    assert row["n_exact_unique"] == n_exact
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    kept = set()
+    for f in glob.glob(os.path.join(out_dir, "*.parquet")):
+        kept |= set(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert len(kept) == row["n_curated"]
+    assert not (kept & drop), "cluster non-representatives must be dropped"
+    # every cluster with a surviving member keeps exactly its minimum
+    for mem in clusters.values():
+        alive = kept & mem
+        assert alive <= {min(mem)}
+
+
 def test_ivf_indexed_matches_inline(ray_session):
     from terrier_ray.pipelines.similarity import (
         knn_cosine_ivf,
