@@ -31,6 +31,7 @@ from terrier_ray.pipelines.fulltext import (
     bm25_topk_distributed,
     boolean_matches,
     index_corpus_stats,
+    phrase_matches,
 )
 from terrier_ray.pipelines.multimodal import media_features, media_frames, media_resized
 from terrier_ray.pipelines.similarity import (
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["index_corpus_stats"] = index_corpus_stats
     q["boolean_matches"] = boolean_matches
     q["bm25_snippets"] = bm25_snippets
+    q["phrase_matches"] = phrase_matches
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

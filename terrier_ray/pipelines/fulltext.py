@@ -190,42 +190,24 @@ def index_corpus_stats(sf_dir: str):
     )
 
 
-def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 20):
-    """Search-result snippets: BM25 top-k per query, then ONE pruned
-    distributed pass over the webtext corpus fetches just the hit docs'
-    texts (docid = url hash, computed per batch + is_in filter against the
-    tiny hit set — a broadcast semi join), and a per-hit vectorized window
-    pick maximizes distinct query terms inside ``window`` tokens.
-    Rows: (query_id, rank, docid, snippet); rows-only (free text), the
-    contains-a-query-term invariant is unit-tested."""
+def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
+    """ONE pruned distributed pass over the webtext corpus → the extracted
+    text of exactly the ``need`` docids, under the SAME winner rule the
+    index build used for duplicated urls (``build._dedup_group``: per docid
+    keep max (warc_ts, dl, token-hash)), so callers see the text the index
+    actually scored.  docid = url hash computed per batch; the is_in filter
+    against the tiny hit set is a broadcast semi join — extraction touches
+    |need| docs, never the corpus."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
     from terrier_ray.datagen.webtext import url_doc_id
-    from terrier_ray.index.bm25 import BM25Index, _query_terms
-    from terrier_ray.text.tokenize import TOKEN_RE
-
-    idx_dir = ensure_index(sf_dir)
-    idx = BM25Index(idx_dir)
-    queries = generate_queries(num_queries)
-    hits: list[tuple[int, int, int]] = []  # (query_id, rank, docid)
-    terms_by_q: dict[int, list[str]] = {}
-    for qid, text in zip(
-        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
-    ):
-        terms_by_q[qid] = _query_terms(text)
-        for rank, (docid, _s) in enumerate(idx.search_pruned(text, k=k), start=1):
-            hits.append((qid, rank, docid))
-    need = sorted({d for _q, _r, d in hits})
-    need_arr = pa.array(np.asarray(need, dtype=np.int64))
-
-    web = webtext_for_sf(sf_dir)
-    # most webtext rows carry only `html` — snippets must run the SAME
-    # extractor the index build used (filter to the tiny hit set FIRST so
-    # extraction touches k·queries docs, not the corpus)
     from terrier_ray.extract.html import HtmlExtractor
+    from terrier_ray.index.build import _dedup_group
+    from terrier_ray.text.tokenize import Tokenizer
 
+    need_arr = pa.array(np.asarray(sorted(need), dtype=np.int64))
     ds = rd.read_parquet(web, columns=["url", "warc_ts", "html", "text"])
     extractor = HtmlExtractor()
 
@@ -241,22 +223,130 @@ def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 2
         ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    # ~2% of webtext urls are duplicated with DIFFERENT content; the index
-    # kept exactly one row per docid (max (warc_ts, dl, token-hash) — see
-    # build._dedup_group).  Apply the identical rule here so the snippet is
-    # cut from the text the index actually scored (a last-write-wins dict
-    # over unordered Ray blocks can pick the wrong duplicate).
-    from terrier_ray.index.build import _dedup_group
-    from terrier_ray.text.tokenize import Tokenizer
-
     tok = Tokenizer()(texts_tbl)  # row-aligned with texts_tbl
     winners = _dedup_group(tok.append_column("text", texts_tbl.column("text")))
-    text_of = dict(
+    return dict(
         zip(
             winners.column("docid").to_pylist(),
             winners.column("text").to_pylist(),
         )
     )
+
+
+def phrase_matches(sf_dir: str, num_phrases: int = 6):
+    """Exact phrase retrieval — the "slow phrase" plan: AND the phrase's
+    terms over the inverted index (rarest-first vectorized postings
+    intersection, ``search_boolean``), fetch ONLY the surviving candidates'
+    texts in one pruned distributed pass, and verify token adjacency
+    vectorized per candidate.  Phrases are mined deterministically from the
+    corpus (each generated query's BM25 rank-1 doc contributes one interior
+    trigram of its token stream), so every phrase has ≥1 guaranteed match
+    and the result is stable per scale factor.
+
+    Scale posture (1e12 docs): candidates = AND of all phrase terms, so a
+    selective phrase prunes to a handful of docs before any text is read; a
+    stopword-only phrase degenerates to a huge AND set — the classic fix is
+    a positional index (per-posting position deltas, intersect positions
+    instead of re-tokenizing), a layout this index deliberately omits
+    (positions ~3-5x the postings bytes); the verification fetch is the
+    same hit-set-pruned distributed pass ``bm25_snippets`` uses, never a
+    corpus materialization.  Rows: (phrase_id, phrase, docid,
+    n_occurrences) sorted by (phrase_id, docid); rows-only — verified
+    exactly vs a naive full-scan oracle in tests/test_index_bm25.py.
+    Reference analog: conjunctive IndexScan + table verify
+    (src/include/planner/plannodes/plan_node_defs.h:143-152)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.text.tokenize import tokenize
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    web = webtext_for_sf(sf_dir)
+    queries = generate_queries(num_phrases)
+
+    # mine one interior trigram per query's rank-1 doc (deterministic)
+    seed_docs = []
+    for text in queries.column("text").to_pylist():
+        hits = idx.search(text, 1)
+        if hits:
+            seed_docs.append(int(hits[0][0]))
+    seed_text = _fetch_indexed_texts(web, sorted(set(seed_docs)))
+    phrases: list[str] = []
+    for d in seed_docs:
+        toks = tokenize(seed_text.get(d, ""))
+        if len(toks) >= 3:
+            s = min(10, len(toks) - 3)
+            p = " ".join(toks[s : s + 3])
+            if p not in phrases:
+                phrases.append(p)
+
+    # AND candidates per phrase (search_boolean normalizes + dedups terms)
+    cand = {p: idx.search_boolean(must=[p]) for p in phrases}
+    need = sorted({int(d) for ds_ in cand.values() for d in ds_})
+    text_of = _fetch_indexed_texts(web, need)
+    toks_of = {
+        d: np.asarray(tokenize(t), dtype=object) for d, t in text_of.items()
+    }
+
+    pids, ptxt, dids, occs = [], [], [], []
+    for pid, phrase in enumerate(phrases):
+        seq = tokenize(phrase)
+        for d in cand[phrase]:
+            t = toks_of.get(int(d))
+            if t is None or len(t) < len(seq):
+                continue
+            pos = np.flatnonzero(t[: len(t) - len(seq) + 1] == seq[0])
+            for j in range(1, len(seq)):
+                if len(pos) == 0:
+                    break
+                pos = pos[t[pos + j] == seq[j]]
+            if len(pos):
+                pids.append(pid)
+                ptxt.append(phrase)
+                dids.append(int(d))
+                occs.append(int(len(pos)))
+    return pa.table(
+        {
+            "phrase_id": pa.array(pids, type=pa.int32()),
+            "phrase": pa.array(ptxt, type=pa.string()),
+            "docid": pa.array(dids, type=pa.int64()),
+            "n_occurrences": pa.array(occs, type=pa.int64()),
+        }
+    )
+
+
+def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 20):
+    """Search-result snippets: BM25 top-k per query, then ONE pruned
+    distributed pass over the webtext corpus fetches just the hit docs'
+    texts (docid = url hash, computed per batch + is_in filter against the
+    tiny hit set — a broadcast semi join), and a per-hit vectorized window
+    pick maximizes distinct query terms inside ``window`` tokens.
+    Rows: (query_id, rank, docid, snippet); rows-only (free text), the
+    contains-a-query-term invariant is unit-tested."""
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index, _query_terms
+    from terrier_ray.text.tokenize import TOKEN_RE
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    queries = generate_queries(num_queries)
+    hits: list[tuple[int, int, int]] = []  # (query_id, rank, docid)
+    terms_by_q: dict[int, list[str]] = {}
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        terms_by_q[qid] = _query_terms(text)
+        for rank, (docid, _s) in enumerate(idx.search_pruned(text, k=k), start=1):
+            hits.append((qid, rank, docid))
+    need = sorted({d for _q, _r, d in hits})
+    # most webtext rows carry only `html` — the shared pruned fetch runs the
+    # SAME extractor + duplicated-url winner rule the index build used, so
+    # the snippet is cut from the text the index actually scored
+    text_of = _fetch_indexed_texts(webtext_for_sf(sf_dir), need)
 
     def best_window(text: str, terms: list[str]) -> str:
         toks = TOKEN_RE.findall(text.lower())

@@ -604,6 +604,44 @@ def test_lpt_grouped_exchange_rank_identical(ray_session, webtext_small, tmp_roo
         assert idx.search(q, 10) == oracle.search(q, 10), q
 
 
+def test_phrase_matches_vs_naive_scan(ray_session):
+    """phrase_matches (AND over the index + pruned-fetch adjacency verify)
+    must agree EXACTLY — docids and occurrence counts — with a naive scan
+    of every doc's token stream under the same dedup winner rule."""
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.pipelines.fulltext import phrase_matches
+    from terrier_ray.text.tokenize import tokenize
+
+    sf = "/root/testdata/sf0.001"
+    out = phrase_matches(sf)
+    assert out.num_rows > 0
+    phrases = dict(
+        zip(out.column("phrase_id").to_pylist(), out.column("phrase").to_pylist())
+    )
+    got: dict[int, dict[int, int]] = {}
+    for pid, d, n in zip(
+        out.column("phrase_id").to_pylist(),
+        out.column("docid").to_pylist(),
+        out.column("n_occurrences").to_pylist(),
+    ):
+        got.setdefault(pid, {})[d] = n
+
+    oracle = OracleBM25(webtext_for_sf(sf))
+    for pid, p in phrases.items():
+        seq = tokenize(p)
+        want: dict[int, int] = {}
+        for d, toks in oracle.doc_tokens.items():
+            c = sum(
+                1
+                for i in range(len(toks) - len(seq) + 1)
+                if toks[i : i + len(seq)] == seq
+            )
+            if c:
+                want[d] = c
+        assert got[pid] == want, p
+        assert want, f"mined phrase {p!r} must match its seed doc"
+
+
 def test_exchange_wire_format_roundtrip():
     """The hash exchange's compact wire format (dictionary terms, adaptive
     uint8/16 tf/dl/salt, gkey dropped) must round-trip to the exact builder
