@@ -85,6 +85,16 @@ def _compile_expr(e: Mapping[str, Any]):
         if "__value_set" in opts:
             opts["value_set"] = pa.array(opts.pop("__value_set"))
         return lambda b: kernel(*(f(b) for f in arg_fns), **opts)
+    if "udf" in e:
+        # resolved at COMPILE time so the pickled closure ships the
+        # callable to every worker (no cross-cluster registry sync)
+        from terrier_ray.sql.udf import lookup
+
+        udf = lookup(e["udf"])
+        if udf is None:
+            raise ValueError(f"unknown UDF {e['udf']!r} (dropped?)")
+        arg_fns = [_compile_expr(a) for a in e.get("args", [])]
+        return lambda b: udf(*(f(b) for f in arg_fns))
     raise ValueError(f"bad expr node: {e!r}")
 
 
@@ -221,7 +231,7 @@ def _resolve_scalar(sub_spec: Mapping[str, Any], sf_dir: str, ctx) -> dict:
 def _subst_scalars(e: Mapping[str, Any], sf_dir: str, ctx) -> Mapping[str, Any]:
     if "scalar_subquery" in e:
         return _resolve_scalar(e["scalar_subquery"], sf_dir, ctx)
-    if "fn" in e and e.get("args"):
+    if ("fn" in e or "udf" in e) and e.get("args"):
         return {
             **e,
             "args": [_subst_scalars(a, sf_dir, ctx) for a in e["args"]],

@@ -157,12 +157,36 @@ def sql_insert_values_roundtrip(sf_dir: str):
     return new.sort_values("n_nationkey").reset_index(drop=True)
 
 
+def sql_udf_taxed_orders(sf_dir: str):
+    """Scalar UDF through the SQL front-end (the executable CREATE FUNCTION
+    analog, sql/udf.py — the reference parses CREATE FUNCTION but has no
+    execution path): register ``taxed(x) = x*2+1`` as a VECTORIZED Arrow
+    callable, call it from SQL text, drop it after (the compiled plan
+    captured the callable, so the drop cannot affect execution).  The
+    oracle runs the inlined arithmetic — doubling and +1 are IEEE-exact in
+    float64, so the driver's atol=0 value hash must match."""
+    import pyarrow.compute as pc
+
+    from terrier_ray.sql import drop_function, register_function, sql
+
+    register_function("taxed", lambda x: pc.add(pc.multiply(x, 2.0), 1.0))
+    try:
+        return sql(
+            "SELECT o_orderkey, taxed(o_totalprice) AS taxed "
+            "FROM orders WHERE o_orderkey <= 320 ORDER BY o_orderkey",
+            sf_dir,
+        )
+    finally:
+        drop_function("taxed")
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_insert_values_roundtrip": sql_insert_values_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,
     "sql_param_segment_counts": sql_param_segment_counts,
     "sql_prepared_reexecute": sql_prepared_reexecute,
+    "sql_udf_taxed_orders": sql_udf_taxed_orders,
 }
 
 ORACLE_SQL = {
@@ -205,5 +229,9 @@ ORACLE_SQL = {
             SELECT c_mktsegment, count(*) AS n, 'lo' AS bind FROM customer
             WHERE c_acctbal > 0.0 GROUP BY c_mktsegment
         ) ORDER BY bind, c_mktsegment
+    """,
+    "sql_udf_taxed_orders": """
+        SELECT o_orderkey, o_totalprice * 2.0 + 1.0 AS taxed
+        FROM orders WHERE o_orderkey <= 320 ORDER BY o_orderkey
     """,
 }

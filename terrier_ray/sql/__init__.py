@@ -18,6 +18,7 @@ from typing import Any, Mapping
 from terrier_ray.sql.lower import Catalog, lower
 from terrier_ray.sql.parser import parse
 from terrier_ray.sql.rewrite import optimize
+from terrier_ray.sql.udf import drop_function, register_function
 
 
 def plan(
@@ -363,5 +364,6 @@ def explain_analyze(query: str, sf_dir: str, optimized: bool = True,
 __all__ = [
     "sql", "sql_dml", "plan", "explain", "explain_analyze",
     "prepare", "PreparedStatement",
+    "register_function", "drop_function",
     "parse", "lower", "optimize", "Catalog",
 ]

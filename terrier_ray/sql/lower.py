@@ -648,6 +648,11 @@ class _Lowerer:
         if name == "NULLIF":
             eq = {"fn": "equal", "args": la}
             return {"fn": "if_else", "args": [eq, {"lit": None}, la[0]]}
+        # registered scalar UDFs (sql/udf.py — the CREATE FUNCTION analog)
+        from terrier_ray.sql.udf import lookup as _udf_lookup
+
+        if _udf_lookup(name) is not None:
+            return {"udf": name.lower(), "args": la}
         raise ValueError(f"unsupported function {name}()")
 
 

@@ -786,3 +786,37 @@ def test_percentile_within_group_sql(ray_session, sf_smoke):
     with _pytest.raises(ValueError, match="GROUP BY"):
         sql("SELECT PERCENTILE_CONT(0.5) WITHIN GROUP "
             "(ORDER BY o_totalprice) AS m FROM orders", sf_smoke)
+
+
+def test_sql_scalar_udf(ray_session, sf_smoke):
+    """register_function makes a vectorized Python callable usable from SQL
+    (the executable CREATE FUNCTION analog); values match DuckDB's inlined
+    arithmetic exactly; dropping removes the surface; the compiled plan
+    keeps working after the drop (callable captured at compile time)."""
+    import duckdb
+    import pytest as _pytest
+    import pyarrow.compute as pc
+
+    from terrier_ray.sql import drop_function, register_function
+
+    register_function("taxed", lambda x: pc.add(pc.multiply(x, 2.0), 1.0))
+    try:
+        q_mine = ("SELECT o_orderkey, taxed(o_totalprice) AS taxed "
+                  "FROM orders WHERE o_orderkey <= 320 ORDER BY o_orderkey")
+        mine = sql(q_mine, sf_smoke).to_pandas().reset_index(drop=True)
+        assert len(mine) > 0
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_smoke}/orders.parquet')")
+        want = con.sql(
+            "SELECT o_orderkey, o_totalprice * 2.0 + 1.0 AS taxed "
+            "FROM orders WHERE o_orderkey <= 320 ORDER BY o_orderkey"
+        ).df().reset_index(drop=True)
+        assert list(mine.columns) == list(want.columns)
+        for c in want.columns:
+            assert (mine[c].to_numpy() == want[c].to_numpy()).all(), c
+    finally:
+        drop_function("taxed")
+    # dropped → the name is unsupported again
+    with _pytest.raises(ValueError, match="unsupported function"):
+        sql("SELECT taxed(o_totalprice) AS t FROM orders LIMIT 1", sf_smoke)
