@@ -177,11 +177,19 @@ def q11_important_customers(sf_dir: str):
         orders, ["o_custkey"], [("sum", "tp_c", "val_c")]
     ).materialize()
     total_c = int(per_cust.sum("val_c"))
-    # exact-integer HAVING: val_c > total_c * 0.001  ⇔  val_c * 1000 > total_c
+    n_cust = int(per_cust.count())
+    # SCALE-INVARIANT threshold: val > 1.5 × mean customer value (TPC-H's
+    # own fraction is 0.0001/SF for the same reason — a fixed fraction of
+    # the global total empties the result as row count grows; this form
+    # returns the above-mean tail at every SF).  Exact-integer HAVING:
+    # val_c > 1.5 · total_c / n_cust  ⇔  val_c · n_cust · 2 > total_c · 3
     # (a float threshold double-rounds and can flip 1-ulp boundary customers)
     per_cust = filter_batches(
         per_cust,
-        lambda b: pc.greater(pc.multiply(b.column("val_c"), 1000), total_c),
+        lambda b: pc.greater(
+            pc.multiply(pc.multiply(b.column("val_c"), n_cust), 2),
+            total_c * 3,
+        ),
     )
     out = _unscale_cols(per_cust, {"val_c": 100})
     return out.map_batches(
@@ -426,9 +434,10 @@ SQL = {
         SELECT o_custkey,
                SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS value
         FROM orders GROUP BY o_custkey
-        HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 1000 > (
+        HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               * (SELECT COUNT(DISTINCT o_custkey) FROM orders) * 2 > (
             SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-            FROM orders)
+            FROM orders) * 3
     """,
     "q14_promo_revenue": """
         SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
