@@ -106,11 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.curate import curate_documents
 
     q["curate_documents"] = curate_documents
+    from terrier_ray.pipelines.curate import QUERIES as _curate_queries
 
-    def curate_documents_distributed(sf_dir):
-        return curate_documents(sf_dir, distributed_labels=True)
-
-    q["curate_documents_distributed"] = curate_documents_distributed
+    q["curate_documents_distributed"] = _curate_queries[
+        "curate_documents_distributed"
+    ]
     q["approx_distinct_custkeys"] = approx_distinct_custkeys
     q["heavy_hitter_terms"] = heavy_hitter_terms
     q["minhash_lsh_pairs"] = minhash_lsh_pairs

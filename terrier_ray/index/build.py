@@ -693,7 +693,14 @@ class _Exploder:
 def _as_dictionary(term_col) -> pa.DictionaryArray:
     """Term column (plain string, or already dictionary-encoded by the
     exchange wire format) → a single DictionaryArray.  combine_chunks
-    unifies per-part dictionaries from the hash exchange's concat."""
+    unifies per-part dictionaries from the hash exchange's concat.
+
+    A dictionary input is COMPACTED to its used codes when the carried
+    vocabulary is much larger than what the slice references: build_group
+    slices the group per bucket, and each slice inherits the whole
+    group's unified dictionary — without compaction every build_bucket
+    call would pay O(group vocabulary) for to_pylist + argsort instead of
+    O(bucket vocabulary)."""
     if isinstance(term_col, pa.ChunkedArray):
         combined = term_col.combine_chunks()
         if isinstance(combined, pa.ChunkedArray):
@@ -701,6 +708,15 @@ def _as_dictionary(term_col) -> pa.DictionaryArray:
         else:
             term_col = combined
     if pa.types.is_dictionary(term_col.type):
+        idx = term_col.indices.to_numpy(zero_copy_only=False)
+        used = np.unique(idx)
+        if len(used) * 2 < len(term_col.dictionary):
+            remap = np.empty(len(term_col.dictionary), dtype=np.int32)
+            remap[used] = np.arange(len(used), dtype=np.int32)
+            term_col = pa.DictionaryArray.from_arrays(
+                pa.array(remap[idx]),
+                term_col.dictionary.take(pa.array(used)),
+            )
         return term_col
     return term_col.dictionary_encode()
 

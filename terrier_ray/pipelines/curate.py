@@ -43,9 +43,11 @@ def curate_documents(
     for representatives) — no label, winner, or drop table ever
     concatenates on the driver, at ANY duplication rate.  Keep semantics
     differ deliberately from the default pairwise rule (drop every pair's
-    larger id): clusters keep exactly ONE representative, so a doc kept by
-    the pairwise rule because it only ever appeared as a pair's smaller id
-    may still drop if its cluster has a smaller member."""
+    larger id): each cluster keeps exactly ONE representative — the
+    minimum doc_id among the cluster's members that SURVIVED the upstream
+    lang/quality/exact gates (labels are computed corpus-wide, so the
+    winner choice is restricted to survivors; otherwise a cluster whose
+    corpus-wide minimum was quality-filtered would keep zero docs)."""
     # the language gate combines the upstream metadata (`lang` column, the
     # crawl's claim) with the n-gram LangId prediction: keep rows where
     # either agrees with the target — the synthetic corpus has gibberish
@@ -114,7 +116,11 @@ def curate_documents(
 
     # near-dup removal: LSH pair list over the corpus (rare by construction)
     pairs = minhash_lsh_pairs(sf_dir)
-    if distributed_labels:
+    if distributed_labels and pairs.num_rows == 0:
+        # no pairs → nothing to drop; skip the graph machinery (an empty
+        # edge Dataset would hit the zero-row schema-less groupby limit)
+        near = exact
+    elif distributed_labels:
         import ray.data as rd
 
         from terrier_ray.ops.graph import connected_components
@@ -130,30 +136,50 @@ def curate_documents(
         )
         # labels stay a Dataset end-to-end (collect=False); winners too
         labels = connected_components(edges, collect=False)
-        winners = grouped_aggregate(
-            labels, ["label"], [("min", "node", "keep_id")]
+        # restrict the winner choice to nodes that SURVIVED the upstream
+        # gates — labels are corpus-wide, and a cluster whose corpus-wide
+        # min was filtered must still keep its smallest surviving member
+        surv_ids = exact.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
         )
-        # keep = docs in no cluster ∪ each cluster's representative;
-        # two co-partitioned joins, no null-key paths, nothing driver-side
-        non_dup = partitioned_join(
-            exact,
+        labels_surv = partitioned_join(
             labels,
-            on=["doc_id"],
-            right_on=["node"],
-            join_type="left_anti",
-            num_partitions=8,
-        )
-        reps = partitioned_join(
-            exact,
-            winners.map_batches(
-                lambda b: b.select(["keep_id"]), batch_format="pyarrow"
-            ),
-            on=["doc_id"],
-            right_on=["keep_id"],
+            surv_ids,
+            on=["node"],
+            right_on=["doc_id"],
             join_type="left_semi",
             num_partitions=8,
-        )
-        near = union_all(non_dup, reps).materialize()
+        ).materialize()
+        if labels_surv.count() == 0:
+            # every clustered doc was already gate-filtered — nothing to
+            # drop (and a zero-row groupby would come back schema-less)
+            near = exact
+        else:
+            winners = grouped_aggregate(
+                labels_surv, ["label"], [("min", "node", "keep_id")]
+            )
+            # keep = docs in no surviving cluster ∪ each cluster's
+            # surviving representative; co-partitioned joins, no null
+            # keys, driver-free
+            non_dup = partitioned_join(
+                exact,
+                labels_surv,
+                on=["doc_id"],
+                right_on=["node"],
+                join_type="left_anti",
+                num_partitions=8,
+            )
+            reps = partitioned_join(
+                exact,
+                winners.map_batches(
+                    lambda b: b.select(["keep_id"]), batch_format="pyarrow"
+                ),
+                on=["doc_id"],
+                right_on=["keep_id"],
+                join_type="left_semi",
+                num_partitions=8,
+            )
+            near = union_all(non_dup, reps).materialize()
     else:
         # default: drop the larger doc_id of each surviving pair (driver-side
         # drop set, bounded by the pair list's rare-by-construction size)

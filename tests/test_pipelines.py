@@ -283,7 +283,40 @@ def test_curate_documents_distributed_labels(ray_session, tmp_root, monkeypatch)
     row = {c: t.column(c)[0].as_py() for c in t.column_names}
     assert row["n_in"] >= row["n_exact_unique"] >= row["n_curated"] > 0
 
-    # reference semantics: union-find over the pairs, keep cluster minima
+    # exact in-test reference: replicate the three gates with the SAME
+    # module components, then keep each cluster's min SURVIVING member
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.dedup import _text_hash
+    from terrier_ray.text.analysis import LangId, QualityScorer
+
+    docs = pq.read_table(
+        os.path.join(sf, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    q_t, l_t = QualityScorer()(docs), LangId()(docs)
+    mask = pc.and_(
+        pc.or_(
+            pc.equal(docs.column("lang"), "en"),
+            pc.equal(l_t.column("lang_pred"), "en"),
+        ),
+        pc.and_(
+            pc.greater_equal(q_t.column("quality"), 0.2),
+            pc.greater_equal(q_t.column("n_words"), 10),
+        ),
+    )
+    surv = docs.filter(mask)
+    best: dict[str, int] = {}
+    for d, h in zip(
+        surv.column("doc_id").to_pylist(),
+        _text_hash(surv.column("text").to_pylist()),
+    ):
+        if h not in best or d < best[h]:
+            best[h] = d
+    exact_surv = set(best.values())
+    assert row["n_exact_unique"] == len(exact_surv)
+
+    # union-find over the corpus-wide pairs
     parent: dict[int, int] = {}
 
     def find(x):
@@ -300,26 +333,20 @@ def test_curate_documents_distributed_labels(ray_session, tmp_root, monkeypatch)
     clusters: dict[int, set] = {}
     for n in list(parent):
         clusters.setdefault(find(n), set()).add(n)
-    drop = {d for mem in clusters.values() for d in mem - {min(mem)}}
-
-    # the default (pairwise) run's exact-stage survivors give the universe
-    base = curate_documents(sf)
-    n_exact = base.column("n_exact_unique")[0].as_py()
-    assert row["n_exact_unique"] == n_exact
+    # per cluster, drop every surviving member except the smallest one
+    drop = set()
+    for mem in clusters.values():
+        alive = sorted(mem & exact_surv)
+        drop |= set(alive[1:])
+    expected = exact_surv - drop
 
     import glob
-
-    import pyarrow.parquet as pq
 
     kept = set()
     for f in glob.glob(os.path.join(out_dir, "*.parquet")):
         kept |= set(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
     assert len(kept) == row["n_curated"]
-    assert not (kept & drop), "cluster non-representatives must be dropped"
-    # every cluster with a surviving member keeps exactly its minimum
-    for mem in clusters.values():
-        alive = kept & mem
-        assert alive <= {min(mem)}
+    assert kept == expected
 
 
 def test_ivf_indexed_matches_inline(ray_session):
