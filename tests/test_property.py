@@ -127,3 +127,40 @@ def test_range_join_kernel_vs_bruteforce(vals, spans):
         if lo <= v < hi
     }
     assert pairs == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh0123", min_size=1, max_size=12),  # term
+            st.integers(min_value=0, max_value=(1 << 63) - 1),  # docid
+            st.integers(min_value=1, max_value=1 << 17),  # tf (may exceed u16)
+            st.integers(min_value=0, max_value=1 << 17),  # dl
+            st.integers(min_value=0, max_value=300),  # salt (may exceed u8)
+        ),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_exchange_wire_roundtrip_any_rows(rows):
+    """The hash exchange's compact wire format must round-trip ANY posting
+    rows exactly — arbitrary terms, full-range 63-bit docids, tf/dl/salt
+    straddling every adaptive-width boundary, and the empty part."""
+    from terrier_ray.index.build import _pack_exchange, _unpack_exchange
+
+    raw = pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "docid": pa.array([r[1] for r in rows], pa.int64()),
+            "tf": pa.array([r[2] for r in rows], pa.int32()),
+            "dl": pa.array([r[3] for r in rows], pa.int32()),
+            "salt": pa.array([r[4] for r in rows], pa.int32()),
+            "gkey": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    back = _unpack_exchange(_pack_exchange(raw))
+    assert back.num_rows == raw.num_rows
+    assert back.column("term").to_pylist() == raw.column("term").to_pylist()
+    for c in ("docid", "tf", "dl", "salt"):
+        assert back.column(c).to_pylist() == raw.column(c).to_pylist(), c
