@@ -868,17 +868,21 @@ def _score_range_topk(index_dir: str, lo: int, hi: int,
 class DistributedBM25:
     """Scatter-gather query execution, two shapes:
 
-    - ``search_many`` — posting fetch fans out as one Ray task per index
-      bucket (the shard-IO stage); scoring + top-k at the caller.
-    - ``search_many_sharded`` — the 1e12-doc shape: the docid space splits
-      into range shards (the doclen sidecar's natural boundaries), one Ray
-      task per shard scores every query against ITS docid range using its
-      locally-memmapped doclens and returns a partial top-k, and the caller
-      merges k-lists — the reference's parallel top-k merge
+    - ``search_many`` (DEFAULT) = ``search_many_sharded`` — the 1e12-doc
+      shape: the docid space splits into range shards (the doclen sidecar's
+      natural boundaries), one Ray task per shard scores every query against
+      ITS docid range using its locally-memmapped doclens and returns a
+      partial top-k, and the caller merges k-lists — the reference's
+      parallel top-k merge
       (/root/reference/src/execution/sql/sorter.cpp:424-430).  Decoded
       postings of hot terms never transit to one process; only k-row lists
       do.  Rank-AND-score-identical to ``BM25Index.search`` (disjoint
       shards, query-term-order accumulation; asserted in tests).
+    - ``search_many_scatter`` — opt-in bucket-fetch shape: posting fetch
+      fans out as one Ray task per index bucket (the shard-IO stage) but
+      scoring + top-k happen at the caller, so hot-term postings DO transit
+      to one process per query batch.  Useful when the caller already holds
+      the full doclen sidecar and query volume is tiny; not the scale path.
     """
 
     def __init__(self, index_dir: str):
@@ -926,7 +930,15 @@ class DistributedBM25:
             results.append(cand[:k])
         return results
 
-    def search_many(self, queries: list[str], k: int = 10):
+    def search_many(
+        self, queries: "list[str]", k: int = 10, num_shards: "int | None" = None
+    ):
+        """Default distributed query path = shard-side scoring (see class
+        docstring).  The bucket-fetch shape survives as the explicit
+        ``search_many_scatter`` opt-in."""
+        return self.search_many_sharded(queries, k=k, num_shards=num_shards)
+
+    def search_many_scatter(self, queries: list[str], k: int = 10):
         import ray
 
         idx = self.local

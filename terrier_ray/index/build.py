@@ -1146,6 +1146,8 @@ def _unpack_exchange(tab: pa.Table) -> pa.Table:
     parts with different adaptive widths concat) and KEEPS term
     dictionary-encoded — the bucket builder consumes the dictionary
     directly (``_as_dictionary``), no re-encode, no string inflation."""
+    tab = tab.combine_chunks()  # mirror _pack_exchange: a multi-chunk part
+    # must not lose rows to a bare chunk(0) (ADVICE r4)
     wide = {
         n: pa.array(
             tab.column(n).to_numpy(zero_copy_only=False).astype(np.int32)

@@ -40,8 +40,11 @@ def curate_documents(
     ``connected_components(..., collect=False)`` (labels stay a Dataset) →
     keep each cluster's min-doc_id representative via two co-partitioned
     joins (anti vs labels for non-dup docs, semi vs the grouped-min winners
-    for representatives) — no label, winner, or drop table ever
-    concatenates on the driver, at ANY duplication rate.  Keep semantics
+    for representatives) — no LABEL, WINNER, or DROP table ever
+    concatenates on the driver, at any duplication rate.  (The LSH pair
+    list itself is still a driver-resident table feeding ``rd.from_arrow``
+    — pairs are rare by construction under banding, but they remain the
+    one driver-memory bound of this path.)  Keep semantics
     differ deliberately from the default pairwise rule (drop every pair's
     larger id): each cluster keeps exactly ONE representative — the
     minimum doc_id among the cluster's members that SURVIVED the upstream

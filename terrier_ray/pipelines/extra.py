@@ -513,27 +513,33 @@ def customer_point_lookup(sf_dir: str):
     c_custkey into the sorted zone-map layout (cached per sf_dir), then
     point-look-up a fixed key set through sources.io.point_lookup — row
     groups located by footer statistics, never a table scan.  The oracle
-    is the plain WHERE ... IN over the base table."""
+    is the plain WHERE ... IN over the base table.  The clustered copy is
+    a fingerprinted derived layout (state/layouts.py): regenerating the
+    input invalidates and rebuilds it — a bare done-marker would silently
+    serve the stale table (VERDICT r4 wrong#2)."""
     import os
-    import shutil
 
     import pandas as pd
 
     from terrier_ray.ops.relational import read_table
     from terrier_ray.sources.io import point_lookup, write_sorted_parquet
+    from terrier_ray.state.layouts import ensure_derived_layout
 
     root = os.path.join(
         "/tmp/terrier_ray_ptidx",
         os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
-    marker = os.path.join(root, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(sf_dir, "customer.parquet")
+
+    def build(out: str) -> None:
         ds = read_table(
             sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
         )
-        write_sorted_parquet(ds, root, "c_custkey", row_group_rows=512)
-        open(marker, "w").close()
+        write_sorted_parquet(ds, out, "c_custkey", row_group_rows=512)
+
+    ensure_derived_layout(
+        root, [src], {"key": "c_custkey", "row_group_rows": 512}, build
+    )
     keys = [1, 2, 3, 7, 11]
     t = point_lookup(root, "c_custkey", keys)
     df = t.to_pandas().sort_values("c_custkey").reset_index(drop=True)

@@ -42,8 +42,12 @@ def bm25_topk(sf_dir: str, k: int = 10, num_queries: int = 20):
 
 
 def bm25_topk_distributed(sf_dir: str, k: int = 10, num_queries: int = 20):
-    """Scatter-gather BM25: per-bucket Ray tasks fetch postings, caller
-    scores + merges (rank-identical to bm25_topk)."""
+    """Distributed BM25, default shape = SHARD-SIDE scoring: docid-range
+    tasks score with their local doclens and return partial top-k; the
+    caller merges k-lists (sorter.cpp:424-430 analog).  Decoded postings
+    never transit to the caller; the legacy bucket-fetch scatter path is
+    the explicit ``DistributedBM25.search_many_scatter`` opt-in.
+    Rank-AND-score-identical to bm25_topk."""
     import pyarrow as pa
 
     from terrier_ray.index.bm25 import DistributedBM25

@@ -186,8 +186,12 @@ def q11_important_customers(sf_dir: str):
     # (a float threshold double-rounds and can flip 1-ulp boundary customers)
     per_cust = filter_batches(
         per_cust,
+        # checked multiplies: n_cust grows with SF, so an int64 wraparound
+        # must fail loudly instead of silently diverging from the oracle
         lambda b: pc.greater(
-            pc.multiply(pc.multiply(b.column("val_c"), n_cust), 2),
+            pc.multiply_checked(
+                pc.multiply_checked(b.column("val_c"), n_cust), 2
+            ),
             total_c * 3,
         ),
     )

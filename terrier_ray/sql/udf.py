@@ -24,15 +24,40 @@ from typing import Callable, Optional
 
 _REGISTRY: dict[str, Callable] = {}
 
+#: SQL function names lower.py resolves BEFORE consulting this registry
+#: (scalar builtins in Lowerer._lower_fn plus the aggregate/window names
+#: handled at statement level) — a UDF shadowing one would be silently
+#: unreachable from SQL, so ``register_function`` rejects the collision
+#: (the reference's pg_proc similarly namespaces builtins; ADVICE r4).
+_SQL_BUILTINS = frozenset(
+    n.lower()
+    for n in (
+        "UPPER LOWER LENGTH SUBSTR SUBSTRING CONCAT YEAR MONTH DAY HOUR "
+        "MINUTE SECOND MILLISECOND MICROSECOND DATE_TRUNC ROUND ABS SIN COS "
+        "TAN ASIN ACOS ATAN ATAN2 EXP LN LOG10 LOG2 SQRT FLOOR CEIL CEILING "
+        "TRUNC SIGN POWER TRIM LTRIM RTRIM REVERSE COT COALESCE NULLIF "
+        "COUNT SUM MIN MAX AVG STDDEV STDDEV_SAMP VAR_SAMP VARIANCE "
+        "PERCENTILE_CONT PERCENTILE_DISC ROW_NUMBER RANK DENSE_RANK NTILE "
+        "LAG LEAD FIRST_VALUE LAST_VALUE"
+    ).split()
+)
+
 
 def register_function(name: str, fn: Callable) -> None:
     """Register (or replace) a scalar UDF usable from SQL as ``name(...)``.
 
     ``fn`` receives one positional argument per SQL argument — each a
     ``pa.Array``/``pa.ChunkedArray`` (or Python scalar for literal args) —
-    and must return an array of the batch's length."""
+    and must return an array of the batch's length.  Names of built-in SQL
+    functions are rejected: the lowering checks builtins first, so such a
+    UDF could never be reached."""
     if not callable(fn):
         raise TypeError(f"UDF {name!r} must be callable")
+    if name.lower() in _SQL_BUILTINS:
+        raise ValueError(
+            f"UDF name {name!r} shadows a built-in SQL function and would "
+            "be unreachable (builtins resolve first); pick another name"
+        )
     _REGISTRY[name.lower()] = fn
 
 

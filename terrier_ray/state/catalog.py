@@ -27,14 +27,21 @@ class Catalog:
         self._path = os.path.join(root, "catalog.json")
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, dict[str, Any]] = {}
+        self._layouts: dict[str, dict[str, Any]] = {}
         if os.path.exists(self._path):
             with open(self._path) as f:
-                self._tables = json.load(f)
+                raw = json.load(f)
+            if "tables" in raw and "layouts" in raw:  # v2 manifest
+                self._tables = raw["tables"]
+                self._layouts = raw["layouts"]
+            else:  # legacy flat manifest (tables only)
+                self._tables = raw
 
     def _save(self) -> None:
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._tables, f, indent=1)
+            json.dump({"tables": self._tables, "layouts": self._layouts},
+                      f, indent=1)
         os.replace(tmp, self._path)
 
     def create_table(self, name: str, path: str) -> dict[str, Any]:
@@ -84,3 +91,35 @@ class Catalog:
             e["path"] = new_path
         self._save()
         return e["version"]
+
+    # -- derived physical layouts (state/layouts.py builds them; the
+    # -- catalog links each to its source table's snapshot version so DML
+    # -- invalidates it — the insert/update_translator index-maintenance
+    # -- analog for an immutable engine)
+
+    def register_layout(self, table: str, kind: str, path: str) -> dict:
+        """Record a derived layout (clustered copy, IVF cells, index dir)
+        of ``table``, pinned to the table's CURRENT snapshot version."""
+        e = self._tables[table]  # KeyError if unknown — layouts need a source
+        entry = {
+            "table": table,
+            "kind": kind,
+            "path": path,
+            "source_version": e["version"],
+            "created_at": time.time(),
+        }
+        self._layouts[f"{table}:{kind}"] = entry
+        self._save()
+        return entry
+
+    def layout_current(self, table: str, kind: str) -> bool:
+        """True iff a layout exists for (table, kind) AND the table's
+        snapshot version has not moved since it was built — a stale layout
+        must be rebuilt, never served."""
+        ent = self._layouts.get(f"{table}:{kind}")
+        if ent is None or table not in self._tables:
+            return False
+        return ent["source_version"] == self._tables[table]["version"]
+
+    def list_layouts(self) -> list[str]:
+        return sorted(self._layouts)

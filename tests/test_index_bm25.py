@@ -210,13 +210,37 @@ def test_resume_rebuilds_missing_bucket(built_index, webtext_small):
 
 
 def test_distributed_matches_local(ray_session, built_index, oracle):
+    """Default search_many is the SHARD-SIDE engine (verdict r4 #1): spy
+    that search_many_sharded is what it routes through, and that results
+    stay rank-AND-score-identical to the oracle."""
     from terrier_ray.index.bm25 import DistributedBM25
 
     out, _ = built_index
     engine = DistributedBM25(out)
+    calls = []
+    orig = engine.search_many_sharded
+
+    def spy(queries, k=10, num_shards=None):
+        calls.append(len(queries))
+        return orig(queries, k=k, num_shards=num_shards)
+
+    engine.search_many_sharded = spy
     queries = generate_queries(20)
     texts = queries.column("text").to_pylist()
     res = engine.search_many(texts, k=10)
+    assert calls == [len(texts)]  # default path IS shard-side scoring
+    for text, got in zip(texts, res):
+        assert got == oracle.search(text, k=10), text
+
+
+def test_distributed_scatter_matches_local(ray_session, built_index, oracle):
+    """The opt-in bucket-fetch scatter path stays rank-identical."""
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    out, _ = built_index
+    engine = DistributedBM25(out)
+    texts = generate_queries(20).column("text").to_pylist()
+    res = engine.search_many_scatter(texts, k=10)
     for text, got in zip(texts, res):
         assert got == oracle.search(text, k=10), text
 

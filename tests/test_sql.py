@@ -820,3 +820,15 @@ def test_sql_scalar_udf(ray_session, sf_smoke):
     # dropped → the name is unsupported again
     with _pytest.raises(ValueError, match="unsupported function"):
         sql("SELECT taxed(o_totalprice) AS t FROM orders LIMIT 1", sf_smoke)
+
+
+def test_udf_builtin_name_rejected():
+    """A UDF shadowing a built-in SQL function name is unreachable (lower.py
+    resolves builtins first) — register_function must reject it (ADVICE r4)."""
+    import pytest as _pytest
+
+    from terrier_ray.sql import register_function
+
+    for name in ("ABS", "round", "Coalesce", "sum"):
+        with _pytest.raises(ValueError, match="shadows a built-in"):
+            register_function(name, lambda x: x)
