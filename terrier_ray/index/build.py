@@ -748,6 +748,7 @@ def _make_bucket_builder(
     ef_threshold: int | None = None,
     num_buckets: int | None = None,
     heavy_terms=(),
+    num_salts: int = 1,
 ):
     """Per-bucket builder: raw postings of the bucket's terms → final file.
 
@@ -886,7 +887,11 @@ def _make_bucket_builder(
 
         Recomputes each row's layout bucket from (term, salt) with the same
         hashes the exploder used, sorts the group once by bucket, and runs
-        the vectorized per-bucket encoder on each contiguous slice."""
+        the vectorized per-bucket encoder on each contiguous slice.  When
+        the compact wire format dropped the ``salt`` column, it is
+        recomputed here too: salt is a pure function of
+        (term ∈ heavy_terms, docid, num_salts) — identical to _Exploder's
+        assignment, so outputs stay byte-identical to the sort exchange."""
         g = group.drop_columns(["gkey"]).combine_chunks() if "gkey" in group.column_names else group.combine_chunks()
         if "bucket" in g.column_names:  # direct per-bucket input (tests)
             row_bucket = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int32)
@@ -900,11 +905,18 @@ def _make_bucket_builder(
             if heavy_set:
                 # a heavy term's rows route via salted_bucket for EVERY
                 # salt, including salt 0 — membership decides the route
-                salt = g.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
                 heavy_u = np.fromiter(
                     (t in heavy_set for t in uniq), dtype=bool, count=len(uniq)
                 )
                 hm = heavy_u[codes]
+                if "salt" in g.column_names:
+                    salt = g.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+                else:  # wire format v2: recompute (exploder's exact rule)
+                    salt = np.zeros(g.num_rows, dtype=np.int32)
+                    if hm.any():
+                        did = g.column("docid").to_numpy(zero_copy_only=False)
+                        salt[hm] = salt_of_docid(did[hm], num_salts)
+                    g = g.append_column("salt", pa.array(salt))
                 if hm.any():
                     row_bucket[hm] = salted_bucket(
                         uh[codes[hm]], salt[hm], num_buckets
@@ -1006,6 +1018,7 @@ def build_postings(
         heavy_terms=(
             stats.get("heavy_terms", ()) if stats.get("num_salts", 1) > 1 else ()
         ),
+        num_salts=stats.get("num_salts", 1),
     )
 
     if exchange == "hash":
@@ -1092,83 +1105,155 @@ def _hash_exchange_postings(corpus_dir, explode, builder, num_groups):
     return pa.concat_tables(metrics).to_pandas()
 
 
+def _width_for(mx: int) -> int:
+    """Narrowest little-endian unsigned width (bytes) holding ``mx``."""
+    if mx < 1 << 8:
+        return 1
+    if mx < 1 << 16:
+        return 2
+    return 4
+
+
 def _pack_exchange(tab: pa.Table) -> pa.Table:
-    """Compact wire format for one map→reduce slice of the hash exchange.
+    """Compact wire format v2 for one map→reduce slice of the hash exchange.
 
     The exploded posting row is the exchange's whole byte bill (at 7.68M
-    docs ~9.7 GB transits the object store), so the slice that actually
-    ships is narrowed before return: ``term`` dictionary-encoded (int32
-    index + the part's unique strings once, vs the full string repeated
-    per posting), ``tf``/``dl``/``salt`` at the narrowest unsigned width
-    that holds the part's max (uint8/uint16, int32 fallback — a single
-    pathological doc widens only its own part), and the routing-only
-    ``gkey`` dropped (the slice IS its group).  ``docid`` stays int64:
-    docids are 63-bit url hashes, so neither rebasing nor delta coding
-    can narrow them (full-range, incompressible).  Measured
-    ~35 → ~16 B/posting on webtext (tools/exchange_bytes.py); the bucket
-    builder's output is byte-identical (asserted vs ``exchange='sort'``,
-    which ships unpacked rows)."""
+    docs ~9.7 GB raw transits the object store), so each slice ships as a
+    ONE-ROW all-binary table (``pa.Table.nbytes`` == what Ray's zero-copy
+    Arrow serialization puts in the object store):
+
+      - rows are SORTED BY DOCID (row order within a group is irrelevant —
+        the bucket builder lexsorts by (term, salt, docid)), which makes
+        ``docid`` delta+varbyte codable: a repeated docid is a 1-byte zero
+        gap, a new docid costs ~⌈bits(2^63 / distinct_docids)/7⌉ bytes —
+        ~4-5 B/posting on webtext vs 8 raw (round-4 shipped raw int64;
+        63-bit url-hash docids only yield to the gap structure, not to
+        rebasing);
+      - ``dl`` is stored ONCE PER UNIQUE DOCID (it is a per-doc attribute
+        repeated on every posting row) at adaptive u8/u16/u32 width;
+      - ``term`` ships as length-prefixed unique strings (tdl varbyte
+        lengths + tdb bytes) plus per-posting indices at adaptive
+        u16/u32 width;
+      - ``tf`` per posting at adaptive u8/u16/u32 width;
+      - ``salt`` is DROPPED entirely: it is a pure function of
+        (term ∈ heavy_terms, docid, num_salts) and the reduce side
+        recomputes it in ``build_group`` (which already recomputes the
+        layout bucket from the same inputs);
+      - the routing-only ``gkey`` is dropped (the slice IS its group).
+
+    Measured ~35 → ~9 B/posting on webtext (tools/exchange_bytes.py); the
+    bucket builder's output is byte-identical (asserted vs
+    ``exchange='sort'``, which ships unpacked exploder rows)."""
     tab = tab.combine_chunks()
+    n = tab.num_rows
+    docid = tab.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(docid, kind="stable")
+    docid = docid[order]
+    from terrier_ray.index.codec import delta_encode
+
+    gaps = delta_encode(docid.astype(np.uint64))
+    did_blob = varbyte_encode(gaps)
+    new_doc = np.empty(n, dtype=bool)
+    if n:
+        new_doc[0] = True
+        new_doc[1:] = gaps[1:] != 0
+
     term = tab.column("term")
     if isinstance(term, pa.ChunkedArray):
-        term = term.chunk(0)
+        term = term.combine_chunks()
+        if isinstance(term, pa.ChunkedArray):
+            term = term.chunk(0) if term.num_chunks else pa.array([], pa.string())
     if not pa.types.is_dictionary(term.type):
         term = term.dictionary_encode()
-    if len(term.dictionary) < (1 << 15) and term.type.index_type != pa.int16():
-        # a part's unique terms almost always fit int16 — half the index bill
-        term = pa.DictionaryArray.from_arrays(
-            term.indices.cast(pa.int16()), term.dictionary
-        )
+    codes = term.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    used = np.unique(codes) if n else np.empty(0, np.int64)
+    remap = np.zeros(max(1, len(term.dictionary)), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    codes = remap[codes]
+    uniq_terms = [
+        t.encode("utf-8")
+        for t in term.dictionary.take(pa.array(used)).to_pylist()
+    ]
+    tdl = varbyte_encode(np.asarray([len(t) for t in uniq_terms], np.uint64))
+    tdb = b"".join(uniq_terms)
+    tw = _width_for(max(1, len(used)) - 1) if n else 1
+    tw = 2 if tw == 1 else tw  # u16 floor: u8 dictionaries are rare + tiny
 
-    def narrow(name: str) -> pa.Array:
-        v = tab.column(name).to_numpy(zero_copy_only=False)
-        if len(v) and 0 <= int(v.min()):
-            mx = int(v.max())
-            if mx < 1 << 8:
-                return pa.array(v.astype(np.uint8))
-            if mx < 1 << 16:
-                return pa.array(v.astype(np.uint16))
-        return pa.array(v.astype(np.int32))
+    tf = tab.column("tf").to_numpy(zero_copy_only=False)[order]
+    tfw = _width_for(int(tf.max())) if n else 1
+    dl_u = tab.column("dl").to_numpy(zero_copy_only=False)[order][new_doc]
+    dlw = _width_for(int(dl_u.max())) if len(dl_u) else 1
+
+    def blob(v: np.ndarray, w: int) -> bytes:
+        return np.ascontiguousarray(v, dtype=f"<u{w}").tobytes()
 
     return pa.table(
         {
-            "term": term,
-            "docid": tab.column("docid"),
-            "tf": narrow("tf"),
-            "dl": narrow("dl"),
-            "salt": narrow("salt"),
+            "n": pa.array([n], pa.int64()),
+            "tdl": pa.array([tdl], pa.binary()),
+            "tdb": pa.array([tdb], pa.binary()),
+            "tw": pa.array([tw], pa.uint8()),
+            "tix": pa.array([blob(codes, tw)], pa.binary()),
+            "did": pa.array([did_blob], pa.binary()),
+            "tfw": pa.array([tfw], pa.uint8()),
+            "tfb": pa.array([blob(tf, tfw)], pa.binary()),
+            "dlw": pa.array([dlw], pa.uint8()),
+            "dlb": pa.array([blob(dl_u, dlw)], pa.binary()),
         }
     )
 
 
 def _unpack_exchange(tab: pa.Table) -> pa.Table:
-    """Wire slice → builder input.  Widens tf/dl/salt back to int32 (so
-    parts with different adaptive widths concat) and KEEPS term
-    dictionary-encoded — the bucket builder consumes the dictionary
-    directly (``_as_dictionary``), no re-encode, no string inflation."""
-    tab = tab.combine_chunks()  # mirror _pack_exchange: a multi-chunk part
-    # must not lose rows to a bare chunk(0) (ADVICE r4)
-    wide = {
-        n: pa.array(
-            tab.column(n).to_numpy(zero_copy_only=False).astype(np.int32)
+    """Wire slice v2 → builder input (term dictionary-encoded — the bucket
+    builder consumes dictionaries directly via ``_as_dictionary``; docid
+    delta-decoded; dl re-expanded from per-unique-doc to per-posting; NO
+    salt column — ``build_group`` recomputes it from (term, docid)).
+    tf/dl widen to int32 so parts with different adaptive widths concat."""
+    from terrier_ray.index.codec import varbyte_decode
+
+    tab = tab.combine_chunks()
+
+    def buf(name: str):
+        col = tab.column(name)
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        return arr[0].as_buffer()
+
+    def scalar(name: str) -> int:
+        col = tab.column(name)
+        return int(col[0].as_py())
+
+    n = scalar("n")
+    if n == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()).dictionary_encode(),
+                "docid": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32()),
+            }
         )
-        for n in ("tf", "dl", "salt")
-    }
-    term = tab.column("term")
-    if isinstance(term, pa.ChunkedArray):
-        term = term.chunk(0)
-    if pa.types.is_dictionary(term.type) and term.type.index_type != pa.int32():
-        # normalize adaptive index widths so parts concat into one column
-        term = pa.DictionaryArray.from_arrays(
-            term.indices.cast(pa.int32()), term.dictionary
-        )
+    gaps = varbyte_decode(buf("did"))
+    docid = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = gaps[1:] != 0
+    doc_ord = np.cumsum(new_doc) - 1
+
+    lens = varbyte_decode(buf("tdl")).astype(np.int64)
+    off32 = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    dict_arr = pa.StringArray.from_buffers(
+        len(lens), pa.py_buffer(off32.tobytes()), pa.py_buffer(bytes(buf("tdb")))
+    )
+    tix = np.frombuffer(buf("tix"), dtype=f"<u{scalar('tw')}").astype(np.int32)
+    term = pa.DictionaryArray.from_arrays(pa.array(tix), dict_arr)
+    tf = np.frombuffer(buf("tfb"), dtype=f"<u{scalar('tfw')}").astype(np.int32)
+    dl_u = np.frombuffer(buf("dlb"), dtype=f"<u{scalar('dlw')}").astype(np.int32)
     return pa.table(
         {
             "term": term,
-            "docid": tab.column("docid"),
-            "tf": wide["tf"],
-            "dl": wide["dl"],
-            "salt": wide["salt"],
+            "docid": pa.array(docid),
+            "tf": pa.array(tf),
+            "dl": pa.array(dl_u[doc_ord]),
         }
     )
 

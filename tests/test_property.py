@@ -136,17 +136,18 @@ def test_range_join_kernel_vs_bruteforce(vals, spans):
             st.text(alphabet="abcdefgh0123", min_size=1, max_size=12),  # term
             st.integers(min_value=0, max_value=(1 << 63) - 1),  # docid
             st.integers(min_value=1, max_value=1 << 17),  # tf (may exceed u16)
-            st.integers(min_value=0, max_value=1 << 17),  # dl
-            st.integers(min_value=0, max_value=300),  # salt (may exceed u8)
         ),
         min_size=0,
         max_size=200,
     )
 )
 def test_exchange_wire_roundtrip_any_rows(rows):
-    """The hash exchange's compact wire format must round-trip ANY posting
-    rows exactly — arbitrary terms, full-range 63-bit docids, tf/dl/salt
-    straddling every adaptive-width boundary, and the empty part."""
+    """The hash exchange's wire format v2 must round-trip ANY posting-row
+    MULTISET exactly — arbitrary terms, full-range 63-bit docids (incl.
+    docid 0 and repeats), tf straddling every adaptive-width boundary, and
+    the empty part.  dl is a per-DOC attribute (build invariant: one corpus
+    row per docid), so it derives from docid here; salt/gkey are dropped on
+    the wire and recomputed reduce-side."""
     from terrier_ray.index.build import _pack_exchange, _unpack_exchange
 
     raw = pa.table(
@@ -154,13 +155,22 @@ def test_exchange_wire_roundtrip_any_rows(rows):
             "term": pa.array([r[0] for r in rows], pa.string()),
             "docid": pa.array([r[1] for r in rows], pa.int64()),
             "tf": pa.array([r[2] for r in rows], pa.int32()),
-            "dl": pa.array([r[3] for r in rows], pa.int32()),
-            "salt": pa.array([r[4] for r in rows], pa.int32()),
+            "dl": pa.array([(r[1] % (1 << 17)) for r in rows], pa.int32()),
+            "salt": pa.array([0] * len(rows), pa.int32()),
             "gkey": pa.array([0] * len(rows), pa.int32()),
         }
     )
     back = _unpack_exchange(_pack_exchange(raw))
     assert back.num_rows == raw.num_rows
-    assert back.column("term").to_pylist() == raw.column("term").to_pylist()
-    for c in ("docid", "tf", "dl", "salt"):
-        assert back.column(c).to_pylist() == raw.column(c).to_pylist(), c
+
+    def key(t):
+        return sorted(
+            zip(
+                t.column("term").to_pylist(),
+                t.column("docid").to_pylist(),
+                t.column("tf").to_pylist(),
+                t.column("dl").to_pylist(),
+            )
+        )
+
+    assert key(back) == key(raw)

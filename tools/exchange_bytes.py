@@ -8,8 +8,15 @@ sample of a tokenized corpus and reports what the map tasks would have
 returned in
 
   * the round-3 format (term string, int64 docid, int32 tf/dl/salt/gkey)
-  * the round-4 compact wire format (`_pack_exchange`: dictionary terms,
-    adaptive uint8/16 tf/dl/salt, no gkey)
+  * the current wire format (`_pack_exchange` v2: docid-sorted rows,
+    delta+varbyte docids, per-unique-doc dl, length-prefixed term dict +
+    adaptive-width index/tf blobs, salt recomputed reduce-side)
+
+NOTE: production parts are per (explode task, group) — a task covers
+~_EXPLODE_CHUNK_BYTES of corpus, i.e. MANY row groups, and docid delta
+gaps shrink with distinct-docid count, so the per-row-group replay here
+slightly OVERSTATES the packed bytes; pass a larger max_row_groups and
+compare trendlines, or treat the number as an upper bound.
 
 Bytes are `pa.Table.nbytes` — exactly what Ray's zero-copy Arrow
 serialization puts in the object store.  Pure driver-side replay (no
