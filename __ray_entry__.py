@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["boolean_matches"] = boolean_matches
     q["bm25_snippets"] = bm25_snippets
     q["phrase_matches"] = phrase_matches
+    from terrier_ray.pipelines.fulltext import phrase_matches_positional
+
+    q["phrase_matches_positional"] = phrase_matches_positional
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

@@ -655,6 +655,95 @@ class BM25Index:
         return agg(merged).sort_by(order).slice(0, limit)
 
     # ------------------------------------------------------------------
+    # positional access (phrase-path only; posbucket sidecar files)
+    # ------------------------------------------------------------------
+
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.stats.get("positions"))
+
+    def positions_for(self, term: str, docids) -> "dict[int, np.ndarray]":
+        """Token positions of ``term`` in each of ``docids`` (0-based over
+        the doc's token stream) from the positional sidecar — decodes ONE
+        128-posting block per requested doc via the per-block byte offsets,
+        never the whole list, and never touches corpus text.
+
+        Positions rows stay one per (term, salt) even after the fold pass;
+        a salt's docid range is re-derived from ``salt_of_docid``'s
+        arithmetic, so the block/posting indexing below is always relative
+        to that salt's own sub-list of the merged postings."""
+        if not self.has_positions:
+            raise ValueError("index built without positions=True")
+        from terrier_ray.index.build import (
+            salt_of_docid,
+            salted_bucket,
+            term_hash,
+        )
+        from terrier_ray.index.codec import varbyte_decode
+
+        p = self.lookup([term]).get(term)
+        if p is None:
+            return {}
+        _df, dids, tfs, _bl, _bm = p
+        block = int(self.stats.get("block_size", 128))
+
+        # posbucket rows per salt (heavy per ORIGINAL heavy_terms list —
+        # the fold pass rewrites postings rows, never positions rows)
+        heavy_all = frozenset(self.stats.get("heavy_terms", ()))
+        h = int(term_hash(np.asarray([term], dtype=object))[0])
+        if term in heavy_all and self.num_salts > 1:
+            salts = np.arange(self.num_salts, dtype=np.int64)
+            buckets = set(
+                int(b)
+                for b in salted_bucket(
+                    np.full(self.num_salts, h, np.int64), salts, self.num_buckets
+                )
+            )
+        else:
+            buckets = {int(h % self.num_buckets)}
+        rows: dict[int, tuple[bytes, np.ndarray]] = {}
+        for b in sorted(buckets):
+            path = os.path.join(self.postings_dir, f"posbucket-{b:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, filters=[("term", "=", term)])
+            for s, blob, bo in zip(
+                t.column("salt").to_pylist(),
+                t.column("positions").to_pylist(),
+                t.column("block_off").to_pylist(),
+            ):
+                rows[int(s)] = (blob, np.frombuffer(bo, dtype="<u4"))
+        if not rows:
+            return {}
+
+        # per-salt sub-list boundaries within the merged postings
+        q = ((1 << 63) + self.num_salts - 1) // self.num_salts
+        out: dict[int, np.ndarray] = {}
+        for d in docids:
+            d = int(d)
+            i = int(np.searchsorted(dids, np.uint64(d)))
+            if i >= len(dids) or dids[i] != np.uint64(d):
+                continue
+            s = int(d // q) if (term in heavy_all and self.num_salts > 1) else 0
+            ent = rows.get(s)
+            if ent is None:
+                continue
+            blob, boff = ent
+            part_start = (
+                int(np.searchsorted(dids, np.uint64(s * q))) if s else 0
+            )
+            i_part = i - part_start
+            bix = i_part // block
+            lo = int(boff[bix])
+            hi = int(boff[bix + 1]) if bix + 1 < len(boff) else len(blob)
+            vals = varbyte_decode(blob[lo:hi])
+            counts = tfs[part_start + bix * block : part_start + i_part + 1]
+            start = int(counts[:-1].sum())
+            cnt = int(counts[-1])
+            out[d] = np.cumsum(vals[start : start + cnt]).astype(np.int64)
+        return out
+
+    # ------------------------------------------------------------------
     # boolean retrieval (unranked set algebra over sorted docid lists)
     # ------------------------------------------------------------------
 

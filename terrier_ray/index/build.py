@@ -165,6 +165,7 @@ def _dedup_group(group: pa.Table) -> pa.Table:
 
 _EXTRACTOR = HtmlExtractor()
 _TOKENIZER = Tokenizer()
+_TOKENIZER_POS = Tokenizer(positions=True)
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
@@ -175,12 +176,17 @@ def _tokenize_batch(batch: pa.Table) -> pa.Table:
     return _TOKENIZER(batch)
 
 
+def _tokenize_batch_pos(batch: pa.Table) -> pa.Table:
+    return _TOKENIZER_POS(batch)
+
+
 def build_corpus(
     webtext_path: str,
     corpus_dir: str,
     *,
     batch_size: int = 512,
     dedup_partitions: int = 32,
+    positions: bool = False,
 ):
     """Extract + tokenize + url-dedup in ONE raw scan, shuffling only dups.
 
@@ -267,7 +273,8 @@ def build_corpus(
         _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     ds = ds.map_batches(
-        _tokenize_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        _tokenize_batch_pos if positions else _tokenize_batch,
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
     )
 
     def write_unique_emit_dups(batch: pa.Table) -> pa.Table:
@@ -347,6 +354,7 @@ def compute_stats(
     num_salts: int,
     sample_files: int = 2,
     heavy_min_df: int | None = None,
+    positions: bool = False,
 ):
     files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
     n_docs = sum(pq.read_metadata(f).num_rows for f in files)
@@ -433,6 +441,7 @@ def compute_stats(
         "heavy_terms": heavy,
         "heavy_min_df": heavy_min_df,
         "sample_frac": frac,
+        "positions": positions,
         "bucket_mass": [round(float(m), 2) for m in mass],
     }
     os.makedirs(os.path.dirname(stats_path), exist_ok=True)
@@ -657,6 +666,34 @@ class _Exploder:
         flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
         docid = np.repeat(batch.column("docid").to_numpy(zero_copy_only=False), counts)
         dl = np.repeat(batch.column("dl").to_numpy(zero_copy_only=False), counts).astype(np.int32)
+        pos_arr = None
+        if "poss" in batch.column_names:
+            # positional build: split each doc's concatenated position blob
+            # into per-(doc, term) slices aligned with the flat terms.
+            # Varbyte is self-delimiting, so value boundaries come from one
+            # vectorized high-bit scan; group k holds flat_tfs[k] values
+            # (the Tokenizer contract), so its byte range is a slice.
+            poss = batch.column("poss")
+            if isinstance(poss, pa.ChunkedArray):
+                poss = poss.chunk(0)
+            voff = np.frombuffer(poss.buffers()[1], dtype=np.int32)[
+                poss.offset : poss.offset + len(poss) + 1
+            ]
+            data = np.frombuffer(poss.buffers()[2], dtype=np.uint8)
+            lo, hi = int(voff[0]), int(voff[-1])
+            db = data[lo:hi]
+            if len(flat_tfs):
+                val_end = np.flatnonzero((db & 0x80) == 0) + 1  # rel. to lo
+                cum = np.cumsum(flat_tfs.astype(np.int64))
+                g_end = val_end[cum - 1] if len(val_end) else np.zeros(0, np.int64)
+                offs32 = np.concatenate(([0], g_end)).astype(np.int32)
+            else:
+                offs32 = np.zeros(1, dtype=np.int32)
+            pos_arr = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                len(flat_tfs),
+                [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(db.tobytes())],
+            )
 
         # dictionary-encode (C++) so the Python hash loop touches only the
         # per-batch UNIQUE terms, not every posting
@@ -678,16 +715,17 @@ class _Exploder:
         # ship only the GROUP key; the group builder recomputes each row's
         # bucket from (term, salt) — same hash both sides — so the balanced
         # exchange costs no extra payload over the one-bucket-per-group shape
-        return pa.table(
-            {
-                "term": flat,
-                "docid": pa.array(docid),
-                "tf": pa.array(flat_tfs),
-                "dl": pa.array(dl),
-                "salt": pa.array(salt),
-                "gkey": pa.array(self.group_of[bucket.astype(np.int32)]),
-            }
-        )
+        cols = {
+            "term": flat,
+            "docid": pa.array(docid),
+            "tf": pa.array(flat_tfs),
+            "dl": pa.array(dl),
+            "salt": pa.array(salt),
+            "gkey": pa.array(self.group_of[bucket.astype(np.int32)]),
+        }
+        if pos_arr is not None:
+            cols["pos"] = pos_arr
+        return pa.table(cols)
 
 
 def _as_dictionary(term_col) -> pa.DictionaryArray:
@@ -825,6 +863,21 @@ def _make_bucket_builder(
         bl_bytes = blast.astype("<u8").tobytes()
         bm_bytes = bmax.astype("<f4").tobytes()
 
+        # positional sidecar: per (term, salt) row, the group's position
+        # blobs concatenated in docid order + per-block BYTE offsets (so a
+        # point position fetch decodes one 128-posting block, not the list)
+        pos_voff = pos_data = bo = None
+        if "pos" in g.column_names:
+            posc = g.column("pos")
+            if isinstance(posc, pa.ChunkedArray):
+                posc = posc.chunk(0)
+            taken = posc.take(pa.array(o))
+            pos_voff = np.frombuffer(taken.buffers()[1], dtype=np.int32)[
+                taken.offset : taken.offset + len(o) + 1
+            ].astype(np.int64)
+            pos_data = np.frombuffer(taken.buffers()[2], dtype=np.uint8)
+            bo = (pos_voff[bs] - pos_voff[s0[rep]]).astype("<u4").tobytes()
+
         rows_post: list = [b""] * T
         rows_bl: list = [b""] * T
         rows_bm: list = [b""] * T
@@ -868,6 +921,31 @@ def _make_bucket_builder(
         # megabytes and throttled the warm query pool under concurrency
         pq.write_table(out, tmp, row_group_size=64)
         os.replace(tmp, final)
+        positions_bytes = 0
+        if pos_voff is not None:
+            # positions live in a PARALLEL file so BM25 scoring lookups
+            # never pay their bytes; rows mirror the posting rows 1:1
+            rows_pos = [
+                pos_data[pos_voff[s0[k]] : pos_voff[ends[k]]].tobytes()
+                for k in range(T)
+            ]
+            rows_bo = [
+                bo[4 * int(bstart_of[k]) : 4 * int(bstart_of[k] + nblocks[k])]
+                for k in range(T)
+            ]
+            positions_bytes = int(pos_voff[-1] - pos_voff[0]) if len(o) else 0
+            pos_tab = pa.table(
+                {
+                    "term": pa.array(list(row_terms), type=pa.string()),
+                    "salt": pa.array(row_salts, type=pa.int32()),
+                    "positions": pa.array(rows_pos, type=pa.binary()),
+                    "block_off": pa.array(rows_bo, type=pa.binary()),
+                }
+            )
+            pfinal = os.path.join(postings_dir, f"posbucket-{bucket:05d}.parquet")
+            ptmp = pfinal + f".tmp-{os.getpid()}"
+            pq.write_table(pos_tab, ptmp, row_group_size=64)
+            os.replace(ptmp, pfinal)
         n_distinct = int(len(np.unique(tid_s[s0]))) if T else 0
         return pa.table(
             {
@@ -878,6 +956,7 @@ def _make_bucket_builder(
                 "max_group_postings": pa.array(
                     [int(lens.max()) if T else 0], type=pa.int64()
                 ),
+                "positions_bytes": pa.array([positions_bytes], type=pa.int64()),
                 "file": pa.array([final], type=pa.string()),
             }
         )
@@ -929,6 +1008,7 @@ def _make_bucket_builder(
                     "n_rows": pa.array([], pa.int64()),
                     "n_postings": pa.array([], pa.int64()),
                     "max_group_postings": pa.array([], pa.int64()),
+                    "positions_bytes": pa.array([], pa.int64()),
                     "file": pa.array([], pa.string()),
                 }
             )
@@ -1026,9 +1106,12 @@ def build_postings(
         stats["salted_terms"] = fold_salted_postings(postings_dir, stats)
         return metrics_df
 
+    cols = ["docid", "dl", "terms", "tfs"]
+    if stats.get("positions"):
+        cols.append("poss")
     ds = rd.read_parquet(
         corpus_dir,
-        columns=["docid", "dl", "terms", "tfs"],
+        columns=cols,
         # shuffle input: ~1 block/cpu, NOT floored at the corpus file count
         # (task-written corpora have hundreds of files; block count × reduce
         # partitions drives the all-to-all's fetch overhead)
@@ -1187,20 +1270,39 @@ def _pack_exchange(tab: pa.Table) -> pa.Table:
     def blob(v: np.ndarray, w: int) -> bytes:
         return np.ascontiguousarray(v, dtype=f"<u{w}").tobytes()
 
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "tdl": pa.array([tdl], pa.binary()),
-            "tdb": pa.array([tdb], pa.binary()),
-            "tw": pa.array([tw], pa.uint8()),
-            "tix": pa.array([blob(codes, tw)], pa.binary()),
-            "did": pa.array([did_blob], pa.binary()),
-            "tfw": pa.array([tfw], pa.uint8()),
-            "tfb": pa.array([blob(tf, tfw)], pa.binary()),
-            "dlw": pa.array([dlw], pa.uint8()),
-            "dlb": pa.array([blob(dl_u, dlw)], pa.binary()),
-        }
-    )
+    cols = {
+        "n": pa.array([n], pa.int64()),
+        "tdl": pa.array([tdl], pa.binary()),
+        "tdb": pa.array([tdb], pa.binary()),
+        "tw": pa.array([tw], pa.uint8()),
+        "tix": pa.array([blob(codes, tw)], pa.binary()),
+        "did": pa.array([did_blob], pa.binary()),
+        "tfw": pa.array([tfw], pa.uint8()),
+        "tfb": pa.array([blob(tf, tfw)], pa.binary()),
+        "dlw": pa.array([dlw], pa.uint8()),
+        "dlb": pa.array([blob(dl_u, dlw)], pa.binary()),
+    }
+    if "pos" in tab.column_names:
+        # positional build: per-posting position blobs ride along as one
+        # concatenated byte stream + a varbyte length stream (already
+        # delta+varbyte inside, so no further narrowing applies)
+        posl = posb = b""
+        if n:
+            posc = tab.column("pos")
+            if isinstance(posc, pa.ChunkedArray):
+                posc = posc.combine_chunks()
+                if isinstance(posc, pa.ChunkedArray):
+                    posc = posc.chunk(0)
+            taken = posc.take(pa.array(order))
+            voff = np.frombuffer(taken.buffers()[1], dtype=np.int32)[
+                taken.offset : taken.offset + n + 1
+            ]
+            data = np.frombuffer(taken.buffers()[2], dtype=np.uint8)
+            posl = varbyte_encode(np.diff(voff).astype(np.uint64))
+            posb = data[int(voff[0]) : int(voff[-1])].tobytes()
+        cols["posl"] = pa.array([posl], pa.binary())
+        cols["posb"] = pa.array([posb], pa.binary())
+    return pa.table(cols)
 
 
 def _unpack_exchange(tab: pa.Table) -> pa.Table:
@@ -1248,14 +1350,21 @@ def _unpack_exchange(tab: pa.Table) -> pa.Table:
     term = pa.DictionaryArray.from_arrays(pa.array(tix), dict_arr)
     tf = np.frombuffer(buf("tfb"), dtype=f"<u{scalar('tfw')}").astype(np.int32)
     dl_u = np.frombuffer(buf("dlb"), dtype=f"<u{scalar('dlw')}").astype(np.int32)
-    return pa.table(
-        {
-            "term": term,
-            "docid": pa.array(docid),
-            "tf": pa.array(tf),
-            "dl": pa.array(dl_u[doc_ord]),
-        }
-    )
+    out = {
+        "term": term,
+        "docid": pa.array(docid),
+        "tf": pa.array(tf),
+        "dl": pa.array(dl_u[doc_ord]),
+    }
+    if "posb" in tab.column_names:
+        plens = varbyte_decode(buf("posl")).astype(np.int64)
+        offs32 = np.concatenate(([0], np.cumsum(plens))).astype(np.int32)
+        out["pos"] = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(bytes(buf("posb")))],
+        )
+    return pa.table(out)
 
 
 def _explode_part(units, exploder, num_groups):
@@ -1277,8 +1386,11 @@ def _explode_part(units, exploder, num_groups):
         by_file.setdefault(f, []).append(rg)
     for f, rgs in sorted(by_file.items()):
         pf = pq.ParquetFile(f)
+        cols = ["docid", "dl", "terms", "tfs"]
+        if "poss" in pf.schema_arrow.names:  # positional corpus
+            cols.append("poss")
         for rg in sorted(rgs):
-            tab = pf.read_row_group(rg, columns=["docid", "dl", "terms", "tfs"])
+            tab = pf.read_row_group(rg, columns=cols)
             for s in range(0, tab.num_rows, 1024):
                 out = exploder(tab.slice(s, 1024))
                 gk = out.column("gkey").to_numpy(zero_copy_only=False)
@@ -1417,7 +1529,14 @@ def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
     still-salted terms goes to stats['salted_terms'] for the query side's
     multi-bucket probe fallback.  Idempotence: the pass runs inside the
     postings epoch, whose manifest only commits after it completes — a
-    killed run rebuilds the epoch from the corpus."""
+    killed run rebuilds the epoch from the corpus.
+
+    Positional sidecars (``posbucket-*.parquet``) are deliberately NOT
+    folded: they stay one row per (term, salt) in the salted buckets, and
+    ``BM25Index.positions_for`` re-derives each salt's docid range from
+    ``salt_of_docid``'s arithmetic — position fetches are a per-candidate
+    phrase-path operation, so the multi-probe cost the fold removes from
+    every BM25 lookup never applies to them."""
     heavy = list(stats.get("heavy_terms", ()))
     num_salts = int(stats.get("num_salts", 1))
     if not heavy or num_salts <= 1:
@@ -1488,6 +1607,7 @@ def _empty_metrics_df():
             "n_rows": pd.Series([], dtype="int64"),
             "n_postings": pd.Series([], dtype="int64"),
             "max_group_postings": pd.Series([], dtype="int64"),
+            "positions_bytes": pd.Series([], dtype="int64"),
             "file": pd.Series([], dtype="object"),
         }
     )
@@ -1509,11 +1629,20 @@ def build_index(
     ef_threshold: int | None = None,
     force: bool = False,
     exchange: str = "hash",
+    positions: bool = False,
 ) -> dict:
     """Build (or resume building) a BM25 index at ``out_dir``.
 
     Returns the stats dict (n_docs, avgdl, …) plus per-epoch wall times.
-    """
+
+    ``positions=True`` builds a POSITIONAL index: the corpus keeps each
+    doc's per-term token positions (delta+varbyte blobs), the exchange
+    carries them alongside the postings, and each bucket gains a parallel
+    ``posbucket-*.parquet`` sidecar (one row per (term, salt): the
+    positions blob in docid order + per-block byte offsets) that BM25
+    scoring never reads — only the phrase path does
+    (``BM25Index.positions_for``).  Size overhead is logged in
+    stats['positions_bytes']."""
     corpus_dir = os.path.join(out_dir, "corpus")
     postings_dir = os.path.join(out_dir, "postings")
     stats_path = os.path.join(out_dir, "stats.json")
@@ -1527,8 +1656,12 @@ def build_index(
         # multi-part rows; stats['salted_terms'] lists the unfolded rest)
         "format_version": 4,
     }
+    fp_extra = {"corpus_format": 2}
+    if positions:  # added only when on, so existing caches stay valid
+        params["positions"] = True
+        fp_extra["positions"] = True
     # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
-    fp_in = _input_fingerprint(webtext_path, {"corpus_format": 2})
+    fp_in = _input_fingerprint(webtext_path, fp_extra)
     timings: dict[str, float] = {}
 
     # epoch 1: corpus
@@ -1537,7 +1670,8 @@ def build_index(
         import shutil
 
         shutil.rmtree(corpus_dir, ignore_errors=True)
-        build_corpus(webtext_path, corpus_dir, batch_size=batch_size)
+        build_corpus(webtext_path, corpus_dir, batch_size=batch_size,
+                     positions=positions)
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
         n_rows = sum(pq.read_metadata(f).num_rows for f in outputs)
@@ -1554,6 +1688,7 @@ def build_index(
             num_buckets=num_buckets,
             num_salts=num_salts,
             heavy_min_df=heavy_min_df,
+            positions=positions,
         )
         wall = time.perf_counter() - t0
         finish_epoch(
@@ -1596,6 +1731,8 @@ def build_index(
             corpus_dir, postings_dir, stats, ef_threshold=ef_threshold,
             exchange=exchange,
         )
+        if positions:  # log the positional sidecar's size overhead
+            stats["positions_bytes"] = int(bucket_metrics["positions_bytes"].sum())
         # persist the fold outcome: the query side single-probes every term
         # EXCEPT those listed here (too big to fold at scale)
         with open(stats_path + ".tmp", "w") as f:
@@ -1603,6 +1740,7 @@ def build_index(
         os.replace(stats_path + ".tmp", stats_path)
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(postings_dir, "bucket-*.parquet")))
+        outputs += sorted(glob.glob(os.path.join(postings_dir, "posbucket-*.parquet")))
         bucket_metrics.to_parquet(os.path.join(out_dir, "bucket_metrics.parquet"))
         finish_epoch(
             out_dir,

@@ -237,40 +237,14 @@ def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
     )
 
 
-def phrase_matches(sf_dir: str, num_phrases: int = 6):
-    """Exact phrase retrieval — the "slow phrase" plan: AND the phrase's
-    terms over the inverted index (rarest-first vectorized postings
-    intersection, ``search_boolean``), fetch ONLY the surviving candidates'
-    texts in one pruned distributed pass, and verify token adjacency
-    vectorized per candidate.  Phrases are mined deterministically from the
-    corpus (each generated query's BM25 rank-1 doc contributes one interior
-    trigram of its token stream), so every phrase has ≥1 guaranteed match
-    and the result is stable per scale factor.
-
-    Scale posture (1e12 docs): candidates = AND of all phrase terms, so a
-    selective phrase prunes to a handful of docs before any text is read; a
-    stopword-only phrase degenerates to a huge AND set — the classic fix is
-    a positional index (per-posting position deltas, intersect positions
-    instead of re-tokenizing), a layout this index deliberately omits
-    (positions ~3-5x the postings bytes); the verification fetch is the
-    same hit-set-pruned distributed pass ``bm25_snippets`` uses, never a
-    corpus materialization.  Rows: (phrase_id, phrase, docid,
-    n_occurrences) sorted by (phrase_id, docid); rows-only — verified
-    exactly vs a naive full-scan oracle in tests/test_index_bm25.py.
-    Reference analog: conjunctive IndexScan + table verify
-    (src/include/planner/plannodes/plan_node_defs.h:143-152)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from terrier_ray.index.bm25 import BM25Index
+def _mine_phrases(idx, web: str, num_phrases: int) -> "list[str]":
+    """Deterministic phrase set: each generated query's BM25 rank-1 doc
+    contributes one interior trigram of its token stream, so every phrase
+    has ≥1 guaranteed match and the set is stable per scale factor.
+    (Mining fetches the seed docs' texts — phrase MATCHING must not.)"""
     from terrier_ray.text.tokenize import tokenize
 
-    idx_dir = ensure_index(sf_dir)
-    idx = BM25Index(idx_dir)
-    web = webtext_for_sf(sf_dir)
     queries = generate_queries(num_phrases)
-
-    # mine one interior trigram per query's rank-1 doc (deterministic)
     seed_docs = []
     for text in queries.column("text").to_pylist():
         hits = idx.search(text, 1)
@@ -285,8 +259,30 @@ def phrase_matches(sf_dir: str, num_phrases: int = 6):
             p = " ".join(toks[s : s + 3])
             if p not in phrases:
                 phrases.append(p)
+    return phrases
 
-    # AND candidates per phrase (search_boolean normalizes + dedups terms)
+
+def _phrase_table(rows: "list[tuple[int, str, int, int]]"):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "phrase_id": pa.array([r[0] for r in rows], type=pa.int32()),
+            "phrase": pa.array([r[1] for r in rows], type=pa.string()),
+            "docid": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_occurrences": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _match_phrases_scan(idx, web: str, phrases: "list[str]"):
+    """AND candidates over the index, then verify adjacency by fetching the
+    candidates' texts in one pruned distributed pass (the positional-free
+    'slow phrase' plan; see phrase_matches)."""
+    import numpy as np
+
+    from terrier_ray.text.tokenize import tokenize
+
     cand = {p: idx.search_boolean(must=[p]) for p in phrases}
     need = sorted({int(d) for ds_ in cand.values() for d in ds_})
     text_of = _fetch_indexed_texts(web, need)
@@ -294,7 +290,7 @@ def phrase_matches(sf_dir: str, num_phrases: int = 6):
         d: np.asarray(tokenize(t), dtype=object) for d, t in text_of.items()
     }
 
-    pids, ptxt, dids, occs = [], [], [], []
+    rows: list[tuple[int, str, int, int]] = []
     for pid, phrase in enumerate(phrases):
         seq = tokenize(phrase)
         for d in cand[phrase]:
@@ -307,18 +303,90 @@ def phrase_matches(sf_dir: str, num_phrases: int = 6):
                     break
                 pos = pos[t[pos + j] == seq[j]]
             if len(pos):
-                pids.append(pid)
-                ptxt.append(phrase)
-                dids.append(int(d))
-                occs.append(int(len(pos)))
-    return pa.table(
-        {
-            "phrase_id": pa.array(pids, type=pa.int32()),
-            "phrase": pa.array(ptxt, type=pa.string()),
-            "docid": pa.array(dids, type=pa.int64()),
-            "n_occurrences": pa.array(occs, type=pa.int64()),
-        }
+                rows.append((pid, phrase, int(d), int(len(pos))))
+    return _phrase_table(rows)
+
+
+def _match_phrases_positional(idx, phrases: "list[str]"):
+    """Position-intersect phrase matching over a POSITIONAL index: AND the
+    terms' postings for candidates, then intersect per-term position lists
+    shifted by phrase offset (``positions_for`` decodes one 128-posting
+    block per (term, candidate)) — ZERO corpus text reads, so a
+    stopword-heavy phrase costs position-block decodes, never a text
+    refetch of a huge AND set (the r4 verdict's degenerate case)."""
+    import numpy as np
+
+    from terrier_ray.text.tokenize import tokenize
+
+    rows: list[tuple[int, str, int, int]] = []
+    for pid, phrase in enumerate(phrases):
+        seq = tokenize(phrase)
+        cand = idx.search_boolean(must=[phrase])
+        if not len(cand) or not seq:
+            continue
+        cand_list = [int(d) for d in cand]
+        posmaps = [idx.positions_for(t, cand_list) for t in seq]
+        for d in cand_list:
+            acc = posmaps[0].get(d)
+            if acc is None:
+                continue
+            for j in range(1, len(seq)):
+                pj = posmaps[j].get(d)
+                if pj is None:
+                    acc = acc[:0]
+                    break
+                acc = np.intersect1d(acc, pj - j, assume_unique=True)
+                if not len(acc):
+                    break
+            if len(acc):
+                rows.append((pid, phrase, d, int(len(acc))))
+    return _phrase_table(rows)
+
+
+def phrase_matches(sf_dir: str, num_phrases: int = 6):
+    """Exact phrase retrieval — the "slow phrase" plan: AND the phrase's
+    terms over the inverted index (rarest-first vectorized postings
+    intersection, ``search_boolean``), fetch ONLY the surviving candidates'
+    texts in one pruned distributed pass, and verify token adjacency
+    vectorized per candidate (``_match_phrases_scan``).
+
+    Scale posture (1e12 docs): candidates = AND of all phrase terms, so a
+    selective phrase prunes to a handful of docs before any text is read; a
+    stopword-only phrase degenerates to a huge AND set — the classic fix is
+    the POSITIONAL index, which this engine also offers
+    (``phrase_matches_positional``: build_index(positions=True) +
+    per-posting position deltas intersected instead of re-tokenizing);
+    this entry keeps the positional-free plan for indexes built without
+    the sidecar.  Rows: (phrase_id, phrase, docid, n_occurrences);
+    rows-only — verified exactly vs a naive full-scan oracle in
+    tests/test_index_bm25.py.  Reference analog: conjunctive IndexScan +
+    table verify (src/include/planner/plannodes/plan_node_defs.h:143-152)."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    web = webtext_for_sf(sf_dir)
+    phrases = _mine_phrases(idx, web, num_phrases)
+    return _match_phrases_scan(idx, web, phrases)
+
+
+def phrase_matches_positional(sf_dir: str, num_phrases: int = 6):
+    """Exact phrase retrieval over a POSITIONAL index (the classic fast
+    plan): same deterministically-mined phrase set as ``phrase_matches``,
+    but matching intersects per-posting position lists — zero corpus text
+    reads in the matching phase (spy-asserted in tests), identical rows to
+    the scan plan.  The positional index is a separate cached build
+    (``build_index(positions=True)``) whose size overhead is logged in its
+    stats['positions_bytes']."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    web = webtext_for_sf(sf_dir)
+    idx_dir = os.path.join(
+        INDEX_ROOT, os.path.basename(web.rstrip("/")) + "-pos"
     )
+    build_index(web, idx_dir, positions=True)
+    idx = BM25Index(idx_dir)
+    phrases = _mine_phrases(idx, web, num_phrases)
+    return _match_phrases_positional(idx, phrases)
 
 
 def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 20):

@@ -35,10 +35,19 @@ class Tokenizer:
     Emits one row per input doc: docid (hash of url), warc_ts, dl (token
     count), terms (sorted unique tokens), tfs (per-term counts).  Docs with
     zero tokens are kept (dl=0, empty lists) so dedup/statistics see them.
+
+    ``positions=True`` (the positional-index corpus) adds one ``poss``
+    binary column per doc: for each term, in terms-list order, the term's
+    token positions as delta+varbyte (first absolute, 0-based over the
+    doc's token stream).  No per-term length prefix is stored — tf_i IS
+    the count, and varbyte is self-delimiting, so consumers split the blob
+    by counting value boundaries (bytes with the high bit clear).  ~1 B
+    per token before parquet compression.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, positions: bool = False) -> None:
         self._re = TOKEN_RE  # compiled once per actor
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
@@ -52,6 +61,7 @@ class Tokenizer:
             toks = findall(t.lower()) if t else []
             dls[i] = len(toks)
             tokens.extend(toks)
+        poss_col = None
         if tokens:
             dic = pa.array(tokens, type=pa.string()).dictionary_encode()
             codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -71,6 +81,33 @@ class Tokenizer:
             tfs_col = pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(tfs.astype(np.int32))
             )
+            if self.positions:
+                from terrier_ray.index.codec import _nbytes_for, varbyte_encode
+
+                # token stream is in (doc, position) order; a STABLE sort by
+                # (doc, term) key keeps positions ascending within each
+                # (doc, term) group, and sorted-key groups line up with
+                # uniq_keys — so gaps delta-encode per group in one pass
+                doc_starts = np.concatenate(([0], np.cumsum(dls)[:-1]))
+                pos_in_doc = np.arange(len(tokens), dtype=np.int64) - np.repeat(
+                    doc_starts, dls
+                )
+                order = np.argsort(keys, kind="stable")
+                pos_s = pos_in_doc[order]
+                g0 = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                gaps = pos_s.copy()
+                gaps[1:] -= pos_s[:-1]
+                gaps[g0] = pos_s[g0]  # first position absolute per group
+                enc = memoryview(varbyte_encode(gaps.astype(np.uint64)))
+                nb = _nbytes_for(gaps.astype(np.uint64))
+                boff = np.concatenate(([0], np.cumsum(nb)))
+                # the key sort is doc-major, so each doc's dls[i] values are
+                # contiguous in the sorted stream: per-doc blob = one slice
+                S = np.concatenate(([0], np.cumsum(dls)))
+                poss_col = pa.array(
+                    [bytes(enc[boff[S[i]] : boff[S[i + 1]]]) for i in range(len(texts))],
+                    type=pa.binary(),
+                )
         else:
             offsets = np.zeros(len(texts) + 1, dtype=np.int32)
             terms_col = pa.ListArray.from_arrays(
@@ -80,12 +117,15 @@ class Tokenizer:
                 pa.array(offsets), pa.array([], type=pa.int32())
             )
         doc_ids = url_doc_id(urls)
-        return pa.table(
-            {
-                "docid": pa.array(doc_ids.astype(np.int64)),
-                "warc_ts": batch.column("warc_ts"),
-                "dl": pa.array(dls.astype(np.int32)),
-                "terms": terms_col,
-                "tfs": tfs_col,
-            }
-        )
+        cols = {
+            "docid": pa.array(doc_ids.astype(np.int64)),
+            "warc_ts": batch.column("warc_ts"),
+            "dl": pa.array(dls.astype(np.int32)),
+            "terms": terms_col,
+            "tfs": tfs_col,
+        }
+        if self.positions:
+            if poss_col is None:
+                poss_col = pa.array([b""] * len(texts), type=pa.binary())
+            cols["poss"] = poss_col
+        return pa.table(cols)

@@ -666,6 +666,76 @@ def test_phrase_matches_vs_naive_scan(ray_session):
         assert want, f"mined phrase {p!r} must match its seed doc"
 
 
+def test_positional_index_and_phrases(ray_session, webtext_small, tmp_root, oracle, monkeypatch):
+    """build_index(positions=True): positions_for must return the exact
+    token positions (incl. salted heavy terms), BM25 scoring must stay
+    rank-identical, the size overhead must be logged, and the positional
+    phrase matcher must agree with the naive scan AND the scan-plan matcher
+    with ZERO corpus text reads in the matching phase (spy-asserted)."""
+    import numpy as np
+
+    import terrier_ray.pipelines.fulltext as ft
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.text.tokenize import tokenize
+
+    out = os.path.join(str(tmp_root), "idx_positional")
+    st = build_index(webtext_small, out, num_buckets=6, num_salts=3,
+                     heavy_min_df=20, positions=True)
+    assert st.get("positions_bytes", 0) > 0  # overhead logged
+    idx = BM25Index(out)
+    assert idx.has_positions
+
+    # exact positions for a rare term and a salted heavy term
+    heavy = st["heavy_terms"][0]
+    for term in ["weather", heavy]:
+        hits = idx.search_boolean(must=[term])
+        if not len(hits):
+            continue
+        sample = [int(h) for h in hits[:5]] + [int(hits[-1])]
+        got = idx.positions_for(term, sample)
+        for d in sample:
+            want = [i for i, t in enumerate(oracle.doc_tokens[d]) if t == term]
+            assert got[d].tolist() == want, (term, d)
+
+    # scoring unchanged by the sidecar
+    for q in generate_queries(10).column("text").to_pylist():
+        assert idx.search(q, 10) == oracle.search(q, 10), q
+
+    # phrase matching: positional == scan plan == naive oracle scan,
+    # with the corpus text fetch FORBIDDEN during positional matching
+    web = webtext_small
+    phrases = ft._mine_phrases(idx, web, 5)
+    assert phrases
+    scan_rows = ft._match_phrases_scan(idx, web, phrases)
+
+    def no_fetch(*a, **k):
+        raise AssertionError("positional phrase matching fetched corpus text")
+
+    monkeypatch.setattr(ft, "_fetch_indexed_texts", no_fetch)
+    pos_rows = ft._match_phrases_positional(idx, phrases)
+    assert pos_rows.num_rows == scan_rows.num_rows > 0
+    assert pos_rows.to_pydict() == scan_rows.to_pydict()
+    # and vs the naive full scan over every doc's token stream
+    for pid, p in enumerate(phrases):
+        seq = tokenize(p)
+        want = {
+            d: c
+            for d, toks in oracle.doc_tokens.items()
+            if (c := sum(1 for i in range(len(toks) - len(seq) + 1)
+                         if toks[i : i + len(seq)] == seq))
+        }
+        got = {
+            d: n
+            for q_pid, d, n in zip(
+                pos_rows.column("phrase_id").to_pylist(),
+                pos_rows.column("docid").to_pylist(),
+                pos_rows.column("n_occurrences").to_pylist(),
+            )
+            if q_pid == pid
+        }
+        assert got == want, p
+
+
 def _wire_rows(tab):
     """(term, docid, tf, dl) row multiset — the wire contract: order is
     free (the builder lexsorts) and salt/gkey are recomputed reduce-side."""
