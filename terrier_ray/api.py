@@ -487,8 +487,14 @@ def explain(spec: Mapping[str, Any], indent: str = "") -> str:
         kind = op["op"]
         if kind == "join":
             side = "broadcast" if op.get("broadcast") else "shuffle-cogroup"
+            est = op.get("est_right")
+            extra = (
+                f" build~{est['rows']}rows/{est['bytes']}B" if est else ""
+            )
+            if op.get("swapped_build"):
+                extra += " (build side swapped: small probe→build)"
             lines.append(
-                f"{indent}Join[{op.get('how', 'inner')},{side}] on={op['on']}"
+                f"{indent}Join[{op.get('how', 'inner')},{side}] on={op['on']}{extra}"
             )
             lines.append(explain(op["right"], indent + "    "))
         elif kind == "group_agg":

@@ -31,6 +31,74 @@ def add_segment(segments_root: str, webtext_path: str, **build_kwargs) -> str:
     return seg_dir
 
 
+def delta_part_files(
+    snapshot_root: str, from_version: int, to_version: "int | None" = None
+) -> "list[str]":
+    """Part files APPENDED between two snapshot versions.
+
+    ``state.snapshots.append_rows`` hardlinks the previous version's parts
+    and adds new ones, so the delta is exactly the basenames present in
+    v<to> but not v<from> (from_version=0 → everything: the initial load).
+    Only valid across INSERT-only history — an UPDATE/DELETE rewrite
+    replaces every part, and the caller should compact instead."""
+    from terrier_ray.state import snapshots
+
+    if to_version is None:
+        to_version = snapshots.current_version(snapshot_root)
+    new = {
+        os.path.basename(f): f
+        for f in glob.glob(
+            os.path.join(snapshots.snapshot_dir(snapshot_root, to_version), "*.parquet")
+        )
+    }
+    if from_version > 0:
+        old = {
+            os.path.basename(f)
+            for f in glob.glob(
+                os.path.join(
+                    snapshots.snapshot_dir(snapshot_root, from_version), "*.parquet"
+                )
+            )
+        }
+        new = {b: f for b, f in new.items() if b not in old}
+    return [new[b] for b in sorted(new)]
+
+
+def ingest_snapshot_delta(
+    segments_root: str,
+    snapshot_root: str,
+    from_version: int,
+    to_version: "int | None" = None,
+    **build_kwargs,
+) -> "str | None":
+    """DML → incremental index ingest: build ONE delta segment over the
+    webtext rows a snapshot-store INSERT appended between two versions
+    (VERDICT r4 #6 — the reference maintains indexes inside INSERT via
+    insert_translator.cpp; the batch analog is a delta segment consumable
+    by SegmentedBM25, no monolithic rebuild).  The delta corpus dir holds
+    symlinks to the appended part files (no copy); build_index fingerprints
+    the linked files, so re-running after the same INSERT reuses the
+    segment.  Returns the segment dir, or None when nothing was appended."""
+    from terrier_ray.state import snapshots
+
+    if to_version is None:
+        to_version = snapshots.current_version(snapshot_root)
+    files = delta_part_files(snapshot_root, from_version, to_version)
+    if not files:
+        return None
+    seg_dir = os.path.join(
+        segments_root, f"seg-v{from_version:04d}-v{to_version:04d}"
+    )
+    corpus = os.path.join(seg_dir, "_delta_corpus")
+    os.makedirs(corpus, exist_ok=True)
+    for f in files:
+        link = os.path.join(corpus, os.path.basename(f))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f), link)
+    build_index(corpus, seg_dir, **build_kwargs)
+    return seg_dir
+
+
 def list_segments(segments_root: str) -> "list[str]":
     return sorted(
         d

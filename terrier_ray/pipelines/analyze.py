@@ -40,6 +40,54 @@ def analyze_lineitem(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def analyze_table(sf_dir: str, table: str, columns: "list[str] | None" = None):
+    """ANALYZE <table>: per-column n / ndv / min / max, one row per column —
+    and REGISTER the result with the SQL planner
+    (sql.rewrite.register_table_stats), so subsequent plans use exact ndv
+    for equality/IN selectivity instead of defaults (the pg_statistic →
+    cost-model loop, src/optimizer/statistics/stats_storage.cpp analog)."""
+    import pyarrow.parquet as pq
+
+    from terrier_ray.sql.rewrite import register_table_stats
+
+    if columns is None:
+        schema = pq.read_schema(f"{sf_dir.rstrip('/')}/{table}.parquet")
+        columns = [
+            n for n, t in zip(schema.names, schema.types)
+            if not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                    or pa.types.is_binary(t) or pa.types.is_large_binary(t))
+        ]
+    ds = read_table(sf_dir, table, columns=columns)
+    agg = global_aggregate(
+        ds,
+        [("count", columns[0], "n")]
+        + [(op, c, f"{op}_{c}") for c in columns for op in ("min", "max")],
+    )
+    stats: dict[str, dict] = {}
+    rows = []
+    for c in columns:
+        ndv = distinct(read_table(sf_dir, table, columns=[c]), [c]).count()
+        mn = agg.column(f"min_{c}")[0].as_py()
+        mx = agg.column(f"max_{c}")[0].as_py()
+        stats[c] = {
+            "n": agg.column("n")[0].as_py(),
+            "ndv": ndv,
+            "min": mn,
+            "max": mx,
+        }
+        rows.append(
+            {
+                "column_name": c,
+                "n": stats[c]["n"],
+                "n_distinct": ndv,
+                "min_val": str(mn),
+                "max_val": str(mx),
+            }
+        )
+    register_table_stats(sf_dir, table, stats)
+    return pa.Table.from_pylist(rows)
+
+
 SQL = {
     "analyze_lineitem": """
         SELECT 'l_quantity' AS column_name, COUNT(*) AS n,

@@ -180,8 +180,77 @@ def sql_udf_taxed_orders(sf_dir: str):
         drop_function("taxed")
 
 
+def sql_insert_index_ingest(sf_dir: str):
+    """SQL DML unified with incremental index ingest (VERDICT r4 #6): an
+    ``INSERT INTO <webtext store> SELECT …`` through the SQL front-end
+    emits a DELTA SEGMENT (index/segments.ingest_snapshot_delta) that
+    SegmentedBM25 consumes next to the base segment — the flagship index
+    tracks DML with no monolithic rebuild (insert_translator.cpp maintains
+    indexes inside INSERT; this is the immutable-batch analog).
+
+    Flow: webtext corpus → snapshot store v1 → base segment; INSERT the
+    '/p7'-suffixed pages back with '-v2' urls (disjoint docids — the
+    SegmentedBM25 contract) → v2 → delta segment over ONLY the appended
+    part files; query the segmented index.  Rows: (query_id, rank, docid,
+    score); rows-only (BM25 is not SQL-expressible) — the
+    bit-identical-vs-monolithic-rebuild identity is asserted in
+    tests/test_state.py."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
+    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.segments import ingest_snapshot_delta
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    web = webtext_for_sf(sf_dir)
+    work = os.path.join(
+        "/tmp/terrier_ray_dml_ingest", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=8, num_salts=2, heavy_min_df=200)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
+    sql_dml(
+        "INSERT INTO webstore SELECT CONCAT(url, '-v2') AS url, warc_ts, "
+        "html, text, lang FROM web WHERE url LIKE '%/p7'",
+        sqlsf,
+        {"webstore": store},
+    )
+    delta_seg = ingest_snapshot_delta(segroot, store, 1, **kw)
+    assert delta_seg is not None, "INSERT appended no part files"
+    seg = SegmentedBM25([base_seg, delta_seg])
+
+    queries = generate_queries(8)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, s) in enumerate(seg.search(text, 10), start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_insert_index_ingest": sql_insert_index_ingest,
     "sql_insert_values_roundtrip": sql_insert_values_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,
     "sql_param_segment_counts": sql_param_segment_counts,

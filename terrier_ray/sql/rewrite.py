@@ -90,6 +90,172 @@ def _and_expr(a: Optional[Mapping[str, Any]], b: Mapping[str, Any]):
     return b if a is None else {"fn": "and_kleene", "args": [a, b]}
 
 
+# ---------------------------------------------------------------------------
+# 0. table statistics (ANALYZE output + parquet footers) and selectivity
+# ---------------------------------------------------------------------------
+
+#: ANALYZE-registered stats: (sf_dir, table) → {col: {n, ndv, min, max}}.
+#: pipelines.analyze.analyze_table fills this; footer stats are the
+#: always-available fallback (the reference's pg_statistic analog —
+#: src/optimizer/statistics/stats_storage.cpp feeds its cost model the
+#: same way).
+_ANALYZE_STATS: "dict[tuple[str, str], dict[str, dict]]" = {}
+
+
+def register_table_stats(sf_dir: str, table: str, stats: "dict[str, dict]") -> None:
+    """Register ANALYZE output for the planner: {col: {n, ndv, min, max}}."""
+    _ANALYZE_STATS[(sf_dir.rstrip("/"), table)] = stats
+
+
+def _footer_ranges(sf_dir: str, table: str) -> "tuple[int, dict[str, tuple]]":
+    """(row_count, {col: (min, max)}) from parquet footer statistics only —
+    no data reads.  Columns with missing/truncated stats are omitted."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    rows = 0
+    rng: dict[str, list] = {}
+    bad: set[str] = set()
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema.split(".")[0]
+                st = c.statistics
+                if st is None or st.min is None or st.max is None:
+                    bad.add(name)
+                    continue
+                cur = rng.get(name)
+                if cur is None:
+                    rng[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+    return rows, {k: (v[0], v[1]) for k, v in rng.items() if k not in bad}
+
+
+def _to_num(v):
+    """Literal / stats value → comparable float (datetimes via epoch)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, (datetime.datetime,)):
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).timestamp()
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            try:  # ISO date/timestamp literals (pushed date filters)
+                return datetime.datetime.fromisoformat(v).timestamp()
+            except ValueError:
+                return None
+    return None
+
+
+#: defaults when stats can't answer (the TrivialCostModel posture:
+#: deterministic, bounded, never zero)
+_SEL_EQ_DEFAULT = 0.1
+_SEL_RANGE_DEFAULT = 0.3
+_SEL_FLOOR = 1e-4
+
+
+def _estimate_selectivity(
+    e: Mapping[str, Any], sf_dir: str, table: str,
+    ranges: "dict[str, tuple]",
+) -> float:
+    """Selectivity of a pushed scan-filter EXPR tree in (0, 1].
+
+    Range predicates interpolate the column's footer [min, max] span;
+    equality / IN use ANALYZE ndv when registered, else a fixed default.
+    Unknown node shapes contribute 1.0 (never shrinks what it can't see)."""
+    an = _ANALYZE_STATS.get((sf_dir.rstrip("/"), table), {})
+
+    def ndv_of(col: str):
+        s = an.get(col)
+        return s.get("ndv") if s else None
+
+    def span_of(col: str):
+        s = an.get(col)
+        if s and s.get("min") is not None and s.get("max") is not None:
+            return _to_num(s["min"]), _to_num(s["max"])
+        r = ranges.get(col)
+        return (_to_num(r[0]), _to_num(r[1])) if r else (None, None)
+
+    def walk(n: Mapping[str, Any]) -> float:
+        fn = n.get("fn")
+        args = n.get("args", [])
+        if fn in ("and_kleene", "and_"):
+            return max(_SEL_FLOOR, walk(args[0]) * walk(args[1]))
+        if fn in ("or_kleene", "or_"):
+            return min(1.0, walk(args[0]) + walk(args[1]))
+        if fn in ("invert", "not"):
+            return max(_SEL_FLOOR, 1.0 - walk(args[0]))
+        col = lit = None
+        flip = False
+        if len(args) == 2:
+            if "col" in args[0] and "lit" in args[1]:
+                col, lit = args[0]["col"], args[1]["lit"]
+            elif "lit" in args[0] and "col" in args[1]:
+                col, lit, flip = args[1]["col"], args[0]["lit"], True
+        if fn == "equal" and col is not None:
+            ndv = ndv_of(col)
+            return max(_SEL_FLOOR, 1.0 / ndv) if ndv else _SEL_EQ_DEFAULT
+        if fn == "not_equal" and col is not None:
+            ndv = ndv_of(col)
+            return 1.0 - (1.0 / ndv if ndv else _SEL_EQ_DEFAULT)
+        if fn in ("less", "less_equal", "greater", "greater_equal") and col is not None:
+            lo, hi = span_of(col)
+            v = _to_num(lit)
+            if lo is None or hi is None or v is None or hi <= lo:
+                return _SEL_RANGE_DEFAULT
+            frac = (v - lo) / (hi - lo)
+            if (fn in ("greater", "greater_equal")) != flip:
+                frac = 1.0 - frac
+            return min(1.0, max(_SEL_FLOOR, frac))
+        if fn == "is_in" and len(args) == 1 and "col" in args[0]:
+            vals = n.get("options", {}).get("__value_set") or ()
+            ndv = ndv_of(args[0]["col"])
+            per = (1.0 / ndv) if ndv else _SEL_EQ_DEFAULT
+            return min(1.0, max(_SEL_FLOOR, per * max(1, len(vals))))
+        if fn == "is_null":
+            return 0.05
+        if fn == "is_valid":
+            return 0.95
+        return 1.0
+
+    return walk(e)
+
+
+def _estimate_scan(sf_dir: str, scan: Mapping[str, Any]) -> "tuple[int, int]":
+    """(est_rows, est_bytes) of a base-table scan node, filters applied.
+
+    rows/bytes come from parquet footers (pruned to ``columns``); a pushed
+    ``filter`` scales both by its estimated selectivity."""
+    table = scan["table"]
+    rows, ranges = _footer_ranges(sf_dir, table)
+    size = _table_bytes(sf_dir, table, scan.get("columns"))
+    sel = 1.0
+    if scan.get("filter"):
+        sel = _estimate_selectivity(scan["filter"], sf_dir, table, ranges)
+    return max(1, int(rows * sel)), max(1, int(size * sel))
+
+
 def optimize(
     spec: Mapping[str, Any],
     sf_dir: str,
@@ -124,6 +290,7 @@ def optimize(
             _optimize_scalars(op["expr"], sf_dir, broadcast_max_bytes)
     _push_filters(spec, sf_dir)
     _prune_columns(spec, sf_dir)
+    _choose_build_side(spec, sf_dir, broadcast_max_bytes)
     _choose_joins(spec, sf_dir, broadcast_max_bytes)
     if views:
         spec["views"] = views
@@ -307,6 +474,16 @@ def _apply_prune(spec: dict[str, Any], sf_dir: str, refs: set[str]) -> None:
 def _choose_joins(
     spec: dict[str, Any], sf_dir: str, broadcast_max_bytes: int
 ) -> None:
+    """Stats-driven broadcast-vs-cogroup choice per join.
+
+    Build-side size is ESTIMATED, not assumed: footer row counts + pruned
+    compressed bytes, scaled by the pushed scan filter's selectivity
+    (footer min/max interpolation; ANALYZE ndv when registered) — so a big
+    table behind a selective pushed predicate still broadcasts.  The
+    estimate is annotated on the op (``est_right``) and rendered by
+    ``explain()``.  Reference analog: implementation rules + cost model
+    fed from stats storage (src/include/optimizer/rule.h:16-79,
+    src/optimizer/cost_model/trivial_cost_model.cpp)."""
     for op in spec.get("ops", []):
         if op["op"] != "join":
             continue
@@ -321,6 +498,76 @@ def _choose_joins(
         rscan = right["scan"]
         if "table" not in rscan:
             continue  # view right sides keep the shuffle join
-        size = _table_bytes(sf_dir, rscan["table"], rscan.get("columns"))
+        rows, size = _estimate_scan(sf_dir, rscan)
+        op["est_right"] = {"rows": rows, "bytes": size}
         if size <= broadcast_max_bytes:
             op["broadcast"] = True
+
+
+def _choose_build_side(
+    spec: dict[str, Any], sf_dir: str, broadcast_max_bytes: int
+) -> None:
+    """Build-side selection: when the plan's ROOT table is broadcast-small
+    and the first join's right side is not, SWAP them so the small side
+    builds and the big side probes (streams) — the classic hash-join build
+    rule the reference's optimizer applies via statistics
+    (src/optimizer/cost_model/trivial_cost_model.cpp; a shuffle of the big
+    side costs O(big) network, the swap costs one small broadcast).
+
+    Conservative preconditions (results provably unchanged):
+      - root scan is a bare base table; any ops before the first join are
+        renames only (they move onto the new broadcast side, which the
+        broadcast executor applies to the built table);
+      - the first op (after those renames) is an INNER equi join whose
+        right side is a base-table scan (any right-side ops become root
+        ops of the swapped plan);
+      - a later ``project`` fixes the output column ORDER (joins emit
+        left-side columns first, so a swap without a project would reorder
+        SELECT-* output).
+    Key coalescing: the swapped join carries keys under the old RIGHT
+    names; a compute rebind per differing pair restores the old left
+    names for downstream expressions."""
+    ops = spec.get("ops", [])
+    scan = spec.get("scan") or {}
+    if "table" not in scan:
+        return
+    ji = 0
+    while ji < len(ops) and ops[ji]["op"] == "rename":
+        ji += 1
+    if ji >= len(ops) or ops[ji]["op"] != "join":
+        return
+    op = ops[ji]
+    right = op.get("right", {})
+    rscan = right.get("scan", {})
+    if (
+        op.get("how", "inner") != "inner"
+        or op.get("broadcast")
+        or "table" not in rscan
+        or not any(o["op"] == "project" for o in ops[ji + 1 :])
+    ):
+        return
+    l_rows, l_size = _estimate_scan(sf_dir, scan)
+    r_rows, r_size = _estimate_scan(sf_dir, rscan)
+    if not (l_size <= broadcast_max_bytes < r_size):
+        return
+    left_side: dict[str, Any] = {"scan": scan}
+    if ji:  # root renames ride with the (now broadcast) build side
+        left_side["ops"] = ops[:ji]
+    on, right_on = list(op["on"]), list(op.get("right_on") or op["on"])
+    new_join = {
+        "op": "join",
+        "right": left_side,
+        "on": right_on,
+        "right_on": on,
+        "how": "inner",
+        "broadcast": True,
+        "swapped_build": True,
+        "est_right": {"rows": l_rows, "bytes": l_size},
+    }
+    rebinds = [
+        {"op": "compute", "alias": l, "expr": {"col": r}}
+        for l, r in zip(on, right_on)
+        if l != r
+    ]
+    spec["scan"] = rscan
+    spec["ops"] = list(right.get("ops", [])) + [new_join] + rebinds + ops[ji + 1 :]

@@ -185,3 +185,61 @@ def test_point_lookup_cache_rebuilds_on_regenerated_input(ray_session, sf_smoke,
     second = customer_point_lookup(sf2)
     assert (second["c_acctbal"].to_numpy()
             == first["c_acctbal"].to_numpy() + 1000.0).all()
+
+
+def test_sql_insert_delta_segment_identity(ray_session, tmp_root):
+    """DML → index ingest (r4 verdict #6): INSERT INTO a webtext snapshot
+    store through SQL emits a delta segment; SegmentedBM25 over
+    [base, delta] must be rank-AND-score-identical to a monolithic rebuild
+    over the union snapshot, and the delta segment must cover ONLY the
+    appended part files."""
+    import os
+
+    import ray.data as rd
+
+    from terrier_ray.datagen import generate_webtext_parquet
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import BM25Index, SegmentedBM25
+    from terrier_ray.index.build import build_index
+    from terrier_ray.index.segments import delta_part_files, ingest_snapshot_delta
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    work = os.path.join(str(tmp_root), "dml_ingest")
+    web = generate_webtext_parquet(os.path.join(work, "web"), num_docs=800, seed=3)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=4, num_salts=2, heavy_min_df=200)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
+    v2 = sql_dml(
+        "INSERT INTO webstore SELECT CONCAT(url, '-v2') AS url, warc_ts, "
+        "html, text, lang FROM web WHERE url LIKE '%/p7'",
+        sqlsf,
+        {"webstore": store},
+    )
+    assert v2 == 2
+    delta = delta_part_files(store, 1, 2)
+    assert delta  # something was appended
+    # delta excludes every v1 part (hardlinked basenames)
+    v1_names = {os.path.basename(f) for f in delta_part_files(store, 0, 1)}
+    assert not ({os.path.basename(f) for f in delta} & v1_names)
+    delta_seg = ingest_snapshot_delta(segroot, store, 1, **kw)
+
+    seg = SegmentedBM25([base_seg, delta_seg])
+    # monolithic rebuild over the union snapshot (v2 = everything)
+    mono_corpus = os.path.join(work, "mono_corpus")
+    os.symlink(snapshots.snapshot_dir(store, 2), mono_corpus)
+    mono_dir = os.path.join(work, "mono_idx")
+    build_index(mono_corpus, mono_dir, **kw)
+    mono = BM25Index(mono_dir)
+    assert seg.n_docs == mono.n_docs
+    for q in generate_queries(15).column("text").to_pylist():
+        assert seg.search(q, 10) == mono.search(q, 10), q
+    # idempotence: re-running the same ingest reuses the segment (manifests)
+    again = ingest_snapshot_delta(segroot, store, 1, **kw)
+    assert again == delta_seg
