@@ -1618,12 +1618,49 @@ def _empty_metrics_df():
 # ---------------------------------------------------------------------------
 
 
+def auto_tune(n_docs: int, avg_uniq_terms: float) -> "tuple[int, int]":
+    """(num_buckets, num_salts) from corpus size — no hand-tuned knobs at
+    1e12 docs (VERDICT r4 #8; both were env/default knobs before).
+
+    num_buckets balances two bounds on est_postings = n_docs × avg unique
+    terms/doc: a sqrt growth law (per-bucket postings grow with the corpus,
+    so file count stays manageable — 2.6e8 half-megarow buckets at 1e12
+    docs would be a filesystem problem, not a memory one) and a hard
+    per-bucket cap of 64M postings (one bucket file stays a few hundred
+    MB; also _FOLD_MAX_POSTINGS's cell bound).  Rounded to a power of two,
+    floored at today's 16 — so every current test/bench corpus reproduces
+    its existing choice exactly.  num_salts grows logarithmically (a heavy
+    term's sub-postings stream per-block at query time, so salting only
+    needs to bound the EXCHANGE's largest reduce unit): log2(n)/4, floored
+    at today's default 4, capped 64.  Monotone in n_docs by construction
+    (unit-tested)."""
+    import math
+
+    est = max(1.0, float(n_docs) * max(1.0, avg_uniq_terms))
+    b = max(est / float(64 << 20), math.sqrt(est / 30_000.0))
+    num_buckets = max(16, 1 << round(math.log2(max(1.0, b))))
+    num_salts = min(64, max(4, round(math.log2(max(2.0, float(n_docs))) / 4)))
+    return num_buckets, num_salts
+
+
+def _sampled_avg_uniq_terms(corpus_dir: str) -> float:
+    """Mean unique-terms-per-doc from the first corpus file (bounded read)."""
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    if not files:
+        return 0.0
+    t = pq.read_table(files[0], columns=["terms"])
+    if t.num_rows == 0:
+        return 0.0
+    col = t.column("terms").combine_chunks()
+    return float(pc.mean(pc.list_value_length(col)).as_py() or 0.0)
+
+
 def build_index(
     webtext_path: str,
     out_dir: str,
     *,
-    num_buckets: int = 16,
-    num_salts: int = 4,
+    num_buckets: "int | None" = None,
+    num_salts: "int | None" = None,
     heavy_min_df: int | None = None,
     batch_size: int = 512,
     ef_threshold: int | None = None,
@@ -1646,19 +1683,8 @@ def build_index(
     corpus_dir = os.path.join(out_dir, "corpus")
     postings_dir = os.path.join(out_dir, "postings")
     stats_path = os.path.join(out_dir, "stats.json")
-    params = {
-        "num_buckets": num_buckets,
-        "num_salts": num_salts,
-        "heavy_min_df": heavy_min_df,
-        "ef_threshold": ef_threshold,
-        # bump to invalidate cached indexes on on-disk format changes
-        # (v4: salted sub-postings folded into the primary bucket as fmt-2
-        # multi-part rows; stats['salted_terms'] lists the unfolded rest)
-        "format_version": 4,
-    }
     fp_extra = {"corpus_format": 2}
     if positions:  # added only when on, so existing caches stay valid
-        params["positions"] = True
         fp_extra["positions"] = True
     # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
     fp_in = _input_fingerprint(webtext_path, fp_extra)
@@ -1677,6 +1703,32 @@ def build_index(
         n_rows = sum(pq.read_metadata(f).num_rows for f in outputs)
         finish_epoch(out_dir, "corpus", fp_in, outputs, {"rows": n_rows}, wall)
         timings["corpus_s"] = wall
+
+    # resolve auto layout knobs from the corpus itself (footer row count +
+    # a one-file unique-terms sample); the RESOLVED ints go into the epoch
+    # fingerprints, so a resumed build re-derives identical params
+    if num_buckets is None or num_salts is None:
+        n_docs_est = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(corpus_dir, "*.parquet"))
+        )
+        auto_b, auto_s = auto_tune(n_docs_est, _sampled_avg_uniq_terms(corpus_dir))
+        if num_buckets is None:
+            num_buckets = auto_b
+        if num_salts is None:
+            num_salts = auto_s
+    params = {
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "heavy_min_df": heavy_min_df,
+        "ef_threshold": ef_threshold,
+        # bump to invalidate cached indexes on on-disk format changes
+        # (v4: salted sub-postings folded into the primary bucket as fmt-2
+        # multi-part rows; stats['salted_terms'] lists the unfolded rest)
+        "format_version": 4,
+    }
+    if positions:
+        params["positions"] = True
 
     # epoch 2: stats
     fp_corpus = _input_fingerprint(corpus_dir, {"params": params})
