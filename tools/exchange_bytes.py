@@ -13,16 +13,21 @@ returned in
     adaptive-width index/tf blobs, salt recomputed reduce-side)
 
 NOTE: production parts are per (explode task, group) — a task covers
-~_EXPLODE_CHUNK_BYTES of corpus, i.e. MANY row groups, and docid delta
-gaps shrink with distinct-docid count, so the per-row-group replay here
-slightly OVERSTATES the packed bytes; pass a larger max_row_groups and
-compare trendlines, or treat the number as an upper bound.
+~_EXPLODE_CHUNK_BYTES (384 MB) of corpus, i.e. MANY row groups, and the
+packed layout amortizes per part (docid delta gaps shrink, the term dict
+and per-unique-doc dl are paid once per part), so a 1-row-group part
+OVERSTATES the packed bytes.  `rgs_per_part` sets how many row groups
+each replayed part covers; match it to the build's real task geometry
+(corpus_bytes / _EXPLODE_CHUNK_BYTES tasks, or cpus if larger — e.g. the
+7.68M-doc / 8-cpu scaling leg runs 8 explode tasks over ~832 row groups
+= ~104 rgs/part) or sweep it and read the trendline.  rgs_per_part=1
+reproduces the older tool's upper bound.
 
 Bytes are `pa.Table.nbytes` — exactly what Ray's zero-copy Arrow
 serialization puts in the object store.  Pure driver-side replay (no
 ray.init): layout math, not wall-time, so host noise is irrelevant.
 
-Usage: python tools/exchange_bytes.py <index_out_dir> [max_row_groups]
+Usage: python tools/exchange_bytes.py <index_out_dir> [max_row_groups] [rgs_per_part]
 """
 
 import glob
@@ -57,15 +62,32 @@ def main() -> None:
         group_of=_lpt_pack(mass, num_groups),
     )
 
+    rgs_per_part = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
     files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
     old_bytes = new_bytes = postings = rgs_done = 0
+    per_group: list[list] = [[] for _ in range(num_groups)]
+    rgs_in_part = 0
+
+    def flush() -> None:
+        nonlocal old_bytes, new_bytes, postings, per_group, rgs_in_part
+        for parts in per_group:
+            if not parts:
+                continue
+            raw = pa.concat_tables(parts).combine_chunks()
+            packed = _pack_exchange(raw)
+            old_bytes += raw.nbytes
+            new_bytes += packed.nbytes
+            postings += raw.num_rows
+        per_group = [[] for _ in range(num_groups)]
+        rgs_in_part = 0
+
     for f in files:
         pf = pq.ParquetFile(f)
         for rg in range(pf.metadata.num_row_groups):
             if rgs_done >= max_rgs:
                 break
             tab = pf.read_row_group(rg, columns=["docid", "dl", "terms", "tfs"])
-            per_group: list[list] = [[] for _ in range(num_groups)]
             for s in range(0, tab.num_rows, 1024):
                 out = explode(tab.slice(s, 1024))
                 gk = out.column("gkey").to_numpy(zero_copy_only=False)
@@ -79,23 +101,21 @@ def main() -> None:
                         per_group[g].append(
                             srt.slice(int(starts[g]), int(ends[g] - starts[g]))
                         )
-            for parts in per_group:
-                if not parts:
-                    continue
-                raw = pa.concat_tables(parts).combine_chunks()
-                packed = _pack_exchange(raw)
-                old_bytes += raw.nbytes
-                new_bytes += packed.nbytes
-                postings += raw.num_rows
             rgs_done += 1
+            rgs_in_part += 1
+            if rgs_in_part >= rgs_per_part:
+                flush()
         if rgs_done >= max_rgs:
             break
+    if rgs_in_part:
+        flush()
 
     print(
         json.dumps(
             {
                 "corpus": corpus_dir,
                 "row_groups_sampled": rgs_done,
+                "rgs_per_part": rgs_per_part,
                 "postings": postings,
                 "old_bytes_per_posting": round(old_bytes / max(postings, 1), 2),
                 "new_bytes_per_posting": round(new_bytes / max(postings, 1), 2),
