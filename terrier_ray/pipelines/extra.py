@@ -189,6 +189,11 @@ def asof_purchase_view(sf_dir: str):
     hash(user_id), union with a side tag, ``groupby(bucket)``, and
     ``pd.merge_asof`` over per-user-sorted timestamps inside each group
     (partitioning assumption: all events of a user land in one bucket).
+
+    The ``batch_format="pandas"`` conversion is deliberate: merge_asof has
+    no Arrow kernel, and the hash-bucket shuffle bounds each group's size,
+    so the pandas hop touches one bucket — never the whole table — at a
+    time.
     """
     import pandas as pd
 
