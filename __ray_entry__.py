@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from terrier_ray.pipelines import analyze, decimalq, extra, functions2, functions3, textops, tpch, tpch2, tpch3
+from terrier_ray.pipelines import analyze, decimalq, extra, functions2, functions3, hygiene, textops, tpch, tpch2, tpch3
 from terrier_ray.pipelines import orderagg as orderaggq
 from terrier_ray.pipelines import sampling, specdemo
 from terrier_ray.pipelines import window as windowq
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores"] = textops.quality_scores
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
+    q.update(hygiene.QUERIES)
     q["exact_dedup"] = exact_dedup
     from terrier_ray.pipelines.curate import curate_documents
 
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(decimalq.SQL)
     sql.update(functions3.SQL)
     sql.update(textops.SQL)
+    sql.update(hygiene.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text

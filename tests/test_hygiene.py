@@ -1,0 +1,129 @@
+"""Corpus-hygiene op semantics: decontamination, redaction, repetition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from terrier_ray.pipelines.hygiene import (
+    _PROBE_MOD,
+    PII_PATTERNS,
+    decontaminate,
+    decontaminate_ngram,
+    redact_batch,
+    repetition_stats,
+    top_bigrams,
+)
+
+
+def test_redact_batch_pii_strings():
+    col = pa.array(
+        [
+            "contact me at jane.doe+spam@example.co.uk please",
+            "server 192.168.1.254 responded; call 415-555-0142 now",
+            "order 1234567 shipped to 10.0.0.1 and a@b.io",
+            "nothing sensitive here",
+        ]
+    )
+    red, counts = redact_batch(col)
+    out = red.to_pylist()
+    assert out[0] == "contact me at <EMAIL> please"
+    assert out[1] == "server <IP> responded; call <NUM> now"
+    assert out[2] == "order <NUM> shipped to <IP> and <EMAIL>"
+    assert out[3] == "nothing sensitive here"
+    assert counts["n_emails"].to_pylist() == [1, 0, 1, 0]
+    assert counts["n_ips"].to_pylist() == [0, 1, 1, 0]
+    # counts are per-pattern on the ORIGINAL string: the IP's octets in
+    # row 1 are digit runs too (1 phone-run + nothing else ≥ pattern).
+    assert counts["n_nums"].to_pylist()[3] == 0
+    assert counts["n_nums"].to_pylist()[0] == 0
+
+
+def test_redact_batch_count_on_original_not_running_string():
+    # The IP is replaced before the NUM pass, but n_nums still counts the
+    # octets because counts are taken on the original column.
+    col = pa.array(["ip 1.2.3.4 end"])
+    red, counts = redact_batch(col)
+    assert red.to_pylist() == ["ip <IP> end"]
+    assert counts["n_ips"].to_pylist() == [1]
+    assert counts["n_nums"].to_pylist() == [4]
+
+
+def _naive_ngrams(text: str, width: int) -> set[tuple[str, ...]]:
+    toks = text.lower().split()
+    w = min(width, len(toks))
+    if not toks:
+        return set()
+    return {tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def test_decontaminate_ngram_matches_naive_oracle(ray_session, sf_smoke):
+    width = 8
+    got = (
+        decontaminate_ngram(sf_smoke, width=width)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tab = pq.read_table(
+        f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    bench: set[tuple[str, ...]] = set()
+    for did, t in zip(ids, texts):
+        if did % _PROBE_MOD == 0:
+            bench |= _naive_ngrams(t, width)
+    exp = {}
+    for did, t in zip(ids, texts):
+        n = len(_naive_ngrams(t, width) & bench)
+        if n:
+            exp[did] = n
+    assert dict(zip(got["doc_id"], got["n_contaminated_ngrams"])) == exp
+    assert len(exp) > 0  # benchmark docs hit themselves
+
+
+def test_decontaminate_substring_flags_planted_copy(ray_session, sf_smoke):
+    got = decontaminate(sf_smoke).to_pandas()
+    # every benchmark doc contains its own probe prefix
+    tab = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id"])
+    bench_ids = [d for d in tab.column("doc_id").to_pylist() if d % _PROBE_MOD == 0]
+    assert set(bench_ids) <= set(got["doc_id"])
+    assert (got["n_probes_hit"] >= 1).all()
+
+
+def test_repetition_stats_matches_counter(ray_session, sf_smoke):
+    got = (
+        repetition_stats(sf_smoke)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tab = pq.read_table(
+        f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]
+    )
+    from collections import Counter
+
+    for row, t in zip(got.itertuples(), tab.column("text").to_pylist()[:50]):
+        c = Counter(t.split(" "))
+        assert row.n_words == sum(c.values())
+        assert row.n_distinct_words == len(c)
+        assert row.top_word_count == max(c.values())
+
+
+def test_top_bigrams_matches_naive(ray_session, sf_smoke):
+    got = top_bigrams(sf_smoke, k=10).to_pandas()
+    from collections import Counter
+
+    tab = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for t in tab.column("text").to_pylist():
+        w = t.split(" ")
+        c.update(" ".join(p) for p in zip(w[:-1], w[1:]))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["bigram"], got["n"])) == exp
+
+
+def test_pii_patterns_are_ordered_email_ip_num():
+    assert [p[0] for p in PII_PATTERNS] == ["n_emails", "n_ips", "n_nums"]
