@@ -62,3 +62,38 @@ def fixed_size_sample(ds, key_col: str, n: int, rank_alias: str = "__srank"):
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     out = topk(tagged, [rank_alias, key_col], k=n, descending=[False, False])
     return out.drop_columns([rank_alias])
+
+
+def mixture_sample(
+    ds,
+    source_col: str,
+    key_col: str,
+    rates_permil: dict[str, int],
+    default_permil: int = 0,
+):
+    """Data mixing: per-source deterministic Bernoulli rates (the
+    pretraining mixture op — upsample/downsample each source toward a
+    target composition; rates > 1000 are clamped to keep-all).
+
+    Every row's fate is ``rank(key) < rate(source)`` with the same
+    hash-rank as bernoulli_sample, so the SQL mirror is the identical
+    arithmetic with a CASE over the source column.  The rate lookup is
+    resolved once per distinct source per batch (np.unique inverse), not
+    per row."""
+
+    def mask(b: pa.Table) -> pa.Array:
+        import numpy as np
+
+        r = _rank(b.column(key_col), 1000).to_numpy(zero_copy_only=False)
+        src = b.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        sv = np.asarray(src.to_pylist(), dtype=object)
+        uniq, inv = np.unique(sv, return_inverse=True)
+        per_uniq = np.array(
+            [min(int(rates_permil.get(s, default_permil)), 1000) for s in uniq],
+            dtype=np.int64,
+        )
+        return pa.array(r < per_uniq[inv])
+
+    return filter_batches(ds, mask)

@@ -52,7 +52,45 @@ def bloom_semi_join_urgent(sf_dir: str, num_bits: int = 1 << 16):
     )
 
 
+def mixture_sample_documents(sf_dir: str):
+    """Pretraining data mixing: per-source deterministic sampling rates
+    over the documents table (keep-all src0, taper src1-src3, thin the
+    long tail to 10%).  SQL mirror = same hash arithmetic + CASE."""
+    from terrier_ray.ops.sample import mixture_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1000, "src1": 750, "src2": 500, "src3": 250},
+        default_permil=100,
+    )
+
+
+def pack_documents(sf_dir: str, budget: int = 1500):
+    """Sequence packing: greedy FFD of documents into ``budget``-char bins
+    (n_chars as the token-length proxy), hash-bucketed for determinism and
+    scale (ops/packing.py).  Rows-only: bin assignment is an iterative
+    algorithm, not SQL-expressible; invariants are unit-tested."""
+    from terrier_ray.ops.packing import pack_bins
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_bins(docs, "doc_id", "n_chars", budget=budget)
+
+
 SQL = {
+    "mixture_sample_documents": """
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+              CASE source
+                   WHEN 'src0' THEN 1000
+                   WHEN 'src1' THEN 750
+                   WHEN 'src2' THEN 500
+                   WHEN 'src3' THEN 250
+                   ELSE 100
+              END
+    """,
     "sample_bernoulli_customers": """
         SELECT c_custkey, c_mktsegment FROM customer
         WHERE ((c_custkey % 1000003) * 2654435761) % 1000 < 200
@@ -71,6 +109,8 @@ SQL = {
 }
 
 QUERIES = {
+    "mixture_sample_documents": mixture_sample_documents,
+    "pack_documents": pack_documents,
     "sample_bernoulli_customers": sample_bernoulli_customers,
     "sample_fixed_orders": sample_fixed_orders,
     "bloom_semi_join_urgent": bloom_semi_join_urgent,
