@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["curate_documents_distributed"] = _curate_queries[
         "curate_documents_distributed"
     ]
+    q["curate_documents_full"] = _curate_queries["curate_documents_full"]
     q["approx_distinct_custkeys"] = approx_distinct_custkeys
     q["heavy_hitter_terms"] = heavy_hitter_terms
     q["minhash_lsh_pairs"] = minhash_lsh_pairs

@@ -34,6 +34,8 @@ def curate_documents(
     min_words: int = 10,
     keep_lang: str = "en",
     distributed_labels: bool = False,
+    decontaminate_width: int | None = None,
+    redact: bool = False,
 ):
     """See module docstring.  ``distributed_labels=True`` switches the
     near-dup stage to the zero-driver-table path: LSH pairs →
@@ -94,6 +96,38 @@ def curate_documents(
         ),
     ).materialize()
     n_qual = qual_ok.count()
+
+    # optional benchmark decontamination (hygiene.decontaminate_filter:
+    # benchmark n-gram hashes broadcast once, per-batch np.isin) — runs on
+    # the ORIGINAL text, before any rewriting
+    if decontaminate_width is not None:
+        from terrier_ray.pipelines.hygiene import decontaminate_filter
+
+        qual_ok = decontaminate_filter(
+            qual_ok, sf_dir, width=decontaminate_width
+        ).materialize()
+    n_decon = qual_ok.count()
+
+    # optional PII redaction (hygiene.redact_batch: chained RE2 passes) —
+    # rewrites text IN the funnel, so dedup hashes the shipped form
+    n_redactions = 0
+    if redact:
+        from terrier_ray.pipelines.hygiene import redact_batch
+
+        def apply_redact(batch: pa.Table) -> pa.Table:
+            red, counts = redact_batch(batch.column("text"))
+            total = np.zeros(len(batch), dtype=np.int64)
+            for c in counts.values():
+                total += c.to_numpy(zero_copy_only=False)
+            return batch.set_column(
+                batch.column_names.index("text"), "text", red
+            ).append_column("__nred", pa.array(total))
+
+        qual_ok = qual_ok.map_batches(
+            apply_redact, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        n_redactions = int(qual_ok.sum("__nred") or 0)
+        qual_ok = qual_ok.drop_columns(["__nred"])
 
     # exact dedup, fully distributed: min doc_id per content hash, then a
     # co-partitioned semi join keeps only the winners (the winner table is
@@ -203,6 +237,8 @@ def curate_documents(
             "n_in": pa.array([n_in], type=pa.int64()),
             "n_lang_ok": pa.array([n_lang], type=pa.int64()),
             "n_quality_ok": pa.array([n_qual], type=pa.int64()),
+            "n_decontaminated": pa.array([n_decon], type=pa.int64()),
+            "n_redactions": pa.array([n_redactions], type=pa.int64()),
             "n_exact_unique": pa.array([n_exact], type=pa.int64()),
             "n_curated": pa.array([n_out], type=pa.int64()),
         }
@@ -213,5 +249,16 @@ QUERIES = {
     "curate_documents": curate_documents,
     "curate_documents_distributed": (
         lambda sf_dir: curate_documents(sf_dir, distributed_labels=True)
+    ),
+    # the full real-world funnel: lang → quality → benchmark
+    # decontamination → PII redaction → exact dedup → near-dup removal,
+    # with zero driver-resident label/winner tables
+    "curate_documents_full": (
+        lambda sf_dir: curate_documents(
+            sf_dir,
+            distributed_labels=True,
+            decontaminate_width=8,
+            redact=True,
+        )
     ),
 }

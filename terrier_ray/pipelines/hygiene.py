@@ -129,6 +129,36 @@ def decontaminate_ngram(sf_dir: str, width: int = 8):
     return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def decontaminate_filter(ds, sf_dir: str, width: int = 8):
+    """Funnel-stage form of ``decontaminate_ngram``: return ``ds`` minus
+    the documents sharing any ``width``-gram with the benchmark set (the
+    curate pipeline composes this between its quality gate and dedup)."""
+    import ray
+
+    from terrier_ray.pipelines.dedup import _batch_shingle_hashes
+
+    bench = _benchmark_texts(sf_dir)
+    bench_grams = np.unique(
+        np.concatenate(
+            [g for g in _batch_shingle_hashes(bench, width=width)]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    grams_ref = ray.put(bench_grams)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bg: np.ndarray = ray.get(grams_ref)
+        per_doc = _batch_shingle_hashes(batch.column("text").to_pylist(), width=width)
+        mask = np.fromiter(
+            (not np.isin(np.unique(g), bg, assume_unique=True).any() for g in per_doc),
+            dtype=bool,
+            count=len(per_doc),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: Redaction patterns, applied IN ORDER to the running string.  Counts are
 #: taken per pattern on the ORIGINAL string (mirrored in the SQL oracle).
 PII_PATTERNS: list[tuple[str, str, str]] = [

@@ -127,3 +127,51 @@ def test_top_bigrams_matches_naive(ray_session, sf_smoke):
 
 def test_pii_patterns_are_ordered_email_ip_num():
     assert [p[0] for p in PII_PATTERNS] == ["n_emails", "n_ips", "n_nums"]
+
+
+def test_curate_full_funnel_decontaminates_and_redacts(ray_session, tmp_root, sf_smoke):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.curate import curate_documents
+
+    out_dir = os.path.join(str(tmp_root), "curated_full")
+    t = curate_documents(
+        sf_smoke,
+        out_dir=out_dir,
+        distributed_labels=True,
+        decontaminate_width=8,
+        redact=True,
+    )
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert (
+        row["n_in"]
+        >= row["n_lang_ok"]
+        >= row["n_quality_ok"]
+        >= row["n_decontaminated"]
+        >= row["n_exact_unique"]
+        >= row["n_curated"]
+        > 0
+    )
+    # benchmark docs self-hit their own n-grams → none survive curation
+    files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    ids = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id"]) for f in files
+    ).column("doc_id").to_pylist()
+    assert len(ids) == row["n_curated"]
+    assert all(d % 97 != 0 for d in ids)
+    # the synthetic corpus has no PII; the stage still ran and counted
+    assert row["n_redactions"] == 0
+    # decontamination actually dropped something (the surviving benchmark docs)
+    assert row["n_decontaminated"] < row["n_quality_ok"]
+
+
+def test_curate_default_funnel_reports_passthrough_stages(ray_session, sf_smoke):
+    from terrier_ray.pipelines.curate import curate_documents
+
+    t = curate_documents(sf_smoke)
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert row["n_decontaminated"] == row["n_quality_ok"]
+    assert row["n_redactions"] == 0
