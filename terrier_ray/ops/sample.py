@@ -97,3 +97,32 @@ def mixture_sample(
         return pa.array(r < per_uniq[inv])
 
     return filter_batches(ds, mask)
+
+
+def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int):
+    """Exact-n-per-stratum deterministic sample: within each group keep the
+    ``n_per_group`` rows with the smallest hash rank (grouped_topk's
+    map-side prune keeps the exchange at O(n · groups · batches)).
+
+    The sort key is rank·2^31 + key%2^31 — unique for keys < 2^31, so the
+    result is fully deterministic and the SQL mirror is
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY <same
+    arithmetic>) <= n``."""
+    from terrier_ray.ops.relational import grouped_topk
+
+    big = 1_000_000_007
+    half = 1 << 31
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = _rank(b.column(key_col), big).to_numpy(zero_copy_only=False)
+        k = pc.cast(b.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column("__srank", pa.array(r * half + (k % half)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(
+        tagged, [group_col], "__srank", n_per_group,
+        descending=False, num_partitions=8,
+    )
+    return out.drop_columns(["__srank"])

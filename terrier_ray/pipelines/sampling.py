@@ -68,6 +68,14 @@ def mixture_sample_documents(sf_dir: str):
     )
 
 
+def stratified_sample_documents(sf_dir: str, n_per_source: int = 5):
+    """Exactly-n-per-source eval subset (per-stratum hash-rank top-n)."""
+    from terrier_ray.ops.sample import stratified_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_sample(docs, "source", "doc_id", n_per_source)
+
+
 def pack_documents(sf_dir: str, budget: int = 1500):
     """Sequence packing: greedy FFD of documents into ``budget``-char bins
     (n_chars as the token-length proxy), hash-bucketed for determinism and
@@ -80,6 +88,14 @@ def pack_documents(sf_dir: str, budget: int = 1500):
 
 
 SQL = {
+    "stratified_sample_documents": """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY (((doc_id % 1000003) * 2654435761) % 1000000007)
+                     * 2147483648 + (doc_id % 2147483648)
+        ) <= 5
+    """,
     "mixture_sample_documents": """
         SELECT doc_id, source FROM documents
         WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
@@ -109,6 +125,7 @@ SQL = {
 }
 
 QUERIES = {
+    "stratified_sample_documents": stratified_sample_documents,
     "mixture_sample_documents": mixture_sample_documents,
     "pack_documents": pack_documents,
     "sample_bernoulli_customers": sample_bernoulli_customers,

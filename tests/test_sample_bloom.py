@@ -199,3 +199,29 @@ def test_pack_bins_matches_reference_ffd(ray_session):
             fills.append(ln)
     for k, local in assign.items():
         assert out.loc[k, "bin_id"] == local  # bucket 0 → no id offset
+
+
+def test_stratified_sample_exact_n_and_arithmetic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.ops.sample import _MULT, _PREMOD, stratified_sample
+
+    n = 900
+    keys = np.arange(n, dtype=np.int64)
+    grp = np.array(["g0", "g1", "g2"], dtype=object)[keys % 3]
+    ds = rd.from_arrow(pa.table({"k": keys, "g": pa.array(grp.tolist())}))
+    got = stratified_sample(ds, "g", "k", 7).to_pandas()
+    assert got.groupby("g").size().to_dict() == {"g0": 7, "g1": 7, "g2": 7}
+    # replay the exact arithmetic
+    rank = (keys % _PREMOD) * _MULT % 1_000_000_007
+    srank = rank * (1 << 31) + (keys % (1 << 31))
+    exp = set()
+    for g in ("g0", "g1", "g2"):
+        m = grp == g
+        exp |= set(keys[m][np.argsort(srank[m], kind="stable")][:7].tolist())
+    assert set(got["k"]) == exp
+    # small group: returns the whole group, not an error
+    ds2 = rd.from_arrow(pa.table({"k": [1, 2], "g": ["a", "a"]}))
+    assert stratified_sample(ds2, "g", "k", 7).count() == 2
