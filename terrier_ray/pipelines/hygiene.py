@@ -272,8 +272,57 @@ def top_bigrams(sf_dir: str, k: int = 20):
     return topk(summed, ["n", "bigram"], k=k, descending=[True, False])
 
 
+def chunk_documents(sf_dir: str, window: int = 200, stride: int = 150):
+    """Overlapping fixed-size character chunks (RAG / embedding prep):
+    chunk i of a doc = text[i·stride : i·stride+window], with
+    n_chunks = ceil(max(len − overlap, 1) / stride) so every doc (even an
+    empty one) yields ≥ 1 chunk and the last window reaches the tail.
+
+    Vectorized per CHUNK INDEX, not per row: one ``utf8_slice_codeunits``
+    kernel pass per i over the docs long enough to have an i-th chunk —
+    max-chunks passes per batch, zero Python row loops.  Slicing is by
+    codepoint on both sides (substr in DuckDB, utf8 slice here), identical
+    on any text."""
+    overlap = window - stride
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        L = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n = np.ceil(np.maximum(L - overlap, 1) / stride).astype(np.int64)
+        parts = []
+        for i in range(int(n.max()) if len(n) else 0):
+            m = pa.array(n > i)
+            sub = batch.filter(m)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_no": pa.array(
+                            np.full(sub.num_rows, i, dtype=np.int64)
+                        ),
+                        "chunk": pc.utf8_slice_codeunits(
+                            sub.column("text"), i * stride, i * stride + window
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chunk_no": pa.array([], type=pa.int64()),
+                    "chunk": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "decontaminate": decontaminate,
+    "chunk_documents": chunk_documents,
     "decontaminate_ngram": decontaminate_ngram,
     "pii_redact": pii_redact,
     "repetition_stats": repetition_stats,
@@ -281,6 +330,13 @@ QUERIES = {
 }
 
 SQL = {
+    "chunk_documents": """
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+               substr(text, 1 + i*150, 200) AS chunk
+        FROM documents,
+             unnest(range(0, CAST(ceil(greatest(length(text) - 50, 1)
+                                       / 150.0) AS BIGINT))) AS t(i)
+    """,
     "decontaminate": f"""
         WITH probes AS (
             SELECT substr(text, 1, {_PROBE_LEN}) AS p

@@ -175,3 +175,34 @@ def test_curate_default_funnel_reports_passthrough_stages(ray_session, sf_smoke)
     row = {c: t.column(c)[0].as_py() for c in t.column_names}
     assert row["n_decontaminated"] == row["n_quality_ok"]
     assert row["n_redactions"] == 0
+
+
+def test_chunk_documents_reassembles_and_overlaps(ray_session, sf_smoke):
+    from terrier_ray.pipelines.hygiene import chunk_documents
+
+    window, stride = 200, 150
+    got = (
+        chunk_documents(sf_smoke, window=window, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_no"])
+    )
+    texts = dict(
+        zip(
+            *[
+                pq.read_table(
+                    f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]
+                ).column(c).to_pylist()
+                for c in ("doc_id", "text")
+            ]
+        )
+    )
+    assert set(got["doc_id"]) == set(texts)  # every doc chunked (≥1 chunk)
+    for did, grp in got.groupby("doc_id"):
+        t = texts[did]
+        chunks = grp["chunk"].tolist()
+        assert all(len(c) <= window for c in chunks)
+        # exact placement: chunk i == text[i*stride : i*stride+window]
+        for i, c in enumerate(chunks):
+            assert c == t[i * stride : i * stride + window]
+        # coverage: the last chunk reaches the end of the doc
+        assert (len(chunks) - 1) * stride + len(chunks[-1]) >= len(t)
