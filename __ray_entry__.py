@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores"] = textops.quality_scores
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
+    q["cm_term_counts"] = textops.cm_term_counts
     q.update(hygiene.QUERIES)
     q["exact_dedup"] = exact_dedup
     from terrier_ray.pipelines.curate import curate_documents

@@ -215,3 +215,109 @@ def approx_percentile(ds, col: str, qs: "list[float]", delta: int = 200) -> np.n
     means = t.column("mean").to_numpy(zero_copy_only=False)
     weights = t.column("weight").to_numpy(zero_copy_only=False)
     return tdigest_quantile(means, weights, qs, delta)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (mergeable approximate frequencies)
+# ---------------------------------------------------------------------------
+
+#: Fixed per-depth seeds (any distinct odd constants work; pinned so
+#: partials from different workers/runs merge correctly).
+_CM_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cm_remix(h: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """One extra avalanche round over already-hashed values, per depth."""
+    with np.errstate(over="ignore"):
+        v = (h ^ seed) * np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(31)
+        v = v * np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(29)
+    return v
+
+
+def cm_partials(
+    batch_col: pa.ChunkedArray | pa.Array,
+    width: int = 2048,
+    depth: int = 4,
+    weights: np.ndarray | None = None,
+) -> pa.Table:
+    """One batch → sparse (slot, count) partial rows, mergeable by SUM
+    (slot = depth_row · width + column index).  ``weights`` turns the
+    input into (value, partial_count) pairs — an upstream stage already
+    counted within its batch."""
+    if depth > len(_CM_SEEDS):
+        raise ValueError(f"depth ≤ {len(_CM_SEEDS)}")
+    h = _hash64(batch_col)
+    w = (
+        np.ones(len(h), dtype=np.int64)
+        if weights is None
+        else np.asarray(weights, dtype=np.int64)
+    )
+    slots, counts = [], []
+    for d in range(depth):
+        idx = (_cm_remix(h, _CM_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        key = d * width + idx
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(c, inv, w)
+        slots.append(uk)
+        counts.append(c)
+    return pa.table(
+        {
+            "__slot": pa.array(np.concatenate(slots)),
+            "__count": pa.array(np.concatenate(counts)),
+        }
+    )
+
+
+def cm_dense(merged: pa.Table, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Sparse merged (slot, count) rows → dense (depth, width) matrix."""
+    mat = np.zeros(depth * width, dtype=np.int64)
+    mat[merged.column("__slot").to_numpy(zero_copy_only=False)] = merged.column(
+        "__count"
+    ).to_numpy(zero_copy_only=False)
+    return mat.reshape(depth, width)
+
+
+def cm_query(
+    mat: np.ndarray, probe: pa.Array | pa.ChunkedArray, width: int = 2048
+) -> np.ndarray:
+    """Point-frequency estimates for ``probe`` values: min over depth rows.
+    One-sided error: estimate ≥ true count always; ≤ true + (e/width)·N
+    with probability 1 − e^−depth (standard CM bound)."""
+    h = _hash64(probe)
+    depth = mat.shape[0]
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (_cm_remix(h, _CM_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, mat[d, idx])
+    return est
+
+
+def cm_frequencies(
+    ds, col: str, probes: "list", width: int = 2048, depth: int = 4
+) -> pa.Table:
+    """Distributed point-frequency estimates: one streaming pass building
+    sparse CM partials per batch, one small grouped sum over ≤ depth·width
+    slot keys (state is O(depth·width), independent of input size), then a
+    driver-side min-probe over the dense matrix."""
+    from terrier_ray.ops.relational import grouped_aggregate
+
+    partials = ds.map_batches(
+        lambda b: cm_partials(b.column(col), width, depth),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged_ds = grouped_aggregate(partials, ["__slot"], [("sum", "__count", "__count")])
+    merged = pa.concat_tables(
+        merged_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    mat = cm_dense(merged, width, depth)
+    probe_arr = pa.array(probes)
+    return pa.table(
+        {"value": probe_arr, "est_count": pa.array(cm_query(mat, probe_arr, width))}
+    )

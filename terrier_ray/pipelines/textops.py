@@ -253,3 +253,47 @@ SQL = {
         FROM events
     """,
 }
+
+
+def cm_term_counts(sf_dir: str, probes: tuple = ()):
+    """Count-min point-frequency estimates for probe terms over the corpus
+    token stream (ops/sketch.py cm_*: O(depth·width) mergeable state, one
+    grouped sum regardless of corpus size).  Rows-only: estimates carry the
+    one-sided CM error (est ≥ true; ≤ true + (e/width)·N w.h.p.) — the
+    bound itself is unit-tested against exact counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.ops.sketch import cm_dense, cm_partials, cm_query
+    from terrier_ray.ops.relational import grouped_aggregate
+    from terrier_ray.text.tokenize import TOKEN_RE
+
+    probes = list(probes) or ["table", "row", "fast", "scan", "value", "the"]
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def token_partials(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(TOKEN_RE.findall(t.lower()))
+        if not toks:
+            return pa.table(
+                {"__slot": pa.array([], type=pa.int64()),
+                 "__count": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return cm_partials(
+            pa.array(uniq, type=pa.string()), weights=cnt.astype(np.int64)
+        )
+
+    partials = docs.map_batches(
+        token_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged_ds = grouped_aggregate(partials, ["__slot"], [("sum", "__count", "__count")])
+    merged = pa.concat_tables(
+        merged_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    mat = cm_dense(merged)
+    probe_arr = pa.array(probes, type=pa.string())
+    return pa.table(
+        {"term": probe_arr, "est_count": pa.array(cm_query(mat, probe_arr))}
+    )

@@ -97,3 +97,64 @@ def test_approx_percentile_matches_exact_on_orders(ray_session, sf_smoke):
     for q, e in zip([0.5, 0.9], est):
         rank_err = abs(np.searchsorted(sv, e) / len(sv) - q)
         assert rank_err < 0.02, (q, e, rank_err)
+
+
+def test_count_min_bounds_and_mergeability():
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.ops.sketch import cm_dense, cm_partials, cm_query
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(800)], dtype=object)
+    vals = vocab[rng.integers(0, len(vocab), size=20000)]
+    vals = np.concatenate([vals, np.array(["hot"] * 3000, dtype=object)])
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+
+    # single pass vs two merged half-passes must be identical
+    whole = cm_partials(pa.array(vals.tolist()))
+    half1 = cm_partials(pa.array(vals[:9000].tolist()))
+    half2 = cm_partials(pa.array(vals[9000:].tolist()))
+    merged = (
+        pa.concat_tables([half1, half2])
+        .group_by(["__slot"])
+        .aggregate([("__count", "sum")])
+        .rename_columns(["__slot", "__count"])
+    )
+    m_whole, m_merged = cm_dense(whole), cm_dense(merged)
+    assert (m_whole == m_merged).all()
+
+    probes = ["hot"] + [f"w{i}" for i in range(0, 50)] + ["absent"]
+    est = cm_query(m_whole, pa.array(probes))
+    n = len(vals)
+    eps_bound = int(np.ceil(np.e / 2048 * n))
+    for p, e in zip(probes, est):
+        true = exact.get(p, 0)
+        assert e >= true  # one-sided: never underestimates
+        assert e <= true + eps_bound * 4  # loose multiple of the w.h.p. bound
+
+
+def test_count_min_weighted_equals_unweighted():
+    import numpy as np
+    import pyarrow as pa
+
+    from terrier_ray.ops.sketch import cm_dense, cm_partials
+
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    raw = cm_partials(pa.array(vals))
+    weighted = cm_partials(
+        pa.array(["a", "b", "c"]), weights=np.array([5, 3, 1], dtype=np.int64)
+    )
+    assert (cm_dense(raw) == cm_dense(weighted)).all()
+
+
+def test_cm_term_counts_entry(ray_session, sf_smoke):
+    from terrier_ray.pipelines.textops import cm_term_counts
+
+    t = cm_term_counts(sf_smoke)
+    assert t.num_rows == 6
+    # "the"/"table" are corpus-frequent; estimates must be positive and
+    # never below a trivially-true floor of 1
+    assert all(v >= 1 for v in t.column("est_count").to_pylist())
