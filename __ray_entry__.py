@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textops.lang_id
     q["fingerprints"] = textops.fingerprints
     q["cm_term_counts"] = textops.cm_term_counts
+    q["lm_quality_scores"] = textops.lm_quality_scores
     q.update(hygiene.QUERIES)
     q["exact_dedup"] = exact_dedup
     from terrier_ray.pipelines.curate import curate_documents

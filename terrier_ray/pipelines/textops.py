@@ -297,3 +297,14 @@ def cm_term_counts(sf_dir: str, probes: tuple = ()):
     return pa.table(
         {"term": probe_arr, "est_count": pa.array(cm_query(mat, probe_arr))}
     )
+
+
+def lm_quality_scores(sf_dir: str):
+    """Char-trigram LM quality scores (text/lm.py: train once on a
+    deterministic 5% hash sample — fixed-size model broadcast via ray.put —
+    then one vectorized scoring pass).  Rows-only: float scores; ranking
+    behavior and exactness vs a naive per-doc computation are unit-tested."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    from terrier_ray.text.lm import lm_quality
+
+    return lm_quality(docs)

@@ -206,3 +206,55 @@ def test_chunk_documents_reassembles_and_overlaps(ray_session, sf_smoke):
             assert c == t[i * stride : i * stride + window]
         # coverage: the last chunk reaches the end of the doc
         assert (len(chunks) - 1) * stride + len(chunks[-1]) >= len(t)
+
+
+def test_trigram_lm_ranks_fluent_above_gibberish():
+    import numpy as np
+
+    from terrier_ray.text.lm import score_batch, train_trigram_lm
+
+    train = [
+        "the quick brown fox jumps over the lazy dog and then runs home",
+        "a sentence with common english letter patterns in the words",
+    ] * 20
+    logp = train_trigram_lm(train)
+    probe = pa.table(
+        {
+            "text": [
+                "the brown fox runs over the common patterns",
+                "xqzj vkwq zzxj qqvv kjxz wqzv jjqx zvkw",
+                "",
+            ]
+        }
+    )
+    out = score_batch(logp, probe)
+    lps = out.column("lm_logprob").to_pylist()
+    assert lps[0] > lps[1]  # fluent beats gibberish
+    assert lps[2] == float(np.min(logp))  # no-trigram doc scores the floor
+    assert out.column("lm_ppl").to_pylist()[0] < out.column("lm_ppl").to_pylist()[1]
+
+
+def test_trigram_lm_score_matches_naive():
+    import math
+
+    from terrier_ray.text.lm import _codes, score_batch, train_trigram_lm
+
+    train = ["abcabcabd", "the cat sat"] * 5
+    logp = train_trigram_lm(train)
+    text = "abc the cat"
+    out = score_batch(logp, pa.table({"text": [text]}))
+    c = _codes(text)
+    tri = [int(c[i]) * 729 + int(c[i + 1]) * 27 + int(c[i + 2]) for i in range(len(c) - 2)]
+    naive = sum(float(logp[t]) for t in tri) / len(tri)
+    assert math.isclose(out.column("lm_logprob")[0].as_py(), naive, rel_tol=1e-12)
+
+
+def test_lm_quality_pipeline(ray_session, sf_smoke):
+    from terrier_ray.pipelines.textops import lm_quality_scores
+
+    got = lm_quality_scores(sf_smoke).to_pandas()
+    assert len(got) == 500
+    assert got["doc_id"].is_unique
+    assert (got["lm_ppl"] > 0).all()
+    # corpus docs share the corpus distribution → far from the smoothing floor
+    assert got["lm_logprob"].median() > -9.0
