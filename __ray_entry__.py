@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cm_term_counts"] = textops.cm_term_counts
     q["lm_quality_scores"] = textops.lm_quality_scores
     q.update(hygiene.QUERIES)
+    from terrier_ray.pipelines import selection
+
+    q.update(selection.QUERIES)
+    from terrier_ray.pipelines.similarity import semdedup
+
+    q["semdedup"] = semdedup
     q["exact_dedup"] = exact_dedup
     from terrier_ray.pipelines.curate import curate_documents
 
@@ -219,6 +225,9 @@ def oracle_sql() -> dict[str, str]:
     sql.update(functions3.SQL)
     sql.update(textops.SQL)
     sql.update(hygiene.SQL)
+    from terrier_ray.pipelines import selection
+
+    sql.update(selection.SQL)
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text

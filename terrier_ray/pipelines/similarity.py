@@ -435,3 +435,89 @@ def knn_cosine_ivf_indexed(
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return topk(scored, ["sim", "vec_id"], k=k, descending=[True, False])
+
+
+def semdedup(
+    sf_dir: str,
+    threshold: float = 0.99,
+    nlist: int = 16,
+    max_cluster_rows: int = 65_536,
+    sim_block_rows: int = 2_048,
+    extra=None,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication" —
+    public method): k-means-cluster the embeddings, then WITHIN each cluster
+    drop every vector whose cosine to some LOWER-id vector in the same
+    cluster reaches ``threshold``.  The lowest id of each near-dup group is
+    the kept exemplar; the drop rule is non-transitive by construction
+    (id-ordered pairwise, not chained), so it is fully vectorizable.
+
+    Shape at scale: the quadratic sim pass is confined to one cluster per
+    task (that is the entire point of clustering first) — ONE hash shuffle
+    on the cell id, then block-wise (``sim_block_rows`` x n, never n x n)
+    matmuls inside the cluster.  The quantizer trains on a bounded sample
+    driver-side and broadcasts; clusters above ``max_cluster_rows`` are
+    deterministically subsampled for the COMPARISON side with a logged
+    count (rows beyond the cap are kept, never silently dropped) — the
+    right fix at scale is raising ``nlist`` (occupancy ~ N / nlist).
+
+    Returns (vec_id, cell, keep).  ``extra`` (testing hook) appends rows:
+    a pyarrow Table of (vec_id, embedding) unioned into the input.
+    """
+    import ray.data as rd
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if extra is not None:
+        ds = ds.union(rd.from_arrow(extra))
+        ds = ds.materialize()  # consumed by sample probe + the pipeline
+
+    cent = _kmeans(
+        _sample_matrix(f"{sf_dir.rstrip('/')}/embeddings.parquet", 10_000), nlist
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        cell = _sq_dists_to(m, cent).argmin(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+                "cell": pa.array(cell),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        group = group.sort_by("vec_id")
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(group)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        n = len(ids)
+        cap = min(n, max_cluster_rows)
+        if n > max_cluster_rows:
+            print(
+                f"semdedup: cluster of {n} rows exceeds cap {max_cluster_rows}; "
+                f"{n - max_cluster_rows} rows kept uncompared (raise nlist)"
+            )
+        keep = np.ones(n, dtype=bool)
+        for s in range(1, cap, sim_block_rows):
+            e = min(s + sim_block_rows, cap)
+            sims = m[s:e] @ m[:e].T  # block x all-earlier-or-self
+            # only j < i counts: mask the upper triangle incl. diagonal
+            col = np.arange(e)
+            row = np.arange(s, e)
+            sims[col[None, :] >= row[:, None]] = -1.0
+            keep[s:e] = sims.max(axis=1) < threshold
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cell": group.column("cell"),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
