@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["semdedup"] = semdedup
     q["exact_dedup"] = exact_dedup
+    from terrier_ray.pipelines.dedup import segment_dedup
+
+    q["segment_dedup"] = segment_dedup
     from terrier_ray.pipelines.curate import curate_documents
 
     q["curate_documents"] = curate_documents
@@ -231,6 +234,31 @@ def oracle_sql() -> dict[str, str]:
     sql["exact_dedup"] = """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """
+    # duplicate-span removal at word-5-window granularity: keep-first per
+    # distinct full-width segment (enc = doc_id*2^20 + seg_no mirrors the
+    # engine's winner encoding), ragged tails always kept, docs rebuilt
+    # from kept segments in order
+    sql["segment_dedup"] = """
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), segs AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+                   list_aggregate(w[i*5+1 : i*5+5], 'string_agg', ' ') AS seg,
+                   len(w[i*5+1 : i*5+5]) AS seg_words
+            FROM ws, unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS t(i)
+        ), winners AS (
+            SELECT seg, MIN(doc_id * 1048576 + seg_no) AS wenc
+            FROM segs WHERE seg_words = 5 GROUP BY seg
+        ), kept AS (
+            SELECT s.doc_id, s.seg_no, s.seg
+            FROM segs s LEFT JOIN winners w ON s.seg = w.seg
+            WHERE s.seg_words < 5 OR s.doc_id * 1048576 + s.seg_no = w.wenc
+        )
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY seg_no) AS text,
+               COUNT(*) AS n_segments_kept
+        FROM kept GROUP BY doc_id
     """
     # the DOUBLE[] casts make DuckDB compute the cosine in float64 like the
     # engine (bare list_cosine_similarity over list<float> runs in float32,

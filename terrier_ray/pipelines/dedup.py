@@ -746,3 +746,160 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
             "jaccard": pa.array(jac[keep]),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span removal (fixed word-window granularity)
+# ---------------------------------------------------------------------------
+
+
+_SEG_SHIFT = 20  # enc = doc_id << 20 | seg_no; guarded in _explode_segments
+
+
+def segment_dedup(sf_dir: str, width: int = 5, num_partitions: int = 32):
+    """Remove exact duplicate spans at fixed word-window granularity.
+
+    Unit = consecutive NON-overlapping ``width``-word segments of each
+    document (split on single spaces; the ragged tail segment with fewer
+    than ``width`` words is always kept).  For every distinct full-width
+    segment string the globally-first occurrence — min (doc_id, seg_no) —
+    survives; every other occurrence is dropped, and each document's text
+    is reassembled from its kept segments in original order.  Output:
+    (doc_id, text, n_segments_kept).
+
+    This is the fixed-granularity approximation of exact substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): their suffix array finds arbitrary-offset duplicate spans
+    with a global suffix sort; a fixed window finds window-aligned spans
+    with two bucket exchanges and no global sort.  Reference analog: the
+    same keep-first discipline as ``exact_dedup`` above, pushed below
+    document granularity.
+
+    Scale shape (100 TB): exactly two text-bearing all-to-all exchanges.
+    (1) Segments bucket-shuffle on hash(segment) % P, so ALL occurrences
+    of a segment string land in one bucket; the winner is marked with one
+    vectorized Arrow group_by(min) + hash join per bucket — exact string
+    equality, so unlike a 63-bit-hash key there is no collision data
+    loss.  (2) Kept segments bucket-shuffle on doc_id for the ordered
+    reassembly.  Nothing is driver-collected; per-bucket memory is
+    bounded by input/num_partitions.
+    """
+    from terrier_ray.ops.relational import _multi_key_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        """Doc rows → (doc_id, seg_no, seg, n_words) segment rows, fully
+        vectorized: Arrow split → flat words + parent indices → seg_no by
+        offset math → ONE group_by('list') + binary_join per batch (Arrow
+        group_by preserves within-group encounter order for 'list', the
+        grouped_string_agg contract)."""
+        batch = batch.combine_chunks()
+        words = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        seg_no = pos // width
+        if len(seg_no) and int(seg_no.max()) >= (1 << _SEG_SHIFT):
+            raise ValueError(
+                f"document exceeds {(1 << _SEG_SHIFT) * width} words; "
+                "raise _SEG_SHIFT"
+            )
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[parent]
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "seg_no": pa.array(seg_no),
+                "word": flat,
+            }
+        )
+        agg = t.group_by(["doc_id", "seg_no"], use_threads=False).aggregate(
+            [("word", "list"), ("word", "count")]
+        )
+        # keys first, then aggregates in request order (pinned pyarrow
+        # behavior, q11/cube precedent)
+        seg = pc.binary_join(agg.column("word_list"), " ")
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "seg_no": agg.column("seg_no"),
+                "seg": seg,
+                "n_words": agg.column("word_count"),
+            }
+        )
+
+    segs = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag_seg(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return batch.append_column(
+            "__sbucket",
+            pa.array(_multi_key_bucket(batch, ["seg"], num_partitions)),
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        """Per segment-hash bucket: keep every ragged tail, and of each
+        distinct full-width segment string keep only the min-enc row."""
+        t = group.drop_columns(["__sbucket"]).combine_chunks()
+        enc = pc.add(
+            pc.multiply(t.column("doc_id"), pa.scalar(1 << _SEG_SHIFT, pa.int64())),
+            t.column("seg_no"),
+        )
+        t = t.append_column("__enc", enc).combine_chunks()
+        full_mask = pc.equal(t.column("n_words"), width)
+        tail = t.filter(pc.invert(full_mask))
+        full = t.filter(full_mask)
+        if full.num_rows:
+            winners = (
+                full.select(["seg", "__enc"])
+                .group_by(["seg"], use_threads=False)
+                .aggregate([("__enc", "min")])
+            )
+            joined = full.join(winners, keys=["seg"], join_type="inner")
+            keep = joined.filter(
+                pc.equal(joined.column("__enc"), joined.column("__enc_min"))
+            ).select(tail.column_names)
+            out = pa.concat_tables([tail, keep])
+        else:
+            out = tail
+        return out.drop_columns(["__enc", "n_words"])
+
+    kept = (
+        segs.map_batches(tag_seg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__sbucket")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return batch.append_column(
+            "__rbucket",
+            pa.array(_multi_key_bucket(batch, ["doc_id"], num_partitions)),
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        t = (
+            group.drop_columns(["__rbucket"])
+            .combine_chunks()
+            .sort_by([("doc_id", "ascending"), ("seg_no", "ascending")])
+        )
+        agg = t.select(["doc_id", "seg"]).group_by(
+            ["doc_id"], use_threads=False
+        ).aggregate([("seg", "list"), ("seg", "count")])
+        text = pc.binary_join(agg.column("seg_list"), " ")
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "text": text,
+                "n_segments_kept": agg.column("seg_count"),
+            }
+        )
+
+    return (
+        kept.map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__rbucket")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

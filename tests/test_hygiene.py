@@ -258,3 +258,53 @@ def test_lm_quality_pipeline(ray_session, sf_smoke):
     assert (got["lm_ppl"] > 0).all()
     # corpus docs share the corpus distribution → far from the smoothing floor
     assert got["lm_logprob"].median() > -9.0
+
+
+def test_segment_dedup_matches_naive_keep_first(ray_session, sf_smoke):
+    """segment_dedup == a pure-python keep-first reimplementation: split each
+    doc into non-overlapping width-word segments, keep the globally-first
+    occurrence of each full-width segment (min (doc_id, seg_no)), always keep
+    ragged tails, rebuild docs from kept segments in order."""
+    import pyarrow.parquet as pq
+
+    from terrier_ray.pipelines.dedup import segment_dedup
+
+    width = 5
+    src = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(
+        zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist())
+    )
+
+    first: dict[str, tuple[int, int]] = {}
+    segments: dict[int, list[tuple[int, str, bool]]] = {}
+    for doc_id, text in rows:
+        words = text.split(" ")
+        segs = []
+        for seg_no, i in enumerate(range(0, len(words), width)):
+            chunk = words[i : i + width]
+            seg = " ".join(chunk)
+            full = len(chunk) == width
+            segs.append((seg_no, seg, full))
+            if full and seg not in first:
+                first[seg] = (doc_id, seg_no)
+        segments[doc_id] = segs
+    expected = {}
+    for doc_id, segs in segments.items():
+        kept = [
+            seg
+            for seg_no, seg, full in segs
+            if not full or first[seg] == (doc_id, seg_no)
+        ]
+        if kept:
+            expected[doc_id] = (" ".join(kept), len(kept))
+
+    got = segment_dedup(sf_smoke, width=width).to_pandas()
+    assert len(got) == len(expected)
+    removed_any = False
+    for _, r in got.iterrows():
+        exp_text, exp_n = expected[r["doc_id"]]
+        assert r["text"] == exp_text
+        assert r["n_segments_kept"] == exp_n
+        if exp_text != dict(rows)[r["doc_id"]]:
+            removed_any = True
+    assert removed_any, "testdata should exercise actual span removal"
