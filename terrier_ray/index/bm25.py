@@ -838,14 +838,51 @@ class SegmentedBM25:
     url belongs in a compaction, not a delta).  When segment count makes the
     per-query fan-out hurt, compact: build one index over the union corpus
     (terrier_ray.index.segments.compact_segments).
-    """
 
-    def __init__(self, segment_dirs: "list[str]"):
+    DELETE support (``tombstone_dirs``): each sidecar from
+    ``segments.build_tombstones`` carries the EXACT stat deltas of a DML
+    delete (matched-doc count, deleted dl sum, per-term deleted df — mined
+    from the segments' own corpus epochs, so the tokenization is the
+    index's own).  n_docs / avgdl / idf are adjusted with integer deltas
+    and deleted docids are masked out of every posting, so search stays
+    bit-identical to an index REBUILT over the remaining docs — not the
+    Lucene approximation where df/avgdl go stale until a merge.  Tombstone
+    ranges must be disjoint (one per DML version step, like segments)."""
+
+    def __init__(
+        self,
+        segment_dirs: "list[str]",
+        tombstone_dirs: "list[str] | tuple[str, ...]" = (),
+    ):
         if not segment_dirs:
             raise ValueError("need at least one segment")
         self.segments = [BM25Index(d) for d in segment_dirs]
         self.n_docs = sum(s.n_docs for s in self.segments)
         total_dl = sum(int(s.stats["total_dl"]) for s in self.segments)
+        self._del_ids = np.empty(0, dtype=np.int64)
+        self._df_del: dict[str, int] = {}
+        if tombstone_dirs:
+            import json
+
+            import pyarrow.parquet as _pq
+
+            ids = []
+            for td in tombstone_dirs:
+                with open(os.path.join(td, "meta.json")) as f:
+                    meta = json.load(f)
+                self.n_docs -= int(meta["n_del"])
+                total_dl -= int(meta["dl_del"])
+                ids.append(
+                    _pq.read_table(os.path.join(td, "deleted.parquet"))
+                    .column("docid").to_numpy(zero_copy_only=False)
+                )
+                dtab = _pq.read_table(os.path.join(td, "termdeltas.parquet"))
+                for t, c in zip(dtab.column("term").to_pylist(),
+                                dtab.column("df_del").to_pylist()):
+                    self._df_del[t] = self._df_del.get(t, 0) + int(c)
+            self._del_ids = np.unique(np.concatenate(ids)) if ids else (
+                self._del_ids
+            )
         self.avgdl = (total_dl / self.n_docs) if self.n_docs else 0.0
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -853,8 +890,10 @@ class SegmentedBM25:
         posts = [seg.lookup(terms) for seg in self.segments]
         chunks_d, chunks_c = [], []
         for t in terms:
-            df_total = sum(p[t][0] for p in posts if p.get(t) is not None)
-            if df_total == 0:
+            df_total = sum(
+                p[t][0] for p in posts if p.get(t) is not None
+            ) - self._df_del.get(t, 0)
+            if df_total <= 0:
                 continue
             w = idf(self.n_docs, df_total)
             for seg, post in zip(self.segments, posts):
@@ -862,6 +901,17 @@ class SegmentedBM25:
                 if p is None:
                     continue
                 _df, dids, tfs, _, _ = p
+                if self._del_ids.size:
+                    d64 = dids.astype(np.int64, copy=False)
+                    pos = np.clip(
+                        np.searchsorted(self._del_ids, d64),
+                        0, self._del_ids.size - 1,
+                    )
+                    keep = self._del_ids[pos] != d64
+                    if not keep.all():
+                        dids, tfs = dids[keep], tfs[keep]
+                        if not dids.size:
+                            continue
                 dl = seg.doc_len(dids)
                 tf = tfs.astype(np.float64)
                 contrib = w * (

@@ -16,7 +16,15 @@ periodic compaction.
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from terrier_ray.index.build import build_index
 
@@ -97,6 +105,171 @@ def ingest_snapshot_delta(
             os.symlink(os.path.abspath(f), link)
     build_index(corpus, seg_dir, **build_kwargs)
     return seg_dir
+
+
+def deleted_docids_between(
+    snapshot_root: str, from_version: int, to_version: "int | None" = None
+) -> np.ndarray:
+    """Docids REMOVED between two snapshot versions (sorted int64).
+
+    A snapshot DELETE is a filtered rewrite (every part file changes), so
+    the removed set is the url-hash setdiff between the two versions — a
+    pruned url-column-only scan of each, the same metadata-scale pass
+    ``build_corpus``'s duplicate detection makes.  At 1e12 docs this becomes
+    the per-block partial ``np.unique`` merge (index/build.py pass 1) or a
+    distributed anti-join; a DELETE batch itself is bounded by the
+    statement's selectivity, which is what the tombstone stores."""
+    import pyarrow.dataset as pads
+
+    from terrier_ray.datagen.webtext import url_doc_id
+    from terrier_ray.state import snapshots
+
+    if to_version is None:
+        to_version = snapshots.current_version(snapshot_root)
+
+    def _ids(v: int) -> np.ndarray:
+        tab = pads.dataset(
+            snapshots.snapshot_dir(snapshot_root, v)
+        ).to_table(columns=["url"])
+        return np.unique(url_doc_id(tab.column("url")).astype(np.int64))
+
+    return np.setdiff1d(_ids(from_version), _ids(to_version), assume_unique=True)
+
+
+def build_tombstones(
+    segments_root: str,
+    segment_dirs: "list[str]",
+    deleted_docids: np.ndarray,
+    name: str,
+) -> "str | None":
+    """Write a tombstone sidecar with EXACT global-stats deltas for a set of
+    deleted docids (reference analog: delete_translator.cpp deletes from
+    every index inside the DELETE plan; the immutable-segment analog is a
+    tombstone that query-time scoring applies).
+
+    Lucene-style tombstones keep df/avgdl stale until a merge; here the
+    deltas are exact, because the segments' own corpus epochs already hold
+    each doc's tokenized form: one pruned (docid, dl, terms) read of ONLY
+    the row groups containing deleted docs yields per-term deleted-df
+    counts (terms are unique within a doc), the deleted dl sum, and the
+    matched-doc count.  ``SegmentedBM25`` then subtracts them from n_docs /
+    total_dl / df and masks the docids out of every posting — making search
+    results BIT-IDENTICAL to an index rebuilt over the remaining docs
+    (asserted in tests/test_state.py), not merely approximately right.
+
+    The sidecar (deleted.parquet + termdeltas.parquet + meta.json, meta
+    written LAST as the completeness marker) is idempotent per
+    (deleted-set, segments) fingerprint.  Tombstone ranges must be disjoint
+    — one sidecar per DML version step, like delta segments.  Returns the
+    sidecar dir, or None when no deleted docid exists in any segment."""
+    deleted_docids = np.unique(np.asarray(deleted_docids, dtype=np.int64))
+    tomb_dir = os.path.join(segments_root, name)
+    meta_path = os.path.join(tomb_dir, "meta.json")
+    fp = {
+        "deleted": hashlib.blake2b(
+            deleted_docids.tobytes(), digest_size=8
+        ).hexdigest(),
+        "segments": sorted(os.path.basename(d.rstrip("/")) for d in segment_dirs),
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return tomb_dir if meta["n_del"] else None
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+
+    df_del: dict[str, int] = {}
+    matched: list[np.ndarray] = []
+    dl_del = 0
+    for seg in segment_dirs:
+        for f in sorted(glob.glob(os.path.join(seg, "corpus", "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            d = pf.read(columns=["docid"]).column("docid").to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.clip(
+                np.searchsorted(deleted_docids, d), 0, len(deleted_docids) - 1
+            )
+            hit = np.flatnonzero(deleted_docids[idx] == d) if len(
+                deleted_docids
+            ) else np.empty(0, dtype=np.int64)
+            if not hit.size:
+                continue
+            # touched row groups only: terms lists are the heavy column
+            starts = np.cumsum(
+                [0] + [pf.metadata.row_group(i).num_rows
+                       for i in range(pf.num_row_groups)]
+            )
+            rgs = np.unique(np.searchsorted(starts, hit, side="right") - 1)
+            tab = pf.read_row_groups(
+                rgs.tolist(), columns=["docid", "dl", "terms"]
+            )
+            sub = tab.filter(
+                pc.is_in(tab.column("docid"), value_set=pa.array(deleted_docids))
+            )
+            matched.append(
+                sub.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            dl_del += int(pc.sum(sub.column("dl")).as_py() or 0)
+            vc = pc.list_flatten(sub.column("terms")).value_counts()
+            for t, c in zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist()):
+                df_del[t] = df_del.get(t, 0) + int(c)
+    ids = np.unique(np.concatenate(matched)) if matched else np.empty(
+        0, dtype=np.int64
+    )
+    os.makedirs(tomb_dir, exist_ok=True)
+    pq.write_table(pa.table({"docid": pa.array(ids)}),
+                   os.path.join(tomb_dir, "deleted.parquet"))
+    terms = sorted(df_del)
+    pq.write_table(
+        pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "df_del": pa.array([df_del[t] for t in terms], type=pa.int64()),
+        }),
+        os.path.join(tomb_dir, "termdeltas.parquet"),
+    )
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"n_del": int(ids.size), "dl_del": dl_del,
+                   "fingerprint": fp}, f)
+    os.replace(tmp, meta_path)
+    return tomb_dir if ids.size else None
+
+
+def tombstone_snapshot_delete(
+    segments_root: str,
+    snapshot_root: str,
+    from_version: int,
+    to_version: "int | None" = None,
+) -> "str | None":
+    """DML → incremental index maintenance for DELETE: tombstone the docids
+    a snapshot DELETE removed between two versions, over every segment
+    currently under ``segments_root``.  The INSERT sibling is
+    ``ingest_snapshot_delta``; together they keep a SegmentedBM25 exactly
+    tracking DML with no monolithic rebuild.  Returns the tombstone dir, or
+    None when the delete removed nothing indexed."""
+    from terrier_ray.state import snapshots
+
+    if to_version is None:
+        to_version = snapshots.current_version(snapshot_root)
+    gone = deleted_docids_between(snapshot_root, from_version, to_version)
+    if not gone.size:
+        return None
+    return build_tombstones(
+        segments_root,
+        list_segments(segments_root),
+        gone,
+        f"tomb-v{from_version:04d}-v{to_version:04d}",
+    )
+
+
+def list_tombstones(segments_root: str) -> "list[str]":
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(segments_root, "tomb-*"))
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "meta.json"))
+    )
 
 
 def list_segments(segments_root: str) -> "list[str]":

@@ -248,8 +248,78 @@ def sql_insert_index_ingest(sf_dir: str):
     )
 
 
+def sql_delete_index_ingest(sf_dir: str):
+    """SQL DELETE unified with incremental index maintenance — the
+    delete_translator.cpp analog (the reference deletes from every index
+    inside the DELETE plan): a ``DELETE FROM <webtext store>`` through the
+    SQL front-end emits a TOMBSTONE sidecar
+    (index/segments.tombstone_snapshot_delete) carrying exact stat deltas
+    mined from the segment's own corpus epoch; SegmentedBM25 applies it at
+    query time and stays bit-identical to a rebuild over the remaining docs
+    (asserted in tests/test_state.py) — no monolithic rebuild, and no
+    Lucene-style stale df/avgdl.
+
+    Flow: webtext corpus → snapshot store v1 → base segment; DELETE the
+    '/p3'-suffixed pages → v2 → tombstone; query the segmented index.
+    Rows: (query_id, rank, docid, score); rows-only (BM25 is not
+    SQL-expressible)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
+    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        tombstone_snapshot_delete,
+    )
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    web = webtext_for_sf(sf_dir)
+    work = os.path.join(
+        "/tmp/terrier_ray_dml_tomb", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=8, num_salts=2, heavy_min_df=200)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
+    n_del = sql_dml(
+        "DELETE FROM webstore WHERE url LIKE '%/p3'", sqlsf, {"webstore": store}
+    )
+    assert n_del and n_del > 0, "DELETE removed no rows"
+    tomb = tombstone_snapshot_delete(segroot, store, 1, 2)
+    assert tomb is not None, "DELETE tombstoned no indexed docs"
+    seg = SegmentedBM25([base_seg], tombstone_dirs=[tomb])
+
+    queries = generate_queries(8)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, s) in enumerate(seg.search(text, 10), start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_delete_index_ingest": sql_delete_index_ingest,
     "sql_insert_index_ingest": sql_insert_index_ingest,
     "sql_insert_values_roundtrip": sql_insert_values_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,

@@ -243,3 +243,62 @@ def test_sql_insert_delta_segment_identity(ray_session, tmp_root):
     # idempotence: re-running the same ingest reuses the segment (manifests)
     again = ingest_snapshot_delta(segroot, store, 1, **kw)
     assert again == delta_seg
+
+
+def test_sql_delete_tombstone_identity(ray_session, tmp_root):
+    """DML → index maintenance for DELETE: a snapshot DELETE through SQL
+    emits a tombstone sidecar with EXACT stat deltas; SegmentedBM25 over
+    [base] + tombstone must be rank-AND-score-identical (bit-identical
+    floats) to a monolithic rebuild over the remaining docs — the
+    delete_translator.cpp analog, exact where Lucene tombstones go stale."""
+    import os
+
+    import ray.data as rd
+
+    from terrier_ray.datagen import generate_webtext_parquet
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import BM25Index, SegmentedBM25
+    from terrier_ray.index.build import build_index
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        tombstone_snapshot_delete,
+    )
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    work = os.path.join(str(tmp_root), "dml_tomb")
+    web = generate_webtext_parquet(os.path.join(work, "web"), num_docs=800, seed=4)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=4, num_salts=2, heavy_min_df=200)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
+    n_del = sql_dml(
+        "DELETE FROM webstore WHERE url LIKE '%/p3'", sqlsf, {"webstore": store}
+    )
+    assert n_del and n_del > 0
+    tomb = tombstone_snapshot_delete(segroot, store, 1, 2)
+    assert tomb is not None
+
+    seg = SegmentedBM25([base_seg], tombstone_dirs=[tomb])
+    mono_corpus = os.path.join(work, "mono_corpus")
+    os.symlink(snapshots.snapshot_dir(store, 2), mono_corpus)
+    mono_dir = os.path.join(work, "mono_idx")
+    build_index(mono_corpus, mono_dir, **kw)
+    mono = BM25Index(mono_dir)
+    assert seg.n_docs == mono.n_docs
+    assert seg.avgdl == mono.avgdl
+    deleted = set(seg._del_ids.tolist())
+    hits = 0
+    for q in generate_queries(15).column("text").to_pylist():
+        got = seg.search(q, 10)
+        assert got == mono.search(q, 10), q
+        assert not ({d for d, _ in got} & deleted)
+        hits += len(got)
+    assert hits > 0
+    # idempotence: re-running the same delete ingest reuses the sidecar
+    assert tombstone_snapshot_delete(segroot, store, 1, 2) == tomb
