@@ -844,10 +844,14 @@ class SegmentedBM25:
     delete (matched-doc count, deleted dl sum, per-term deleted df — mined
     from the segments' own corpus epochs, so the tokenization is the
     index's own).  n_docs / avgdl / idf are adjusted with integer deltas
-    and deleted docids are masked out of every posting, so search stays
-    bit-identical to an index REBUILT over the remaining docs — not the
-    Lucene approximation where df/avgdl go stale until a merge.  Tombstone
-    ranges must be disjoint (one per DML version step, like segments)."""
+    and dead docids are masked out of the postings PER SEGMENT (the
+    sidecar's ``seg`` column), so search stays bit-identical to an index
+    REBUILT over the remaining docs — not the Lucene approximation where
+    df/avgdl go stale until a merge.  Per-segment scoping is what makes
+    UPDATE work: the same docid is dead in the base segment and live in
+    the delta carrying its new body (segments.sync_snapshot_dml).
+    Tombstone ranges must be disjoint (one per DML version step, like
+    segments)."""
 
     def __init__(
         self,
@@ -857,33 +861,45 @@ class SegmentedBM25:
         if not segment_dirs:
             raise ValueError("need at least one segment")
         self.segments = [BM25Index(d) for d in segment_dirs]
+        self._seg_names = [os.path.basename(d.rstrip("/")) for d in segment_dirs]
         self.n_docs = sum(s.n_docs for s in self.segments)
         total_dl = sum(int(s.stats["total_dl"]) for s in self.segments)
-        self._del_ids = np.empty(0, dtype=np.int64)
+        # per-SEGMENT sorted deleted-docid arrays: an updated doc keeps its
+        # docid (old body tombstoned in the base segment, new body live in a
+        # delta), so the mask must not touch the delta's posting
+        self._del_by_seg: dict[str, np.ndarray] = {}
         self._df_del: dict[str, int] = {}
         if tombstone_dirs:
             import json
 
             import pyarrow.parquet as _pq
 
-            ids = []
+            raw: dict[str, list[np.ndarray]] = {}
             for td in tombstone_dirs:
                 with open(os.path.join(td, "meta.json")) as f:
                     meta = json.load(f)
                 self.n_docs -= int(meta["n_del"])
                 total_dl -= int(meta["dl_del"])
-                ids.append(
-                    _pq.read_table(os.path.join(td, "deleted.parquet"))
-                    .column("docid").to_numpy(zero_copy_only=False)
-                )
-                dtab = _pq.read_table(os.path.join(td, "termdeltas.parquet"))
-                for t, c in zip(dtab.column("term").to_pylist(),
-                                dtab.column("df_del").to_pylist()):
+                dtab = _pq.read_table(os.path.join(td, "deleted.parquet"))
+                d = dtab.column("docid").to_numpy(zero_copy_only=False)
+                for sname, did in zip(dtab.column("seg").to_pylist(), d):
+                    raw.setdefault(sname, []).append(did)
+                ttab = _pq.read_table(os.path.join(td, "termdeltas.parquet"))
+                for t, c in zip(ttab.column("term").to_pylist(),
+                                ttab.column("df_del").to_pylist()):
                     self._df_del[t] = self._df_del.get(t, 0) + int(c)
-            self._del_ids = np.unique(np.concatenate(ids)) if ids else (
-                self._del_ids
-            )
+            self._del_by_seg = {
+                s: np.unique(np.asarray(v, dtype=np.int64))
+                for s, v in raw.items()
+            }
         self.avgdl = (total_dl / self.n_docs) if self.n_docs else 0.0
+
+    @property
+    def _del_ids(self) -> np.ndarray:
+        """Union of all tombstoned docids (diagnostics/tests)."""
+        if not self._del_by_seg:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(list(self._del_by_seg.values())))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         terms = _query_terms(query)
@@ -896,18 +912,18 @@ class SegmentedBM25:
             if df_total <= 0:
                 continue
             w = idf(self.n_docs, df_total)
-            for seg, post in zip(self.segments, posts):
+            for seg, sname, post in zip(self.segments, self._seg_names, posts):
                 p = post.get(t)
                 if p is None:
                     continue
                 _df, dids, tfs, _, _ = p
-                if self._del_ids.size:
+                gone = self._del_by_seg.get(sname)
+                if gone is not None and gone.size:
                     d64 = dids.astype(np.int64, copy=False)
                     pos = np.clip(
-                        np.searchsorted(self._del_ids, d64),
-                        0, self._del_ids.size - 1,
+                        np.searchsorted(gone, d64), 0, gone.size - 1
                     )
-                    keep = self._del_ids[pos] != d64
+                    keep = gone[pos] != d64
                     if not keep.all():
                         dids, tfs = dids[keep], tfs[keep]
                         if not dids.size:

@@ -1,16 +1,26 @@
 """Segment lifecycle helpers for the incremental-index path.
 
-- ``add_segment``: ingest a new webtext batch as a DELTA index next to the
-  existing segments (one ``build_index`` over only the new docs — the
-  incremental-update answer; no monolithic rebuild).
+- ``add_segment`` / ``ingest_snapshot_delta``: ingest a new webtext batch
+  (or the part files a snapshot INSERT appended) as a DELTA index next to
+  the existing segments — no monolithic rebuild.
+- ``tombstone_snapshot_delete`` / ``build_tombstones``: a snapshot DELETE
+  becomes a tombstone sidecar with EXACT stat deltas (per-term df, dl sum,
+  doc count — mined from the segments' own corpus epochs), applied by
+  ``SegmentedBM25`` at query time.
+- ``sync_snapshot_dml``: the general content diff — INSERT/UPDATE/DELETE
+  in one version step become (delta segment, tombstone); an UPDATE is
+  delete+insert with the same docid, handled by per-segment tombstone
+  scoping.
 - ``compact_segments``: merge N segments back into one index by building
   over the union corpus (run when query-time fan-out across segments starts
   to hurt — the Lucene-style merge policy, applied batch-wise).
 
-Reference analog: the reference maintains indexes transactionally on every
-INSERT (insert_translator.cpp maintains all indexes via StorageInterface);
-an immutable-batch engine gets the same effect with delta segments +
-periodic compaction.
+Reference analog: the reference maintains indexes transactionally inside
+every DML plan (insert_translator.cpp / update_translator.cpp /
+delete_translator.cpp via StorageInterface); an immutable-batch engine
+gets the same effect — and unlike Lucene-style tombstones, EXACT post-DML
+global stats — with delta segments + stat-delta tombstones + periodic
+compaction.
 """
 
 from __future__ import annotations
@@ -141,6 +151,7 @@ def build_tombstones(
     segment_dirs: "list[str]",
     deleted_docids: np.ndarray,
     name: str,
+    already_dead: "dict[str, np.ndarray] | None" = None,
 ) -> "str | None":
     """Write a tombstone sidecar with EXACT global-stats deltas for a set of
     deleted docids (reference analog: delete_translator.cpp deletes from
@@ -163,6 +174,7 @@ def build_tombstones(
     — one sidecar per DML version step, like delta segments.  Returns the
     sidecar dir, or None when no deleted docid exists in any segment."""
     deleted_docids = np.unique(np.asarray(deleted_docids, dtype=np.int64))
+    already_dead = already_dead or {}
     tomb_dir = os.path.join(segments_root, name)
     meta_path = os.path.join(tomb_dir, "meta.json")
     fp = {
@@ -170,6 +182,10 @@ def build_tombstones(
             deleted_docids.tobytes(), digest_size=8
         ).hexdigest(),
         "segments": sorted(os.path.basename(d.rstrip("/")) for d in segment_dirs),
+        "already": {
+            s: hashlib.blake2b(np.sort(v).tobytes(), digest_size=8).hexdigest()
+            for s, v in sorted(already_dead.items())
+        },
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -180,8 +196,10 @@ def build_tombstones(
 
     df_del: dict[str, int] = {}
     matched: list[np.ndarray] = []
+    matched_seg: list[str] = []
     dl_del = 0
     for seg in segment_dirs:
+        seg_name = os.path.basename(seg.rstrip("/"))
         for f in sorted(glob.glob(os.path.join(seg, "corpus", "*.parquet"))):
             pf = pq.ParquetFile(f)
             d = pf.read(columns=["docid"]).column("docid").to_numpy(
@@ -207,20 +225,43 @@ def build_tombstones(
             sub = tab.filter(
                 pc.is_in(tab.column("docid"), value_set=pa.array(deleted_docids))
             )
-            matched.append(
-                sub.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            dead = already_dead.get(seg_name)
+            if dead is not None and len(dead) and sub.num_rows:
+                # rows an earlier tombstone already killed in this segment
+                # must not be double-counted in the stat deltas
+                sub = sub.filter(
+                    pc.invert(
+                        pc.is_in(sub.column("docid"),
+                                 value_set=pa.array(np.sort(dead)))
+                    )
+                )
+            if not sub.num_rows:
+                continue
+            mids = sub.column("docid").to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
+            matched.append(mids)
+            matched_seg.extend([seg_name] * len(mids))
             dl_del += int(pc.sum(sub.column("dl")).as_py() or 0)
             vc = pc.list_flatten(sub.column("terms")).value_counts()
             for t, c in zip(vc.field("values").to_pylist(),
                             vc.field("counts").to_pylist()):
                 df_del[t] = df_del.get(t, 0) + int(c)
-    ids = np.unique(np.concatenate(matched)) if matched else np.empty(
-        0, dtype=np.int64
-    )
+    # one row per (segment, docid) — the docids are masked PER SEGMENT at
+    # query time, so an updated doc (same docid: old body in the base
+    # segment, new body in a delta) loses only its stale posting
+    ids = np.concatenate(matched) if matched else np.empty(0, dtype=np.int64)
+    segs_arr = np.array(matched_seg, dtype=object)
+    order = np.lexsort((ids, segs_arr))
+    ids, segs_arr = ids[order], segs_arr[order]
     os.makedirs(tomb_dir, exist_ok=True)
-    pq.write_table(pa.table({"docid": pa.array(ids)}),
-                   os.path.join(tomb_dir, "deleted.parquet"))
+    pq.write_table(
+        pa.table({
+            "docid": pa.array(ids),
+            "seg": pa.array(segs_arr.tolist(), type=pa.string()),
+        }),
+        os.path.join(tomb_dir, "deleted.parquet"),
+    )
     terms = sorted(df_del)
     pq.write_table(
         pa.table({
@@ -235,6 +276,18 @@ def build_tombstones(
                    "fingerprint": fp}, f)
     os.replace(tmp, meta_path)
     return tomb_dir if ids.size else None
+
+
+def _dead_by_seg(tombstone_dirs: "list[str]") -> "dict[str, np.ndarray]":
+    """(segment → sorted dead docids) union over existing tombstone sidecars
+    — the exclusion set a NEW tombstone build must not double-count."""
+    raw: dict[str, list[int]] = {}
+    for td in tombstone_dirs:
+        tab = pq.read_table(os.path.join(td, "deleted.parquet"))
+        for s, d in zip(tab.column("seg").to_pylist(),
+                        tab.column("docid").to_pylist()):
+            raw.setdefault(s, []).append(int(d))
+    return {s: np.unique(np.array(v, dtype=np.int64)) for s, v in raw.items()}
 
 
 def tombstone_snapshot_delete(
@@ -256,12 +309,116 @@ def tombstone_snapshot_delete(
     gone = deleted_docids_between(snapshot_root, from_version, to_version)
     if not gone.size:
         return None
+    name = f"tomb-v{from_version:04d}-v{to_version:04d}"
+    others = [t for t in list_tombstones(segments_root)
+              if os.path.basename(t.rstrip("/")) != name]
     return build_tombstones(
         segments_root,
         list_segments(segments_root),
         gone,
-        f"tomb-v{from_version:04d}-v{to_version:04d}",
+        name,
+        already_dead=_dead_by_seg(others),
     )
+
+
+def sync_snapshot_dml(
+    segments_root: str,
+    snapshot_root: str,
+    from_version: int,
+    to_version: "int | None" = None,
+    **build_kwargs,
+) -> "tuple[str | None, str | None]":
+    """General DML → index sync: diff two snapshot versions BY CONTENT and
+    emit (delta segment, tombstone) so a SegmentedBM25 over the result is
+    bit-identical to a rebuild over the new version.  Handles any mix in
+    one version step:
+
+    - rows only in v_to (INSERT)          → delta segment
+    - rows only in v_from (DELETE)        → tombstone
+    - same url, different html/text (UPDATE) → BOTH: the old body is
+      tombstoned in the prior segments, the new body rides the delta —
+      the reference's update_translator.cpp delete+insert on
+      indexed-column change, expressed as immutable batches.  Per-segment
+      tombstone scoping (the ``seg`` column) is what lets the same docid
+      be dead in the base and live in the delta.
+
+    Content diff reads (url, html, text) of both versions and hashes rows
+    driver-side — bounded by the store, not the corpus under index; at
+    1e12 docs this is a co-partitioned hash-compare join (the repo's
+    partitioned_join shape).  ``ingest_snapshot_delta`` stays the cheaper
+    INSERT-only path (hardlink basename diff, no content read).  Stores
+    with DUPLICATE urls should compact instead — the diff hashes one row
+    per docid, so it cannot see a change of dedup winner among dup rows."""
+    from terrier_ray.datagen.webtext import url_doc_id
+    from terrier_ray.state import snapshots
+
+    if to_version is None:
+        to_version = snapshots.current_version(snapshot_root)
+
+    import pyarrow.dataset as pads
+
+    def _content(v: int) -> "tuple[pa.Table, dict[int, int]]":
+        tab = pads.dataset(
+            snapshots.snapshot_dir(snapshot_root, v)
+        ).to_table()
+        ids = url_doc_id(tab.column("url")).astype(np.int64)
+        hs: dict[int, int] = {}
+        for did, hb, tx in zip(
+            ids,
+            tab.column("html").to_pylist(),
+            tab.column("text").to_pylist(),
+        ):
+            h = hashlib.blake2b(digest_size=8)
+            h.update(bytes(hb) if hb else b"")
+            h.update(b"\x00")
+            h.update((tx or "").encode("utf-8"))
+            hs[int(did)] = int.from_bytes(h.digest(), "little")
+        return tab, hs
+
+    old_tab, old_h = _content(from_version)
+    new_tab, new_h = _content(to_version)
+    removed = sorted(set(old_h) - set(new_h))
+    changed = sorted(
+        d for d in set(old_h) & set(new_h) if old_h[d] != new_h[d]
+    )
+    added = sorted(set(new_h) - set(old_h))
+
+    delta_name = f"seg-dml-v{from_version:04d}-v{to_version:04d}"
+    tomb_name = f"tomb-v{from_version:04d}-v{to_version:04d}"
+    # prior segments only: this step's own delta (idempotent re-run) must
+    # not be scanned for its own update victims
+    prior_segs = [
+        d for d in list_segments(segments_root)
+        if os.path.basename(d.rstrip("/")) != delta_name
+    ]
+    others = [t for t in list_tombstones(segments_root)
+              if os.path.basename(t.rstrip("/")) != tomb_name]
+    tomb = None
+    dead = np.array(removed + changed, dtype=np.int64)
+    if dead.size and prior_segs:
+        tomb = build_tombstones(
+            segments_root, prior_segs, dead, tomb_name,
+            already_dead=_dead_by_seg(others),
+        )
+
+    delta_seg = None
+    fresh = np.sort(np.array(added + changed, dtype=np.int64))
+    if fresh.size:
+        new_ids = url_doc_id(new_tab.column("url")).astype(np.int64)
+        idx = np.clip(np.searchsorted(fresh, new_ids), 0, fresh.size - 1)
+        rows = new_tab.filter(pa.array(fresh[idx] == new_ids))
+        seg_dir = os.path.join(segments_root, delta_name)
+        corpus = os.path.join(seg_dir, "_dml_corpus")
+        os.makedirs(corpus, exist_ok=True)
+        tag = hashlib.blake2b(fresh.tobytes(), digest_size=8).hexdigest()
+        part = os.path.join(corpus, f"part-{tag}.parquet")
+        if not os.path.exists(part):  # content-derived name → idempotent
+            tmp = f"{part}.tmp-{os.getpid()}"
+            pq.write_table(rows, tmp, row_group_size=4096)
+            os.replace(tmp, part)
+        build_index(corpus, seg_dir, **build_kwargs)
+        delta_seg = seg_dir
+    return delta_seg, tomb
 
 
 def list_tombstones(segments_root: str) -> "list[str]":
@@ -278,6 +435,31 @@ def list_segments(segments_root: str) -> "list[str]":
         for d in glob.glob(os.path.join(segments_root, "seg-*"))
         if os.path.isdir(d)
     )
+
+
+def compact_snapshot(
+    snapshot_root: str, out_dir: str, version: "int | None" = None, **build_kwargs
+) -> str:
+    """Post-DML compaction: ONE index over a snapshot version (default:
+    current).  The snapshot already has every INSERT/UPDATE/DELETE applied,
+    so this retires the whole [segments + tombstones] set at once — the
+    batch analog of Lucene's merge making tombstones physical.  The corpus
+    dir holds a symlink to the version dir (no copy); build_index
+    fingerprints the linked files, so re-running after further DML rebuilds
+    exactly once per version."""
+    from terrier_ray.state import snapshots
+
+    if version is None:
+        version = snapshots.current_version(snapshot_root)
+    corpus = os.path.join(out_dir, "_snapshot_corpus")
+    os.makedirs(out_dir, exist_ok=True)
+    src = snapshots.snapshot_dir(snapshot_root, version)
+    if os.path.islink(corpus) and os.readlink(corpus) != os.path.abspath(src):
+        os.unlink(corpus)
+    if not os.path.exists(corpus):
+        os.symlink(os.path.abspath(src), corpus)
+    build_index(corpus, out_dir, **build_kwargs)
+    return out_dir
 
 
 def compact_segments(

@@ -317,9 +317,81 @@ def sql_delete_index_ingest(sf_dir: str):
     )
 
 
+def sql_update_index_ingest(sf_dir: str):
+    """SQL UPDATE unified with incremental index maintenance — the
+    update_translator.cpp analog (the reference re-indexes changed rows as
+    delete+insert inside the UPDATE plan): ``UPDATE <webtext store> SET
+    text = …`` through the SQL front-end, then
+    ``index/segments.sync_snapshot_dml`` diffs the two snapshot versions BY
+    CONTENT and emits both halves — a tombstone for the stale bodies in the
+    base segment and a delta segment carrying the new bodies (same docids;
+    per-segment tombstone scoping keeps the delta copies live).
+    SegmentedBM25 over the result is bit-identical to a rebuild over the
+    updated snapshot (asserted in tests/test_state.py).
+
+    Rows: (query_id, rank, docid, score) over queries that include the
+    updated vocabulary; rows-only (BM25 is not SQL-expressible)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
+    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        sync_snapshot_dml,
+    )
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    web = webtext_for_sf(sf_dir)
+    work = os.path.join(
+        "/tmp/terrier_ray_dml_upd_idx", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=8, num_salts=2, heavy_min_df=200)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
+    v = sql_dml(
+        "UPDATE webstore SET text = 'zebra quokka xylophone census zebra' "
+        "WHERE url LIKE '%/p5'",
+        sqlsf,
+        {"webstore": store},
+    )
+    assert v == 2, "UPDATE did not publish snapshot v2"
+    delta_seg, tomb = sync_snapshot_dml(segroot, store, 1, 2, **kw)
+    assert delta_seg is not None and tomb is not None
+    seg = SegmentedBM25([base_seg, delta_seg], tombstone_dirs=[tomb])
+
+    queries = generate_queries(7)
+    texts = queries.column("text").to_pylist() + ["zebra quokka"]
+    qids = queries.column("query_id").to_pylist() + [9999]
+    out_q, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(qids, texts):
+        for rank, (d, s) in enumerate(seg.search(text, 10), start=1):
+            out_q.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_delete_index_ingest": sql_delete_index_ingest,
+    "sql_update_index_ingest": sql_update_index_ingest,
     "sql_insert_index_ingest": sql_insert_index_ingest,
     "sql_insert_values_roundtrip": sql_insert_values_roundtrip,
     "sql_update_roundtrip": sql_update_roundtrip,

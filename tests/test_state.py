@@ -302,3 +302,106 @@ def test_sql_delete_tombstone_identity(ray_session, tmp_root):
     assert hits > 0
     # idempotence: re-running the same delete ingest reuses the sidecar
     assert tombstone_snapshot_delete(segroot, store, 1, 2) == tomb
+
+
+def test_sql_update_dml_sync_identity(ray_session, tmp_root):
+    """General DML → index sync (update_translator.cpp delete+insert
+    analog): an UPDATE moves a doc's body from the base segment to a delta
+    while keeping its docid — per-segment tombstone scoping must kill only
+    the stale copy.  A follow-up DELETE of the same docs must kill the
+    delta copy WITHOUT double-counting the already-dead base copy
+    (already_dead exclusion).  Both states bit-identical to rebuilds."""
+    import os
+
+    import ray.data as rd
+
+    from terrier_ray.datagen import generate_webtext_parquet
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import BM25Index, SegmentedBM25
+    from terrier_ray.index.build import build_index
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        sync_snapshot_dml,
+    )
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    work = os.path.join(str(tmp_root), "dml_sync")
+    web = generate_webtext_parquet(os.path.join(work, "web"), num_docs=600, seed=5)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=4, num_salts=2, heavy_min_df=200)
+    stores = {"webstore": store}
+
+    def rebuild(version, tag):
+        c = os.path.join(work, f"mono_c_{tag}")
+        os.symlink(snapshots.snapshot_dir(store, version), c)
+        d = os.path.join(work, f"mono_{tag}")
+        build_index(c, d, **kw)
+        return BM25Index(d)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base = ingest_snapshot_delta(segroot, store, 0, **kw)
+
+    def _matching(version):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        tab = pads.dataset(snapshots.snapshot_dir(store, version)).to_table(
+            columns=["url", "text"]
+        )
+        return tab.filter(pc.match_like(tab.column("url"), "%/p5"))
+
+    n_docs = _matching(1).num_rows
+    assert n_docs > 0
+
+    # UPDATE: new body for every '/p5' page → v2 (sql_dml returns the
+    # published snapshot VERSION, not a row count)
+    v = sql_dml(
+        "UPDATE webstore SET text = 'zebra quokka xylophone census zebra' "
+        "WHERE url LIKE '%/p5'",
+        sqlsf, stores,
+    )
+    assert v == 2
+    upd = _matching(2)
+    assert upd.num_rows == n_docs
+    assert set(upd.column("text").to_pylist()) == {
+        "zebra quokka xylophone census zebra"
+    }
+    delta, tomb = sync_snapshot_dml(segroot, store, 1, 2, **kw)
+    assert delta is not None and tomb is not None
+    seg2 = SegmentedBM25([base, delta], tombstone_dirs=[tomb])
+    mono2 = rebuild(2, "v2")
+    assert seg2.n_docs == mono2.n_docs
+    assert seg2.avgdl == mono2.avgdl
+    qs = generate_queries(12).column("text").to_pylist() + ["zebra quokka"]
+    for q in qs:
+        assert seg2.search(q, 10) == mono2.search(q, 10), q
+    assert seg2.search("zebra quokka", 10)  # updated bodies are findable
+
+    # DELETE the updated docs → v3: kills the DELTA copies; the base copies
+    # are already dead and must not be double-counted
+    v = sql_dml("DELETE FROM webstore WHERE url LIKE '%/p5'", sqlsf, stores)
+    assert v == 3
+    assert _matching(3).num_rows == 0
+    d2, t2 = sync_snapshot_dml(segroot, store, 2, 3, **kw)
+    assert d2 is None and t2 is not None
+    seg3 = SegmentedBM25([base, delta], tombstone_dirs=[tomb, t2])
+    # compaction retires the whole segment+tombstone set: one index over
+    # the current snapshot version — and doubles as the v3 oracle
+    from terrier_ray.index.segments import compact_snapshot
+
+    mono3 = BM25Index(
+        compact_snapshot(store, os.path.join(work, "compacted"), 3, **kw)
+    )
+    assert seg3.n_docs == mono3.n_docs
+    assert seg3.avgdl == mono3.avgdl
+    for q in qs:
+        assert seg3.search(q, 10) == mono3.search(q, 10), q
+    assert seg3.search("zebra quokka", 10) == []
+
+    # idempotence: re-running either step reuses/reproduces its artifacts
+    assert sync_snapshot_dml(segroot, store, 2, 3, **kw) == (d2, t2)
