@@ -462,6 +462,74 @@ def compact_snapshot(
     return out_dir
 
 
+def segments_health(segments_root: str) -> dict:
+    """Cheap merge-policy inputs: segment fan-out and tombstoned-doc
+    fraction, read from each segment's stats.json and each tombstone's
+    meta.json only (no posting reads — O(segments) tiny files even at
+    1e12 docs)."""
+    n_docs = 0
+    segs = list_segments(segments_root)
+    for d in segs:
+        with open(os.path.join(d, "stats.json")) as f:
+            n_docs += int(json.load(f)["n_docs"])
+    n_dead = 0
+    tombs = list_tombstones(segments_root)
+    for t in tombs:
+        with open(os.path.join(t, "meta.json")) as f:
+            n_dead += int(json.load(f)["n_del"])
+    return {
+        "n_segments": len(segs),
+        "n_tombstones": len(tombs),
+        "n_docs": n_docs,  # live+dead postings-bearing docs across segments
+        "n_dead": n_dead,
+        "dead_frac": (n_dead / n_docs) if n_docs else 0.0,
+    }
+
+
+def maybe_compact(
+    segments_root: str,
+    snapshot_root: str,
+    *,
+    max_segments: int = 8,
+    max_dead_frac: float = 0.2,
+    **build_kwargs,
+) -> "str | None":
+    """Lucene-style merge policy for the DML-maintained index: when
+    query-time fan-out (segment count > ``max_segments``) or wasted work
+    (tombstoned-doc fraction > ``max_dead_frac``) crosses its threshold,
+    compact to ONE segment over the CURRENT snapshot version and retire
+    the old segments + tombstones (moved under ``_retired/``, invisible to
+    list_segments/list_tombstones).  Retirement happens only AFTER
+    build_index publishes the new segment's manifest, so a compaction
+    killed mid-build leaves the old set fully live and a re-run resumes
+    the build.  Returns the new segment dir, or None when healthy.
+    Reference analog: the reference rebuilds/maintains indexes inside DML
+    plans; Lucene's TieredMergePolicy is the public design this follows
+    (threshold-triggered background merge making deletes physical)."""
+    from terrier_ray.state import snapshots
+
+    h = segments_health(segments_root)
+    if h["n_segments"] <= max_segments and h["dead_frac"] <= max_dead_frac:
+        return None
+    version = snapshots.current_version(snapshot_root)
+    dest_name = f"seg-compact-v{version:04d}"
+    dest = os.path.join(segments_root, dest_name)
+    old_segs = [
+        d for d in list_segments(segments_root)
+        if os.path.basename(d.rstrip("/")) != dest_name
+    ]
+    old_tombs = list_tombstones(segments_root)
+    compact_snapshot(snapshot_root, dest, version, **build_kwargs)
+    retired = os.path.join(segments_root, "_retired")
+    os.makedirs(retired, exist_ok=True)
+    for d in old_segs + old_tombs:
+        tgt = os.path.join(retired, os.path.basename(d.rstrip("/")))
+        if os.path.exists(tgt):
+            shutil.rmtree(tgt)
+        os.rename(d, tgt)
+    return dest
+
+
 def compact_segments(
     webtext_dirs: "list[str]", out_dir: str, **build_kwargs
 ) -> str:

@@ -405,3 +405,27 @@ def test_sql_update_dml_sync_identity(ray_session, tmp_root):
 
     # idempotence: re-running either step reuses/reproduces its artifacts
     assert sync_snapshot_dml(segroot, store, 2, 3, **kw) == (d2, t2)
+
+    # merge policy: fan-out over threshold → compact to one segment over
+    # the current snapshot, retire the old segments + tombstones
+    from terrier_ray.index.segments import (
+        list_segments,
+        list_tombstones,
+        maybe_compact,
+        segments_health,
+    )
+
+    h = segments_health(segroot)
+    assert h["n_segments"] == 2 and h["n_tombstones"] == 2
+    assert h["n_dead"] > 0 and 0 < h["dead_frac"] < 1
+    assert maybe_compact(segroot, store, max_segments=8, **kw) is None  # healthy
+    new_seg = maybe_compact(segroot, store, max_segments=1, **kw)
+    assert new_seg is not None
+    assert list_segments(segroot) == [new_seg]
+    assert list_tombstones(segroot) == []
+    seg4 = SegmentedBM25([new_seg])
+    assert seg4.n_docs == mono3.n_docs
+    for q in qs:
+        assert seg4.search(q, 10) == mono3.search(q, 10), q
+    # below threshold now → no-op
+    assert maybe_compact(segroot, store, max_segments=1, **kw) is None
