@@ -493,6 +493,10 @@ def explain(spec: Mapping[str, Any], indent: str = "") -> str:
             )
             if op.get("swapped_build"):
                 extra += " (build side swapped: small probe→build)"
+            if op.get("reordered"):
+                extra += " (stats-reordered)"
+            if not op.get("broadcast") and op.get("num_partitions"):
+                extra += f" parts={op['num_partitions']}"
             lines.append(
                 f"{indent}Join[{op.get('how', 'inner')},{side}] on={op['on']}{extra}"
             )

@@ -834,10 +834,12 @@ class SegmentedBM25:
     rank-AND-score-identical to the monolithic index (asserted in
     tests/test_index_bm25.py).
 
-    Contract: segment doc sets are DISJOINT (append-only ingest; an updated
-    url belongs in a compaction, not a delta).  When segment count makes the
-    per-query fan-out hurt, compact: build one index over the union corpus
-    (terrier_ray.index.segments.compact_segments).
+    Contract: LIVE doc sets are disjoint across segments — append-only
+    ingest keeps them disjoint by construction, and an UPDATE keeps the
+    invariant by tombstoning the old copy in its prior segment while the
+    delta carries the new body (segments.sync_snapshot_dml).  When segment
+    count or tombstone mass makes the per-query fan-out hurt, compact
+    (terrier_ray.index.segments.maybe_compact / compact_segments).
 
     DELETE support (``tombstone_dirs``): each sidecar from
     ``segments.build_tombstones`` carries the EXACT stat deltas of a DML

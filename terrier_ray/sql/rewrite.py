@@ -23,6 +23,13 @@ front-end and hand-written specs:
    post-pruning) becomes a broadcast join: ``ray.put`` once, Acero
    hash-join per batch, no shuffle.  Larger sides keep the cogroup
    hash-shuffle.
+4. **Join order.**  Within a run of consecutive inner joins, selective
+   broadcast joins move ahead of big shuffle joins (``_reorder_joins``)
+   so every later exchange sees the already-shrunk stream — subject to
+   key availability, and only when a later project pins column order.
+5. **Shuffle-join bucket count.**  ``_size_join_partitions`` targets
+   ~64 MB estimated input per bucket instead of a fixed 16 (floored at
+   16, capped at 256).
 
 ``optimize`` never changes results — only where work happens.  Tests
 assert plan shape AND value-identity against the naive spec.
@@ -292,6 +299,8 @@ def optimize(
     _prune_columns(spec, sf_dir)
     _choose_build_side(spec, sf_dir, broadcast_max_bytes)
     _choose_joins(spec, sf_dir, broadcast_max_bytes)
+    _reorder_joins(spec, sf_dir)
+    _size_join_partitions(spec, sf_dir)
     if views:
         spec["views"] = views
     return spec
@@ -571,3 +580,225 @@ def _choose_build_side(
     ]
     spec["scan"] = rscan
     spec["ops"] = list(right.get("ops", [])) + [new_join] + rebinds + ops[ji + 1 :]
+
+
+def _right_out_cols(right: Mapping[str, Any], sf_dir: str) -> "list[str] | None":
+    """Output column names of a join right-side spec, or None when they
+    cannot be derived statically (view scans, batch-shaping ops)."""
+    scan = right.get("scan") or {}
+    if "table" not in scan:
+        return None
+    cols = list(scan.get("columns") or _schema_cols(sf_dir, scan["table"]))
+    for o in right.get("ops", []):
+        kind = o["op"]
+        if kind == "rename":
+            m = o["map"]
+            cols = [m.get(c, c) for c in cols]
+        elif kind == "compute":
+            if o["alias"] not in cols:
+                cols.append(o["alias"])
+        elif kind == "project":
+            cols = list(o["columns"])
+        elif kind != "filter":
+            return None
+    return cols
+
+
+def _join_rank(op: dict[str, Any], sf_dir: str):
+    """Greedy ordering key: broadcast joins before shuffle joins, smaller
+    estimated build first — the selective/cheap join shrinks the stream
+    every later exchange sees."""
+    est = op.get("est_right")
+    if est is None:
+        rscan = op["right"].get("scan") or {}
+        if "table" in rscan and not any(
+            o["op"] != "rename" for o in op["right"].get("ops", [])
+        ):
+            rows, size = _estimate_scan(sf_dir, rscan)
+            est = op["est_right"] = {"rows": rows, "bytes": size}
+    return (
+        0 if op.get("broadcast") else 1,
+        est["bytes"] if est else float("inf"),
+    )
+
+
+def _unit_out_cols(
+    unit: list[dict[str, Any]], sf_dir: str
+) -> "list[str] | None":
+    """Columns a (join + key-rebind computes) unit adds, or None if
+    unknown."""
+    join = unit[0]
+    rc = _right_out_cols(join["right"], sf_dir)
+    if rc is None:
+        return None
+    ron = set(join.get("right_on") or join["on"])
+    cols = [c for c in rc if c not in ron]
+    cols.extend(o["alias"] for o in unit[1:])
+    return cols
+
+
+def _join_units(
+    ops: list[dict[str, Any]], i: int
+) -> "tuple[list[list[dict[str, Any]]], int]":
+    """From ops[i], collect the maximal run of movable UNITS — an INNER
+    join plus the key-rebind computes lowering appends after it (alias =
+    the coalesced-away right key, expr = a bare left-key column; such a
+    compute needs only the join's own left keys, so it rides with the
+    join).  Returns (units, end_index)."""
+    units: list[list[dict[str, Any]]] = []
+    j = i
+    while (
+        j < len(ops)
+        and ops[j]["op"] == "join"
+        and ops[j].get("how", "inner") == "inner"
+    ):
+        join = ops[j]
+        on = set(join["on"])
+        ron = set(join.get("right_on") or join["on"])
+        unit = [join]
+        k = j + 1
+        while (
+            k < len(ops)
+            and ops[k]["op"] == "compute"
+            and set(ops[k]["expr"].keys()) == {"col"}
+            and ops[k]["alias"] in ron
+            and ops[k]["expr"]["col"] in on
+        ):
+            unit.append(ops[k])
+            k += 1
+        units.append(unit)
+        j = k
+    return units, j
+
+
+def _greedy_join_order(
+    units: list[list[dict[str, Any]]], avail: set[str], sf_dir: str
+) -> "list[list[dict[str, Any]]] | None":
+    """Order join units cheapest-first subject to key availability (a join
+    can only move ahead of another if its left keys don't come from that
+    other's right side).  Returns None when any unit's output columns are
+    unknown or the constraint can't be met."""
+    out_cols: dict[int, list[str]] = {}
+    for u in units:
+        oc = _unit_out_cols(u, sf_dir)
+        if oc is None:
+            return None
+        out_cols[id(u[0])] = oc
+    pos = {id(u[0]): k for k, u in enumerate(units)}
+    avail = set(avail)
+    remaining = list(units)
+    ordered: list[list[dict[str, Any]]] = []
+    while remaining:
+        elig = [u for u in remaining if set(u[0]["on"]) <= avail]
+        if not elig:
+            return None
+        pick = min(
+            elig, key=lambda u: (_join_rank(u[0], sf_dir), pos[id(u[0])])
+        )
+        ordered.append(pick)
+        remaining = [u for u in remaining if u is not pick]
+        avail |= set(out_cols[id(pick[0])])
+    return ordered
+
+
+def _reorder_joins(spec: dict[str, Any], sf_dir: str) -> None:
+    """Stats-driven join ORDERING: within a maximal run of consecutive
+    INNER joins, execute selective broadcast joins (smallest estimated
+    build first) before shuffle joins, so every later exchange sees the
+    already-shrunk stream.  Inner joins commute under SQL multiset
+    semantics; a move is made only when the moved join's keys are
+    available at the new position, and only when a later ``project`` pins
+    the output column order (joins append right-side columns, so the set
+    is order-independent but the order isn't).  Moved joins carry
+    ``reordered: True`` for ``explain()``.  Reference analog: join-order
+    enumeration in the optimizer's rule set
+    (src/include/optimizer/rule.h:16-40 LOGICAL_INNER_JOIN commute /
+    associate rules) driven by TrivialCostModel."""
+    ops = spec.get("ops", [])
+    for o in ops:
+        if o["op"] in ("join", "cross_join"):
+            _reorder_joins(o["right"], sf_dir)
+    scan = spec.get("scan") or {}
+    if "table" not in scan:
+        return
+    avail: "set[str] | None" = set(
+        scan.get("columns") or _schema_cols(sf_dir, scan["table"])
+    )
+    i = 0
+    while i < len(ops) and avail is not None:
+        op = ops[i]
+        kind = op["op"]
+        if kind == "join" and op.get("how", "inner") == "inner":
+            units, j = _join_units(ops, i)
+            if len(units) >= 2 and any(
+                o2["op"] == "project" for o2 in ops[j:]
+            ):
+                new_units = _greedy_join_order(units, avail, sf_dir)
+                if new_units is not None and [
+                    id(u[0]) for u in new_units
+                ] != [id(u[0]) for u in units]:
+                    pos_old = {id(u[0]): k for k, u in enumerate(units)}
+                    for k, u in enumerate(new_units):
+                        if pos_old[id(u[0])] != k:
+                            u[0]["reordered"] = True
+                    ops[i:j] = [o for u in new_units for o in u]
+                    spec["ops"] = ops
+            for o2 in ops[i:j]:  # availability across the (ordered) run
+                if o2["op"] == "compute":
+                    avail.add(o2["alias"])
+                    continue
+                rc = _right_out_cols(o2["right"], sf_dir)
+                if rc is None:
+                    avail = None
+                    break
+                ron = set(o2.get("right_on") or o2["on"])
+                avail |= {c for c in rc if c not in ron}
+            i = j
+            continue
+        if kind == "rename":
+            m = op["map"]
+            avail = {m.get(c, c) for c in avail}
+        elif kind == "compute":
+            avail.add(op["alias"])
+        elif kind == "project":
+            avail = set(op["columns"])
+        elif kind == "join":  # non-inner join: fixed barrier, track cols
+            rc = _right_out_cols(op["right"], sf_dir)
+            if rc is None:
+                return
+            ron = set(op.get("right_on") or op["on"])
+            avail |= {c for c in rc if c not in ron}
+        elif kind != "filter":
+            return  # aggregates/windows/etc.: no join runs tracked past
+        i += 1
+
+
+#: target estimated compressed input bytes per shuffle-join bucket; the
+#: count is clamped to [16, 256] (16 = the historical fixed default — never
+#: fewer tasks than today on small inputs; 256 caps tiny-partition overhead)
+_JOIN_PARTITION_BYTES = 64 << 20
+
+
+def _size_join_partitions(spec: dict[str, Any], sf_dir: str) -> None:
+    """Stats-driven shuffle-join bucket count (the third fixed heuristic
+    after strategy and build side): ~64 MB of estimated, selectivity-scaled
+    compressed input per bucket instead of a fixed 16.  Only sizes joins
+    whose both sides are bare table scans (the estimate is meaningful) and
+    never below the old default, so small-SF plans are unchanged."""
+    scan = spec.get("scan") or {}
+    for op in spec.get("ops", []):
+        if op["op"] in ("join", "cross_join"):
+            _size_join_partitions(op["right"], sf_dir)
+        if (
+            op["op"] != "join"
+            or op.get("broadcast")
+            or "num_partitions" in op
+        ):
+            continue
+        rscan = op["right"].get("scan") or {}
+        if "table" not in scan or "table" not in rscan:
+            continue
+        total = _estimate_scan(sf_dir, scan)[1] + _estimate_scan(sf_dir, rscan)[1]
+        op["num_partitions"] = int(
+            max(16, min(256, -(-total // _JOIN_PARTITION_BYTES)))
+        )

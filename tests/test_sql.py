@@ -952,3 +952,73 @@ def test_join_build_side_swap(ray_session, tmp_root):
     assert len(mine) == len(want) > 0
     for c in want.columns:
         assert (mine[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_join_reordering_by_stats(ray_session, tmp_root):
+    """Stats-driven join ORDERING: in a run of consecutive inner joins, the
+    selective broadcast join moves ahead of the big shuffle join (every
+    later exchange sees the shrunk stream) — but ONLY when the moved
+    join's keys are available at the new position.  Values stay exactly
+    DuckDB's."""
+    import os
+
+    import duckdb
+
+    from terrier_ray.api import build
+    from terrier_ray.api import explain as api_explain
+    from terrier_ray.sql import plan
+    from terrier_ray.sql.rewrite import optimize
+
+    d = os.path.join(str(tmp_root), "reorder_sf")
+    os.makedirs(d, exist_ok=True)
+    _write_kv(d, "fact", 20_000, pad=40, prefix="f")
+    _write_kv(d, "dim_big", 20_000, pad=40, prefix="b")
+    _write_kv(d, "dim_small", 200, prefix="s")
+
+    # both join keys live on the ROOT table -> the small broadcast join
+    # may (and should) move ahead of the big shuffle join
+    q = (
+        "SELECT fact.fk AS k, dim_big.bv AS bv, dim_small.sv AS sv "
+        "FROM fact "
+        "JOIN dim_big ON fact.fk = dim_big.bk "
+        "JOIN dim_small ON fact.fv = dim_small.sk "
+        "ORDER BY k"
+    )
+    spec = optimize(plan(q, d, optimized=False), d, broadcast_max_bytes=50_000)
+    joins = [o for o in spec["ops"] if o["op"] == "join"]
+    assert [j["right"]["scan"]["table"] for j in joins] == [
+        "dim_small", "dim_big",
+    ]
+    assert joins[0].get("broadcast") and joins[0].get("reordered")
+    assert not joins[1].get("broadcast")
+    text = api_explain(spec)
+    assert "(stats-reordered)" in text
+    assert "parts=16" in text  # sized shuffle join, floored at the old 16
+
+    mine = build(spec, d).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("fact", "dim_big", "dim_small"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = con.sql(q).df().reset_index(drop=True)
+    assert list(mine.columns) == list(want.columns)
+    assert len(mine) == len(want) > 0
+    for c in mine.columns:
+        assert (mine[c].values == want[c].values).all(), c
+
+    # the second join keys on the FIRST join's right side -> availability
+    # constraint forbids the move; order must be untouched
+    q2 = (
+        "SELECT fact.fk AS k, dim_big.bv AS bv, dim_small.sv AS sv "
+        "FROM fact "
+        "JOIN dim_big ON fact.fk = dim_big.bk "
+        "JOIN dim_small ON dim_big.bv = dim_small.sk "
+        "ORDER BY k"
+    )
+    spec2 = optimize(plan(q2, d, optimized=False), d, broadcast_max_bytes=50_000)
+    joins2 = [o for o in spec2["ops"] if o["op"] == "join"]
+    assert [j["right"]["scan"]["table"] for j in joins2] == [
+        "dim_big", "dim_small",
+    ]
+    assert not any(j.get("reordered") for j in joins2)
