@@ -162,9 +162,12 @@ class BM25Index:
             self._pf_cache.popitem(last=False)
         return ent
 
-    def _read_term_rows(self, bucket: int, ts: "list[str]") -> "pa.Table | None":
+    def _read_term_rows(
+        self, bucket: int, ts: "list[str]", columns: "list[str] | None" = None
+    ) -> "pa.Table | None":
         """Posting rows of ``ts`` from one bucket: row-group-pruned direct
-        reads through the cached file handle."""
+        reads through the cached file handle.  ``columns`` restricts the
+        read (e.g. ["term", "df"] skips the posting blobs entirely)."""
         ent = self._bucket_handle(bucket)
         if ent is None:
             return None
@@ -173,6 +176,7 @@ class BM25Index:
             return pq.read_table(
                 os.path.join(self.postings_dir, f"bucket-{bucket:05d}.parquet"),
                 filters=[("term", "in", ts)],
+                columns=columns,
             )
         import bisect
 
@@ -189,7 +193,7 @@ class BM25Index:
                     break
         if not rgs:
             return None
-        tab = pf.read_row_groups(sorted(rgs))
+        tab = pf.read_row_groups(sorted(rgs), columns=columns)
         import pyarrow.compute as _pc
 
         return tab.filter(
@@ -337,6 +341,30 @@ class BM25Index:
             while len(self._cache) > self.CACHE_CAP:
                 self._cache.popitem(last=False)  # evict LRU (result keeps refs)
         return result
+
+    def df_of(self, terms: "list[str]") -> "dict[str, int]":
+        """Per-term document frequency WITHOUT decoding postings — a
+        (term, df) column read of the probed buckets' pruned row groups,
+        summing salted parts exactly as ``_merge_parts`` does.  Terms absent
+        from the index are omitted.  This is the cheap stats feed for
+        distributed segmented scoring: global idf needs every segment's df
+        but none of their posting blobs."""
+        out: dict[str, int] = {t: 0 for t in terms}
+        if not terms:
+            return {}
+        th = term_hash(np.asarray(terms, dtype=object))
+        by_bucket: dict[int, list[str]] = {}
+        for t, h in zip(terms, th):
+            for b in self._buckets_of(t, int(h)):
+                by_bucket.setdefault(b, []).append(t)
+        for bucket, ts in by_bucket.items():
+            tab = self._read_term_rows(bucket, ts, columns=["term", "df"])
+            if tab is None or tab.num_rows == 0:
+                continue
+            d = tab.to_pydict()
+            for term, df in zip(d["term"], d["df"]):
+                out[term] += int(df)
+        return {t: v for t, v in out.items() if v > 0}
 
     # ------------------------------------------------------------------
     # exact term-at-a-time scoring (vectorized; the bench default)
@@ -1020,6 +1048,135 @@ def _score_range_topk(index_dir: str, lo: int, hi: int,
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         results.append([(int(uniq[i]), float(acc[i])) for i in order])
     return results
+
+
+def _score_segment_range_topk(
+    seg_dir: str, lo: int, hi: int,
+    per_query_terms: "list[list[str]]", k: int,
+    n_docs: int, avgdl: float, df_global: "dict[str, int]",
+    dead: np.ndarray,
+):
+    """Shard-side scoring for ``DistributedSegmentedBM25``: like
+    ``_score_range_topk`` but with GLOBAL stats supplied by the caller —
+    n_docs / avgdl carry SegmentedBM25's integer-exact tombstone
+    adjustments, df_global sums every segment's df minus the tombstones'
+    df deltas — and this segment's dead docids masked before doc_len, in
+    the same order as SegmentedBM25.search, so partial k-lists merge
+    rank-AND-score-identical to it."""
+    idx = BM25Index(seg_dir)
+    all_terms = sorted({t for ts in per_query_terms for t in ts})
+    post = idx.lookup(all_terms)
+    lo64, hi64 = np.uint64(lo), np.uint64(hi)
+    dead = np.asarray(dead, dtype=np.int64)
+    results = []
+    for terms in per_query_terms:
+        chunks_d, chunks_c = [], []
+        for t in terms:
+            df = df_global.get(t, 0)
+            if df <= 0:
+                continue
+            p = post.get(t)
+            if p is None:
+                continue
+            _df, dids, tfs, _, _ = p
+            i0 = int(np.searchsorted(dids, lo64))
+            i1 = int(np.searchsorted(dids, hi64))
+            if i1 <= i0:
+                continue
+            d = dids[i0:i1]
+            tf = tfs[i0:i1]
+            if dead.size:
+                d64 = d.astype(np.int64, copy=False)
+                posn = np.clip(np.searchsorted(dead, d64), 0, dead.size - 1)
+                keep = dead[posn] != d64
+                if not keep.all():
+                    d, tf = d[keep], tf[keep]
+                    if not d.size:
+                        continue
+            dl = idx.doc_len(d)
+            tf = tf.astype(np.float64)
+            contrib = idf(n_docs, df) * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+            chunks_d.append(d.astype(np.int64))
+            chunks_c.append(contrib)
+        if not chunks_d:
+            results.append([])
+            continue
+        all_d = np.concatenate(chunks_d)
+        all_c = np.concatenate(chunks_c)
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)
+        order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+        results.append([(int(uniq[i]), float(acc[i])) for i in order])
+    return results
+
+
+class DistributedSegmentedBM25:
+    """Shard-side scoring over a DML-maintained segmented index — the
+    ``search_many_sharded`` scale shape applied per segment, so the index
+    keeps its 1e12-doc serving path through INSERT/UPDATE/DELETE without
+    waiting for a compaction.
+
+    Global stats come from tiny sidecars driver-side (n_docs/avgdl via
+    SegmentedBM25's integer-exact tombstone adjustment; per-term df via
+    ``BM25Index.df_of`` column reads minus tombstone df deltas — no
+    posting blob ever decodes at the driver).  One Ray task per
+    (segment, doclen-part docid range) scores every query against its
+    range with locally-memmapped doclens, masks ITS segment's dead
+    docids, and returns a partial top-k; the caller merges k-lists.
+    Live doc sets are disjoint across segments (SegmentedBM25 contract:
+    an update tombstones the old copy), so the merge is
+    rank-AND-score-identical to ``SegmentedBM25.search`` (tested)."""
+
+    def __init__(
+        self, segment_dirs: "list[str]",
+        tombstone_dirs: "list[str] | None" = None,
+    ):
+        import ray
+
+        self.local = SegmentedBM25(segment_dirs, tombstone_dirs=tombstone_dirs)
+        self.segment_dirs = list(segment_dirs)
+        self._score = ray.remote(_score_segment_range_topk)
+
+    def search_many(self, queries: "list[str]", k: int = 10):
+        """Per-query top-k [(docid, score), ...] lists."""
+        import ray
+
+        per_query_terms = [_query_terms(q) for q in queries]
+        terms = sorted({t for ts in per_query_terms for t in ts})
+        df_global: dict[str, int] = {}
+        for seg in self.local.segments:
+            for t, v in seg.df_of(terms).items():
+                df_global[t] = df_global.get(t, 0) + v
+        for t, dd in self.local._df_del.items():
+            if t in df_global:
+                df_global[t] -= dd
+        futs = []
+        for seg, sdir, sname in zip(
+            self.local.segments, self.segment_dirs, self.local._seg_names
+        ):
+            dead = self.local._del_by_seg.get(
+                sname, np.empty(0, dtype=np.int64)
+            )
+            lows = [int(lo) for lo in seg._dl_lo]
+            bounds = lows + [1 << 63]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                futs.append(
+                    self._score.remote(
+                        sdir, lo, hi, per_query_terms, k,
+                        self.local.n_docs, self.local.avgdl,
+                        df_global, dead,
+                    )
+                )
+        partials = ray.get(futs)
+        results = []
+        for qi in range(len(queries)):
+            cand = [pair for part in partials for pair in part[qi]]
+            cand.sort(key=lambda x: (-x[1], x[0]))
+            results.append(cand[:k])
+        return results
 
 
 class DistributedBM25:

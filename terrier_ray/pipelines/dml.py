@@ -329,13 +329,18 @@ def sql_update_index_ingest(sf_dir: str):
     SegmentedBM25 over the result is bit-identical to a rebuild over the
     updated snapshot (asserted in tests/test_state.py).
 
+    Query-time serving goes through ``DistributedSegmentedBM25`` — shard-
+    side scoring per (segment, docid range) with driver-side global stats,
+    rank-AND-score-identical to the local SegmentedBM25 (tested) — so the
+    DML'd index keeps the 1e12-doc serving shape without a compaction.
+
     Rows: (query_id, rank, docid, score) over queries that include the
     updated vocabulary; rows-only (BM25 is not SQL-expressible)."""
     import pyarrow as pa
     import ray.data as rd
 
     from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
-    from terrier_ray.index.bm25 import SegmentedBM25
+    from terrier_ray.index.bm25 import DistributedSegmentedBM25
     from terrier_ray.index.segments import (
         ingest_snapshot_delta,
         sync_snapshot_dml,
@@ -366,14 +371,14 @@ def sql_update_index_ingest(sf_dir: str):
     assert v == 2, "UPDATE did not publish snapshot v2"
     delta_seg, tomb = sync_snapshot_dml(segroot, store, 1, 2, **kw)
     assert delta_seg is not None and tomb is not None
-    seg = SegmentedBM25([base_seg, delta_seg], tombstone_dirs=[tomb])
+    seg = DistributedSegmentedBM25([base_seg, delta_seg], tombstone_dirs=[tomb])
 
     queries = generate_queries(7)
     texts = queries.column("text").to_pylist() + ["zebra quokka"]
     qids = queries.column("query_id").to_pylist() + [9999]
     out_q, ranks, docids, scores = [], [], [], []
-    for qid, text in zip(qids, texts):
-        for rank, (d, s) in enumerate(seg.search(text, 10), start=1):
+    for qid, hits in zip(qids, seg.search_many(texts, 10)):
+        for rank, (d, s) in enumerate(hits, start=1):
             out_q.append(qid)
             ranks.append(rank)
             docids.append(d)

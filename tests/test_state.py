@@ -382,6 +382,15 @@ def test_sql_update_dml_sync_identity(ray_session, tmp_root):
         assert seg2.search(q, 10) == mono2.search(q, 10), q
     assert seg2.search("zebra quokka", 10)  # updated bodies are findable
 
+    # distributed serving over the DML'd index: shard-side scoring per
+    # (segment, docid range) with driver-side global stats must merge
+    # rank-AND-score-identical to the local segmented search
+    from terrier_ray.index.bm25 import DistributedSegmentedBM25
+
+    dseg = DistributedSegmentedBM25([base, delta], tombstone_dirs=[tomb])
+    for q, got in zip(qs, dseg.search_many(qs, 10)):
+        assert got == seg2.search(q, 10), q
+
     # DELETE the updated docs → v3: kills the DELTA copies; the base copies
     # are already dead and must not be double-counted
     v = sql_dml("DELETE FROM webstore WHERE url LIKE '%/p5'", sqlsf, stores)
