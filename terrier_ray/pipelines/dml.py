@@ -393,7 +393,60 @@ def sql_update_index_ingest(sf_dir: str):
     )
 
 
+def phrase_matches_dml(sf_dir: str):
+    """Positional phrase retrieval over a DML-maintained segmented index:
+    base positional segment over the sf webtext → SQL UPDATE rewrites a
+    slice of docs to a known phrase → ``sync_snapshot_dml`` (positional
+    delta + per-segment tombstone) → ``segmented_phrase_matches`` finds
+    the NEW bodies by position intersection and must not surface the
+    stale ones (identity vs a monolithic positional rebuild is asserted
+    in tests/test_state.py).  Rows: (phrase_id, phrase, docid,
+    n_occurrences); rows-only (phrase adjacency is not SQL-expressible
+    on these tables)."""
+    import ray.data as rd
+
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        sync_snapshot_dml,
+    )
+    from terrier_ray.pipelines.fulltext import segmented_phrase_matches
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    web = webtext_for_sf(sf_dir)
+    work = os.path.join(
+        "/tmp/terrier_ray_dml_phrase",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=8, num_salts=2, heavy_min_df=200, positions=True)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base = ingest_snapshot_delta(segroot, store, 0, **kw)
+    sql_dml(
+        "UPDATE webstore SET text = "
+        "'zebra quokka xylophone herd sighting near the zebra quokka pen' "
+        "WHERE url LIKE '%/p7'",
+        sqlsf,
+        {"webstore": store},
+    )
+    delta, tomb = sync_snapshot_dml(segroot, store, 1, 2, **kw)
+    segs = [base] + ([delta] if delta else [])
+    return segmented_phrase_matches(
+        segs,
+        ["zebra quokka", "quokka xylophone herd", "the of"],
+        tombstone_dirs=[tomb] if tomb else None,
+    )
+
+
 QUERIES = {
+    "phrase_matches_dml": phrase_matches_dml,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_delete_index_ingest": sql_delete_index_ingest,
     "sql_update_index_ingest": sql_update_index_ingest,

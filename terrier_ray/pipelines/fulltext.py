@@ -343,6 +343,39 @@ def _match_phrases_positional(idx, phrases: "list[str]"):
     return _phrase_table(rows)
 
 
+def segmented_phrase_matches(
+    segment_dirs: "list[str]",
+    phrases: "list[str]",
+    tombstone_dirs: "list[str] | None" = None,
+):
+    """Position-intersect phrase retrieval over a DML-maintained SEGMENTED
+    index (every segment built with positions=True): run the per-segment
+    positional matcher and union rows, dropping each segment's tombstoned
+    docids — live doc sets are disjoint across segments (SegmentedBM25
+    contract), so the union has one row per (phrase, live doc), identical
+    to a positional rebuild over the post-DML snapshot (tested).  Rows
+    sort by (phrase_id, docid) for determinism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from terrier_ray.index.bm25 import BM25Index, SegmentedBM25
+
+    seg = SegmentedBM25(segment_dirs, tombstone_dirs=tombstone_dirs)
+    parts = []
+    for sdir, sname in zip(segment_dirs, seg._seg_names):
+        tab = _match_phrases_positional(BM25Index(sdir), phrases)
+        dead = seg._del_by_seg.get(sname)
+        if dead is not None and dead.size and tab.num_rows:
+            tab = tab.filter(
+                pc.invert(
+                    pc.is_in(tab.column("docid"), value_set=pa.array(dead))
+                )
+            )
+        parts.append(tab)
+    out = pa.concat_tables(parts)
+    return out.sort_by([("phrase_id", "ascending"), ("docid", "ascending")])
+
+
 def phrase_matches(sf_dir: str, num_phrases: int = 6):
     """Exact phrase retrieval — the "slow phrase" plan: AND the phrase's
     terms over the inverted index (rarest-first vectorized postings

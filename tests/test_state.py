@@ -438,3 +438,62 @@ def test_sql_update_dml_sync_identity(ray_session, tmp_root):
         assert seg4.search(q, 10) == mono3.search(q, 10), q
     # below threshold now → no-op
     assert maybe_compact(segroot, store, max_segments=1, **kw) is None
+
+
+def test_segmented_phrase_matches_after_update(ray_session, tmp_root):
+    """Positional phrase retrieval survives DML: after an UPDATE, the
+    segmented matcher (per-segment position intersect + tombstone drop)
+    must equal the positional matcher over a monolithic rebuild of the
+    updated snapshot — new bodies found, stale bodies gone."""
+    import os
+
+    import ray.data as rd
+
+    from terrier_ray.datagen import generate_webtext_parquet
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.index.build import build_index
+    from terrier_ray.index.segments import (
+        ingest_snapshot_delta,
+        sync_snapshot_dml,
+    )
+    from terrier_ray.pipelines.fulltext import (
+        _match_phrases_positional,
+        segmented_phrase_matches,
+    )
+    from terrier_ray.sql import sql_dml
+    from terrier_ray.state import snapshots
+
+    work = os.path.join(str(tmp_root), "seg_phrase")
+    web = generate_webtext_parquet(os.path.join(work, "web"), num_docs=400, seed=7)
+    sqlsf = os.path.join(work, "sqlsf")
+    os.makedirs(sqlsf, exist_ok=True)
+    os.symlink(os.path.abspath(web), os.path.join(sqlsf, "web.parquet"))
+    store = os.path.join(work, "store")
+    segroot = os.path.join(work, "segments")
+    kw = dict(num_buckets=4, num_salts=2, heavy_min_df=200, positions=True)
+
+    snapshots.create_snapshot(store, rd.read_parquet(web))
+    base = ingest_snapshot_delta(segroot, store, 0, **kw)
+    assert sql_dml(
+        "UPDATE webstore SET text = 'zebra quokka xylophone herd sighting' "
+        "WHERE url LIKE '%/p7'",
+        sqlsf, {"webstore": store},
+    ) == 2
+    delta, tomb = sync_snapshot_dml(segroot, store, 1, 2, **kw)
+    assert delta is not None and tomb is not None
+
+    phrases = ["zebra quokka xylophone", "quokka xylophone herd", "the of"]
+    got = segmented_phrase_matches([base, delta], phrases, tombstone_dirs=[tomb])
+
+    mono_c = os.path.join(work, "mono_c")
+    os.symlink(snapshots.snapshot_dir(store, 2), mono_c)
+    mono_dir = os.path.join(work, "mono")
+    build_index(mono_c, mono_dir, **kw)
+    want = _match_phrases_positional(BM25Index(mono_dir), phrases).sort_by(
+        [("phrase_id", "ascending"), ("docid", "ascending")]
+    )
+    assert got.equals(want)
+    assert got.num_rows > 0  # the updated bodies ARE found
+    assert got.filter(
+        pc.equal(got.column("phrase_id"), 0)
+    ).num_rows > 0  # the updated-vocabulary phrase has hits
