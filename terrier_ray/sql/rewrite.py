@@ -763,11 +763,15 @@ def _reorder_joins(spec: dict[str, Any], sf_dir: str) -> None:
         elif kind == "project":
             avail = set(op["columns"])
         elif kind == "join":  # non-inner join: fixed barrier, track cols
-            rc = _right_out_cols(op["right"], sf_dir)
-            if rc is None:
-                return
-            ron = set(op.get("right_on") or op["on"])
-            avail |= {c for c in rc if c not in ron}
+            how = op.get("how", "inner")
+            if "semi" in how or "anti" in how:
+                pass  # semi/anti joins add no right-side columns
+            else:
+                rc = _right_out_cols(op["right"], sf_dir)
+                if rc is None:
+                    return
+                ron = set(op.get("right_on") or op["on"])
+                avail |= {c for c in rc if c not in ron}
         elif kind != "filter":
             return  # aggregates/windows/etc.: no join runs tracked past
         i += 1
