@@ -155,6 +155,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import phrase_matches_positional
 
     q["phrase_matches_positional"] = phrase_matches_positional
+    from terrier_ray.pipelines.fulltext import fuzzy_topk
+
+    q["fuzzy_topk"] = fuzzy_topk
+    from terrier_ray.pipelines.fulltext import bm25f_topk
+
+    q["bm25f_topk"] = bm25f_topk
+    from terrier_ray.pipelines.fulltext import bm25_facets, more_like_this
+
+    q["more_like_this"] = more_like_this
+    q["bm25_facets"] = bm25_facets
+    from terrier_ray.pipelines.fulltext import feedback_topk
+
+    q["feedback_topk"] = feedback_topk
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

@@ -90,6 +90,50 @@ class HtmlExtractor:
         return result.append_column("text", pa.array(out, type=pa.string()))
 
 
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)(?:</title\s*>|$)", re.DOTALL | re.IGNORECASE)
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_title_reference(html_bytes: bytes | None) -> str:
+    """THE title-field extractor (pinned; the BM25F oracle reuses it the
+    way both sides reuse ``tokenize``):
+
+    1. decode bytes as UTF-8 with replacement
+    2. content of the FIRST ``<title ...>…</title>`` element, case-
+       insensitive, dot-matches-newline; unterminated → to end of doc;
+       no title element → empty string
+    3. strip any tags inside it, unescape HTML entities
+    4. collapse ALL whitespace runs to single spaces and strip
+
+    The title always comes from ``html`` — a pre-extracted ``text`` column
+    is body text and never consulted.
+    """
+    if html_bytes is None or len(html_bytes) == 0:
+        return ""
+    doc = bytes(html_bytes).decode("utf-8", errors="replace")
+    m = _TITLE_RE.search(doc)
+    if m is None:
+        return ""
+    t = _ANY_TAG_RE.sub("", m.group(1))
+    return _WS_RE.sub(" ", _htmllib.unescape(t)).strip()
+
+
+class TitleExtractor:
+    """Actor/task ``map_batches`` stage: html:binary → text:string where
+    text is the TITLE field (``extract_title_reference``).  Unlike
+    ``HtmlExtractor`` it always overwrites any pre-set ``text`` column —
+    body text is a different field.  Emits the batch without ``html``."""
+
+    def __init__(self) -> None:
+        self._extract = extract_title_reference
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._extract(h) for h in batch.column("html").to_pylist()]
+        keep = [c for c in batch.column_names if c not in ("html", "text")]
+        result = batch.select(keep)
+        return result.append_column("text", pa.array(out, type=pa.string()))
+
+
 def extract_batch_invariant(batch: pa.Table) -> pa.Table:
     """Test helper: (url, text_ref) for every row, ignoring any pre-set text."""
     texts = [extract_text_reference(h) for h in batch.column("html").to_pylist()]

@@ -47,6 +47,42 @@ def _query_terms(text: str) -> list[str]:
     return list(seen)
 
 
+def _osa_distance_le(
+    a: str, b: str, maxd: int, transpositions: bool = True
+) -> "int | None":
+    """Optimal-string-alignment (Damerau-Levenshtein without substring
+    re-edits) distance between ``a`` and ``b``, or None if it exceeds
+    ``maxd`` (rows are abandoned as soon as their minimum exceeds the
+    band — Ukkonen cutoff).  With ``transpositions=False`` this is plain
+    Levenshtein.  Candidates reach here length-banded and prefix-pruned,
+    so the per-pair O(len^2) DP is off the hot path."""
+    if a == b:
+        return 0
+    if abs(len(a) - len(b)) > maxd:
+        return None
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cost = 0 if ca == cb else 1
+            best = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and prev2 is not None
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                best = min(best, prev2[j - 2] + 1)
+            cur[j] = best
+        if min(cur) > maxd:
+            return None
+        prev2, prev = prev, cur
+    return prev[-1] if prev[-1] <= maxd else None
+
+
 class BM25Index:
     """Query-side index handle: memmaps the doclen sidecar, reads posting
     buckets lazily with parquet predicate pushdown, caches per-term postings.
@@ -370,7 +406,11 @@ class BM25Index:
     # exact term-at-a-time scoring (vectorized; the bench default)
     # ------------------------------------------------------------------
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def score_all(self, query: str) -> "tuple[np.ndarray, np.ndarray]":
+        """Full exact accumulation over every matching doc (no top-k cut):
+        (docids ascending int64, scores float64).  This is the per-field
+        feed for BM25F combination; ``search`` is exactly this + the
+        (score desc, docid asc) lexsort cut."""
         terms = _query_terms(query)
         post = self.lookup(terms)
         chunks_d, chunks_c = [], []
@@ -383,17 +423,140 @@ class BM25Index:
             chunks_d.append(p[1].astype(np.int64))
             chunks_c.append(contrib)
         if not chunks_d:
-            return []
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         all_d = np.concatenate(chunks_d)
         all_c = np.concatenate(chunks_c)
         uniq, inverse = np.unique(all_d, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inverse, all_c)  # element order == query-term order
+        return uniq, acc
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        uniq, acc = self.score_all(query)
+        if not len(uniq):
+            return []
         kk = min(k, len(uniq))
         # full (score desc, docid asc) ordering — exact even under score ties;
         # candidate sets are bounded by query-term df (BMW is the huge-df path)
         order = np.lexsort((uniq, -acc))[:kk]
         return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    def search_weighted(
+        self, clauses: "list[tuple[str, float]]", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Exact top-k over weighted OR clauses: each (term, boost) clause
+        contributes ``boost * idf(df) * wd`` and per-doc accumulation runs
+        in CLAUSE order (float64, same element-order np.add.at discipline
+        as ``search``; ``search`` == search_weighted with boost 1.0 per
+        unique query term).  This is the boosted-query primitive behind
+        relevance feedback (pipelines/fulltext.feedback_topk) and the
+        Lucene BoostQuery analog."""
+        post = self.lookup([t for t, _ in clauses])
+        chunks_d, chunks_c = [], []
+        for t, boost in clauses:
+            p = post.get(t)
+            if p is None:
+                continue
+            contrib = boost * idf(self.n_docs, p[0]) * self._wd_of(t, p)
+            chunks_d.append(p[1].astype(np.int64))
+            chunks_c.append(contrib)
+        if not chunks_d:
+            return []
+        all_d = np.concatenate(chunks_d)
+        all_c = np.concatenate(chunks_c)
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)
+        kk = min(k, len(uniq))
+        order = np.lexsort((uniq, -acc))[:kk]
+        return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    # ------------------------------------------------------------------
+    # fuzzy term matching (Lucene FuzzyQuery analog)
+    # ------------------------------------------------------------------
+
+    def fuzzy_expand(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_len: int = 1,
+        max_expansions: int = 50,
+        transpositions: bool = True,
+    ) -> "list[tuple[str, int, int]]":
+        """Dictionary terms within edit distance ``max_edits`` of ``term``
+        that share its first ``prefix_len`` characters, as
+        ``[(variant, edit_distance, df), ...]``.
+
+        Semantics follow Lucene's FuzzyQuery: optimal-string-alignment
+        distance (a transposition of adjacent characters counts as ONE edit
+        when ``transpositions``), a required common prefix to prune the
+        dictionary, and an expansion cap.  Selection and output order are
+        pinned for score determinism: ``(edit_distance asc, df desc, term
+        asc)``, truncated to ``max_expansions``.
+
+        Candidate fetch is a ``terms_in_range`` prefix scan — a pruned
+        (term, df, cf) column read of the posting buckets, no posting blobs
+        — then a vectorized utf8-length band cut before the per-candidate
+        banded DP.  With ``prefix_len=0`` the whole dictionary is scanned
+        (fine at test scale; the 1e12-doc layout hook is the same sorted
+        term-dictionary sidecar ``terms_in_range`` documents — Lucene walks
+        a term FST with a Levenshtein automaton, which is the in-memory
+        version of that sidecar).
+        """
+        import pyarrow.compute as pc
+
+        if prefix_len > len(term):
+            prefix_len = len(term)
+        if prefix_len > 0:
+            dict_slice = self.terms_in_range(prefix=term[:prefix_len])
+        else:
+            dict_slice = self.terms_in_range()
+        if dict_slice.num_rows == 0:
+            return []
+        lens = pc.utf8_length(dict_slice.column("term")).to_numpy(
+            zero_copy_only=False
+        )
+        band = np.abs(lens - len(term)) <= max_edits
+        cand_terms = dict_slice.column("term").filter(pa.array(band)).to_pylist()
+        cand_dfs = dict_slice.column("df").filter(pa.array(band)).to_pylist()
+        out: list[tuple[str, int, int]] = []
+        for cand, df in zip(cand_terms, cand_dfs):
+            ed = _osa_distance_le(term, cand, max_edits, transpositions)
+            if ed is not None:
+                out.append((cand, ed, int(df)))
+        out.sort(key=lambda v: (v[1], -v[2], v[0]))
+        return out[:max_expansions]
+
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_len: int = 1,
+        max_expansions: int = 50,
+    ) -> list[tuple[int, float]]:
+        """Exact top-k BM25 where every query term is OR-expanded to its
+        fuzzy dictionary variants (``fuzzy_expand``).
+
+        Scoring is pinned (the oracle re-implements it independently):
+        each variant v of query term t contributes ``boost * idf(df_v) *
+        wd_v(d)`` with ``boost = 1 - ed / min(len(t), len(v))`` (Lucene's
+        FuzzyTermsEnum boost; 1.0 for an exact dictionary hit), and per-doc
+        accumulation runs in (query-term order) x (fuzzy_expand order),
+        float64 — the same element-order ``np.add.at`` discipline as
+        ``search``, so scores are bit-identical to the scalar oracle loop.
+        Rank: score desc, docid asc.
+        """
+        terms = _query_terms(query)
+        clauses: list[tuple[str, float]] = []  # (variant, boost) in order
+        for t in terms:
+            for cand, ed, _df in self.fuzzy_expand(
+                t, max_edits=max_edits, prefix_len=prefix_len,
+                max_expansions=max_expansions,
+            ):
+                boost = 1.0 if ed == 0 else 1.0 - ed / min(len(t), len(cand))
+                clauses.append((cand, boost))
+        return self.search_weighted(clauses, k=k)
 
     # ------------------------------------------------------------------
     # MaxScore-pruned exact term-at-a-time (the big-corpus serving path)

@@ -172,6 +172,19 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     return _EXTRACTOR(batch)
 
 
+def _extract_title_batch(batch: pa.Table) -> pa.Table:
+    # lazy singleton: TitleExtractor imports nothing heavy, but mirror the
+    # module-level compiled-state pattern of _extract_batch
+    from terrier_ray.extract.html import TitleExtractor
+
+    global _TITLE_EXTRACTOR
+    try:
+        ex = _TITLE_EXTRACTOR
+    except NameError:
+        ex = _TITLE_EXTRACTOR = TitleExtractor()
+    return ex(batch)
+
+
 def _tokenize_batch(batch: pa.Table) -> pa.Table:
     return _TOKENIZER(batch)
 
@@ -187,8 +200,13 @@ def build_corpus(
     batch_size: int = 512,
     dedup_partitions: int = 32,
     positions: bool = False,
+    field: str = "body",
 ):
     """Extract + tokenize + url-dedup in ONE raw scan, shuffling only dups.
+
+    ``field`` selects the extraction stage: "body" (HtmlExtractor, the
+    default) or "title" (TitleExtractor) — per-field indexes share docids
+    (url hash), which is what BM25F multi-field scoring joins on.
 
     A url-keyed groupby over the tokenized corpus would move every terms/tfs
     list through an all-to-all exchange.  Instead:
@@ -270,7 +288,8 @@ def build_corpus(
     os.makedirs(corpus_dir, exist_ok=True)
     ds = rd.read_parquet(webtext_path, override_num_blocks=_scan_blocks(webtext_path))
     ds = ds.map_batches(
-        _extract_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        _extract_title_batch if field == "title" else _extract_batch,
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
     )
     ds = ds.map_batches(
         _tokenize_batch_pos if positions else _tokenize_batch,
@@ -1667,8 +1686,13 @@ def build_index(
     force: bool = False,
     exchange: str = "hash",
     positions: bool = False,
+    field: str = "body",
 ) -> dict:
     """Build (or resume building) a BM25 index at ``out_dir``.
+
+    ``field="title"`` indexes the TITLE field (extract_title_reference)
+    instead of the body — docids stay url-hash, so per-field indexes align
+    for BM25F combination (pipelines/fulltext.bm25f_topk).
 
     Returns the stats dict (n_docs, avgdl, …) plus per-epoch wall times.
 
@@ -1686,6 +1710,8 @@ def build_index(
     fp_extra = {"corpus_format": 2}
     if positions:  # added only when on, so existing caches stay valid
         fp_extra["positions"] = True
+    if field != "body":  # ditto: body-field fingerprints unchanged
+        fp_extra["field"] = field
     # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
     fp_in = _input_fingerprint(webtext_path, fp_extra)
     timings: dict[str, float] = {}
@@ -1697,7 +1723,7 @@ def build_index(
 
         shutil.rmtree(corpus_dir, ignore_errors=True)
         build_corpus(webtext_path, corpus_dir, batch_size=batch_size,
-                     positions=positions)
+                     positions=positions, field=field)
         wall = time.perf_counter() - t0
         outputs = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
         n_rows = sum(pq.read_metadata(f).num_rows for f in outputs)

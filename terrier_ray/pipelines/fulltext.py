@@ -19,7 +19,11 @@ INDEX_ROOT = "/tmp/terrier_ray_index"
 
 def ensure_index(sf_dir: str, **kwargs) -> str:
     web = webtext_for_sf(sf_dir)
-    idx_dir = os.path.join(INDEX_ROOT, os.path.basename(web.rstrip("/")))
+    name = os.path.basename(web.rstrip("/"))
+    field = kwargs.get("field", "body")
+    if field != "body":  # per-field indexes live side by side (BM25F)
+        name = f"{name}-{field}"
+    idx_dir = os.path.join(INDEX_ROOT, name)
     build_index(web, idx_dir, **kwargs)
     return idx_dir
 
@@ -136,6 +140,152 @@ def boolean_matches(sf_dir: str, num_queries: int = 10):
     )
 
 
+def bm25f_topk(
+    sf_dir: str,
+    k: int = 10,
+    num_queries: int = 20,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+):
+    """Multi-field ranked retrieval (BM25F weighted-field-sum variant, the
+    Elasticsearch multi_match "most_fields" shape):
+
+        score(q, d) = w_title * BM25_title(q, d) + w_body * BM25_body(q, d)
+
+    over TWO per-field inverted indexes that share url-hash docids — the
+    title index is the same distributed build with
+    ``extract_title_reference`` as the extraction stage (build_index
+    field="title").  Each field's BM25 is the pinned formula; combination
+    is float64 in (title, body) chunk order via the same element-order
+    ``np.add.at`` discipline as ``BM25Index.search``, so scores are
+    bit-identical to the scalar two-oracle mirror (tests/test_multifield.py).
+    Rank: combined score desc, docid asc.  Rows-only entry (BM25 is not
+    SQL-expressible)."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx_title = BM25Index(ensure_index(sf_dir, field="title"))
+    idx_body = BM25Index(ensure_index(sf_dir))
+    return bm25f_combine(
+        idx_title, idx_body, generate_queries(num_queries),
+        k=k, w_title=w_title, w_body=w_body,
+    )
+
+
+def bm25f_combine(idx_title, idx_body, queries, *, k, w_title, w_body):
+    """The BM25F combination core over two open per-field index handles
+    (see ``bm25f_topk`` for the pinned formula and ordering)."""
+    import numpy as np
+    import pyarrow as pa
+
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        dt, st = idx_title.score_all(text)
+        db, sb = idx_body.score_all(text)
+        all_d = np.concatenate([dt, db])
+        all_c = np.concatenate([w_title * st, w_body * sb])
+        if not len(all_d):
+            continue
+        uniq, inverse = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inverse, all_c)  # title chunk first, then body
+        order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+        for rank, i in enumerate(order, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(int(uniq[i]))
+            scores.append(float(acc[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def _typo_queries(num_queries: int):
+    """``generate_queries`` with ONE deterministic typo injected per query
+    (delete / substitute / transpose by qid mod 3, position from a
+    per-query seeded rng, never position 0 so the fuzzy prefix survives).
+    Deterministic: same num_queries → same corrupted texts."""
+    import numpy as np
+    import pyarrow as pa
+
+    q = generate_queries(num_queries)
+    out = []
+    for qid, text in zip(
+        q.column("query_id").to_pylist(), q.column("text").to_pylist()
+    ):
+        terms = text.split()
+        rng = np.random.default_rng(1234 + qid)
+        i = max(range(len(terms)), key=lambda j: (len(terms[j]), -j))
+        t = terms[i]
+        op = qid % 3
+        pos = 1 + int(rng.integers(0, max(1, len(t) - 1)))
+        if op == 0 and len(t) >= 4:  # delete
+            t2 = t[:pos] + t[pos + 1 :]
+        elif op == 1 and pos < len(t):  # substitute
+            t2 = t[:pos] + chr(ord("a") + int(rng.integers(0, 26))) + t[pos + 1 :]
+        elif pos + 1 < len(t):  # transpose
+            t2 = t[:pos] + t[pos + 1] + t[pos] + t[pos + 2 :]
+        else:
+            t2 = t[:-1] if len(t) > 2 else t + "x"
+        terms[i] = t2
+        out.append(" ".join(terms))
+    return pa.table(
+        {"query_id": q.column("query_id"), "text": pa.array(out, pa.string())}
+    )
+
+
+def fuzzy_topk(
+    sf_dir: str,
+    k: int = 10,
+    num_queries: int = 12,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+):
+    """Fuzzy BM25 retrieval (Lucene FuzzyQuery analog): each query carries
+    one injected typo; every query term is OR-expanded to dictionary
+    variants within ``max_edits`` (OSA distance, transpositions count 1)
+    sharing its first ``prefix_len`` chars, scored ``boost * idf * wd``
+    with ``boost = 1 - ed/min(len(t), len(v))``.  Candidate variants come
+    from a pruned term-dictionary prefix scan (no posting blobs touched
+    until the surviving variants' lookups).  Rows-only entry: scores are
+    bit-identical to the independent ``OracleBM25.search_fuzzy`` scalar
+    loop (tests/test_fuzzy.py)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    queries = _typo_queries(num_queries)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, s) in enumerate(
+            idx.search_fuzzy(
+                text, k=k, max_edits=max_edits, prefix_len=prefix_len
+            ),
+            start=1,
+        ):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def prefix_terms(sf_dir: str, prefix: str = "wi"):
     """Term-dictionary prefix scan (IndexScan range analog): all indexed
     terms starting with ``prefix``, with df/cf — column-pruned, predicate-
@@ -194,14 +344,17 @@ def index_corpus_stats(sf_dir: str):
     )
 
 
-def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
-    """ONE pruned distributed pass over the webtext corpus → the extracted
-    text of exactly the ``need`` docids, under the SAME winner rule the
-    index build used for duplicated urls (``build._dedup_group``: per docid
-    keep max (warc_ts, dl, token-hash)), so callers see the text the index
+def _fetch_indexed_winners(
+    web: str, need: "list[int]", extra_cols: "tuple[str, ...]" = ()
+):
+    """ONE pruned distributed pass over the webtext corpus → the winner row
+    of exactly the ``need`` docids, under the SAME winner rule the index
+    build used for duplicated urls (``build._dedup_group``: per docid keep
+    max (warc_ts, dl, token-hash)), so callers see the row the index
     actually scored.  docid = url hash computed per batch; the is_in filter
     against the tiny hit set is a broadcast semi join — extraction touches
-    |need| docs, never the corpus."""
+    |need| docs, never the corpus.  Returns a pa.Table with docid, text,
+    terms/tfs, plus ``extra_cols`` (e.g. lang for facets)."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -212,7 +365,7 @@ def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
     from terrier_ray.text.tokenize import Tokenizer
 
     need_arr = pa.array(np.asarray(sorted(need), dtype=np.int64))
-    ds = rd.read_parquet(web, columns=["url", "warc_ts", "html", "text"])
+    ds = rd.read_parquet(web, columns=["url", "warc_ts", "html", "text", *extra_cols])
     extractor = HtmlExtractor()
 
     def fetch(batch: pa.Table) -> pa.Table:
@@ -228,7 +381,15 @@ def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     tok = Tokenizer()(texts_tbl)  # row-aligned with texts_tbl
-    winners = _dedup_group(tok.append_column("text", texts_tbl.column("text")))
+    tbl = tok.append_column("text", texts_tbl.column("text"))
+    for c in extra_cols:
+        tbl = tbl.append_column(c, texts_tbl.column(c))
+    return _dedup_group(tbl)
+
+
+def _fetch_indexed_texts(web: str, need: "list[int]") -> "dict[int, str]":
+    """docid → indexed text for exactly ``need`` (see _fetch_indexed_winners)."""
+    winners = _fetch_indexed_winners(web, need)
     return dict(
         zip(
             winners.column("docid").to_pylist(),
@@ -482,5 +643,210 @@ def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 2
             "rank": pa.array(ranks, type=pa.int32()),
             "docid": pa.array(dids, type=pa.int64()),
             "snippet": pa.array(snips, type=pa.string()),
+        }
+    )
+
+
+def more_like_this(sf_dir: str, num_docs: int = 5, k: int = 10, max_terms: int = 10):
+    """MoreLikeThis (Lucene analog): for each seed doc, mine its strongest
+    tf*idf terms from the FORWARD corpus representation (the index's
+    tokenized corpus epoch: docid → terms/tfs) and BM25-rank the rest of
+    the corpus with that mined query.
+
+    Pinned semantics (the scalar oracle mirror re-derives them
+    independently, tests/test_multifield.py):
+
+    - seeds = the ``num_docs`` smallest docids in the corpus
+    - per term weight = tf * idf(n_docs, df) (float64; df from the index's
+      term dictionary); top ``max_terms`` by (weight desc, term asc);
+      query term order = that selection order (tokens are [a-z0-9]+ so the
+      joined query re-tokenizes to exactly the selected terms)
+    - hits = exact BM25 top-(k+1) minus the seed itself, first k kept,
+      re-ranked 1..k
+
+    The seed term-vector fetch reads only (docid, terms, tfs) with an is_in
+    filter; at 1e12 docs the clustered docid layout (sources/io.point_lookup)
+    makes it a row-group-pruned point read — same hook as the relational
+    point lookup.  Rows-only entry (not SQL-expressible)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from terrier_ray.index.bm25 import BM25Index, idf
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    corpus = pads.dataset(os.path.join(idx_dir, "corpus"))
+    all_ids = corpus.to_table(columns=["docid"]).column("docid").to_numpy()
+    seeds = np.sort(all_ids)[:num_docs]
+    seed_tab = corpus.to_table(
+        columns=["docid", "terms", "tfs"],
+        filter=pads.field("docid").isin(pa.array(seeds)),
+    )
+    by_seed = {
+        int(d): (t, f)
+        for d, t, f in zip(
+            seed_tab.column("docid").to_pylist(),
+            seed_tab.column("terms").to_pylist(),
+            seed_tab.column("tfs").to_pylist(),
+        )
+    }
+    s_out, ranks, docids, scores = [], [], [], []
+    for seed in (int(s) for s in seeds):
+        terms, tfs = by_seed[seed]
+        dfs = idx.df_of(terms)
+        weighted = [
+            (float(tf) * idf(idx.n_docs, dfs[t]), t)
+            for t, tf in zip(terms, tfs)
+            if t in dfs
+        ]
+        weighted.sort(key=lambda v: (-v[0], v[1]))
+        sel = [t for _, t in weighted[:max_terms]]
+        if not sel:
+            continue
+        hits = [(d, s) for d, s in idx.search(" ".join(sel), k=k + 1) if d != seed]
+        for rank, (d, s) in enumerate(hits[:k], start=1):
+            s_out.append(seed)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "seed_docid": pa.array(s_out, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def bm25_facets(sf_dir: str, k: int = 50, num_queries: int = 10):
+    """Faceted search (the search-engine sidebar): top-k BM25 hits per
+    query, faceted by the hit docs' ``lang`` — (query_id, lang, n_docs)
+    counts sorted by (query_id, lang).
+
+    The facet attribute comes from the WINNER row of each hit docid
+    (_fetch_indexed_winners — same dedup rule the index scored), fetched in
+    ONE pruned distributed pass over the union of all queries' hit sets;
+    ranking uses the MaxScore-pruned exact path (rank-identical to
+    ``search``).  Rows-only entry: verified vs a scalar oracle mirror in
+    tests/test_multifield.py."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    web = webtext_for_sf(sf_dir)
+    queries = generate_queries(num_queries)
+    hits_by_q: dict[int, list[int]] = {}
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        hits_by_q[qid] = [d for d, _ in idx.search_pruned(text, k=k)]
+    need = sorted({d for hs in hits_by_q.values() for d in hs})
+    if not need:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int32()),
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    winners = _fetch_indexed_winners(web, need, extra_cols=("lang",))
+    lang_of = dict(
+        zip(winners.column("docid").to_pylist(), winners.column("lang").to_pylist())
+    )
+    counts: dict[tuple[int, str], int] = {}
+    for qid, hs in hits_by_q.items():
+        for d in hs:
+            key = (qid, lang_of[d])
+            counts[key] = counts.get(key, 0) + 1
+    rows = sorted(counts.items())
+    return pa.table(
+        {
+            "query_id": pa.array([q for (q, _), _ in rows], type=pa.int32()),
+            "lang": pa.array([l for (_, l), _ in rows], type=pa.string()),
+            "n_docs": pa.array([n for _, n in rows], type=pa.int64()),
+        }
+    )
+
+
+def feedback_topk(
+    sf_dir: str,
+    k: int = 10,
+    num_queries: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 8,
+    beta: float = 0.4,
+):
+    """Pseudo-relevance feedback (Rocchio-style, the RM3-shaped two-pass):
+
+    1. initial exact BM25 top-``fb_docs`` for the raw query
+    2. expansion candidates mined from those docs' FORWARD term vectors
+       (the index's corpus epoch): for each term t not in the original
+       query, ``w_e = float(sum of tf over fb docs) * idf(n_docs, df_t)``;
+       top ``fb_terms`` by (w_e desc, term asc)
+    3. final ranking = ``search_weighted`` over original clauses at boost
+       1.0 (query order) followed by expansion clauses at boost
+       ``beta * w_e / w_max`` (selection order; w_max = the top expansion
+       weight) — float64 throughout, accumulation in clause order.
+
+    All three steps are pinned and mirrored by the scalar oracle test
+    (tests/test_multifield.py).  The fb-doc term-vector fetch is the same
+    is_in pruned read as more_like_this.  Rows-only entry."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from terrier_ray.index.bm25 import BM25Index, _query_terms, idf
+
+    idx_dir = ensure_index(sf_dir)
+    idx = BM25Index(idx_dir)
+    corpus = pads.dataset(os.path.join(idx_dir, "corpus"))
+    queries = generate_queries(num_queries)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        qterms = _query_terms(text)
+        fb = [d for d, _ in idx.search(text, k=fb_docs)]
+        clauses = [(t, 1.0) for t in qterms]
+        if fb:
+            fb_tab = corpus.to_table(
+                columns=["terms", "tfs"],
+                filter=pads.field("docid").isin(
+                    pa.array(np.asarray(sorted(fb), dtype=np.int64))
+                ),
+            )
+            tf_sum: dict[str, int] = {}
+            for terms, tfs in zip(
+                fb_tab.column("terms").to_pylist(), fb_tab.column("tfs").to_pylist()
+            ):
+                for t, f in zip(terms, tfs):
+                    if t not in qterms:
+                        tf_sum[t] = tf_sum.get(t, 0) + f
+            dfs = idx.df_of(sorted(tf_sum))
+            weighted = sorted(
+                (
+                    (float(s) * idf(idx.n_docs, dfs[t]), t)
+                    for t, s in tf_sum.items()
+                    if t in dfs
+                ),
+                key=lambda v: (-v[0], v[1]),
+            )[:fb_terms]
+            if weighted:
+                w_max = weighted[0][0]
+                clauses += [(t, beta * w / w_max) for w, t in weighted]
+        for rank, (d, s) in enumerate(idx.search_weighted(clauses, k=k), start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
         }
     )

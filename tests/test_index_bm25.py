@@ -932,3 +932,63 @@ def test_auto_tune_layout_knobs():
     b, s = auto_tune(10**12, 130.0)
     assert (10**12 * 130.0) / b <= (64 << 20)
     assert 4 <= s <= 64
+
+
+def test_fuzzy_expand_matches_oracle(built_index, oracle):
+    """Expansion set, edit distances, dfs, AND pinned order (ed asc, df
+    desc, term asc) identical to the independent oracle scan over the full
+    df map — exercises the prefix-pruned dictionary scan + banded OSA DP
+    against the full-matrix scalar DP."""
+    out, _ = built_index
+    idx = BM25Index(out)
+    probe_terms = []
+    for text in generate_queries(8).column("text").to_pylist():
+        probe_terms.extend(text.split()[:2])
+    # include a known typo shape: drop a char from a real dictionary term
+    probe_terms.append(probe_terms[0][:2] + probe_terms[0][3:])
+    n_nonempty = 0
+    for t in probe_terms:
+        got = idx.fuzzy_expand(t, max_edits=1, prefix_len=1)
+        want = oracle.fuzzy_expand(t, max_edits=1, prefix_len=1)
+        assert got == want, (t, got[:5], want[:5])
+        n_nonempty += bool(got)
+        if (t, 0) in [(v, e) for v, e, _ in got]:
+            assert got[0][1] == 0  # exact hit sorts first (ed asc)
+    assert n_nonempty >= len(probe_terms) - 1
+
+
+def test_fuzzy_topk_rank_and_score_identical(built_index, oracle):
+    """Engine fuzzy BM25 (prefix-pruned expansion + vectorized OR scoring)
+    bit-identical — docids AND float64 scores — to the oracle's scalar
+    (term x variant x doc) loop, over deterministically typo'd queries."""
+    from terrier_ray.pipelines.fulltext import _typo_queries
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    queries = _typo_queries(12)
+    n_nonempty = 0
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        got = idx.search_fuzzy(text, k=10)
+        want = oracle.search_fuzzy(text, k=10)
+        assert got == want, f"query {qid} ({text!r}): {got} != {want}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 10
+
+
+def test_fuzzy_finds_typo_targets(built_index, oracle):
+    """A deleted-char typo of a mid-df dictionary term must still retrieve
+    docs containing the original term (the FuzzyQuery point)."""
+    out, _ = built_index
+    idx = BM25Index(out)
+    # pick a mid-df term with len >= 5 from the oracle df map
+    cands = sorted(
+        (t for t, df in oracle.df.items() if len(t) >= 5 and 3 <= df <= 30)
+    )
+    term = cands[0]
+    typo = term[:2] + term[3:]
+    hits = idx.search_fuzzy(typo, k=10)
+    assert hits, (term, typo)
+    target_docs = set(oracle.tf[term])
+    assert target_docs & {d for d, _ in hits}, (term, typo, hits)
