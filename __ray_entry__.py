@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import feedback_topk
 
     q["feedback_topk"] = feedback_topk
+    from terrier_ray.pipelines.fulltext import did_you_mean, suggest_terms
+
+    q["suggest_terms"] = suggest_terms
+    q["did_you_mean"] = did_you_mean
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

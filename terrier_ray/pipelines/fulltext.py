@@ -850,3 +850,66 @@ def feedback_topk(
             "score": pa.array(scores, type=pa.float64()),
         }
     )
+
+
+def suggest_terms(sf_dir: str, prefix: str = "wi", limit: int = 10):
+    """Prefix autocomplete over the term dictionary: the ``limit`` most
+    frequent indexed terms starting with ``prefix``, ordered (df desc,
+    term asc) — the search-box suggest shape.  One pruned (term, df, cf)
+    prefix scan of the posting buckets (terms_in_range), no posting blobs.
+    Rows-only entry; exact vs the oracle df map in tests."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    t = idx.terms_in_range(prefix=prefix)
+    rows = sorted(
+        zip(t.column("term").to_pylist(), t.column("df").to_pylist()),
+        key=lambda v: (-v[1], v[0]),
+    )[:limit]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": pa.array([int(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def did_you_mean(sf_dir: str, num_queries: int = 12, max_edits: int = 1):
+    """Spell correction ("did you mean"): per query term, if the term is
+    NOT in the dictionary, replace it with its best fuzzy variant —
+    ``fuzzy_expand`` order is (ed asc, df desc, term asc), so the best
+    variant is the closest, then most frequent.  In-dictionary terms are
+    kept verbatim.  Returns (query_id, original, corrected) over the same
+    deterministically typo'd query set as fuzzy_topk.  Rows-only entry;
+    bit-identical to the oracle mirror in tests/test_multifield.py."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    queries = _typo_queries(num_queries)
+    qids, originals, correcteds = [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        terms = text.split()
+        present = idx.df_of(terms)
+        out = []
+        for t in terms:
+            if t in present:
+                out.append(t)
+                continue
+            cands = idx.fuzzy_expand(t, max_edits=max_edits, prefix_len=1)
+            out.append(cands[0][0] if cands else t)
+        qids.append(qid)
+        originals.append(text)
+        correcteds.append(" ".join(out))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "original": pa.array(originals, type=pa.string()),
+            "corrected": pa.array(correcteds, type=pa.string()),
+        }
+    )

@@ -303,3 +303,58 @@ def test_feedback_topk_matches_scalar_mirror(ray_session):
             want_rows.append((qid, rank, d, s))
     assert engine_rows == want_rows
     assert len(engine_rows) >= num_queries * (k - 2)
+
+
+def test_suggest_terms_matches_df_map(ray_session):
+    """Autocomplete = exact (df desc, term asc) top-limit of the oracle df
+    map restricted to the prefix."""
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.pipelines.fulltext import suggest_terms
+
+    sf = "/root/testdata/sf0.001"
+    oracle = OracleBM25(webtext_for_sf(sf))
+    for prefix in ("wi", "a", "s"):
+        got = suggest_terms(sf, prefix=prefix, limit=10)
+        want = sorted(
+            ((t, df) for t, df in oracle.df.items() if t.startswith(prefix)),
+            key=lambda v: (-v[1], v[0]),
+        )[:10]
+        assert (
+            list(
+                zip(got.column("term").to_pylist(), got.column("df").to_pylist())
+            )
+            == want
+        ), prefix
+        assert got.num_rows > 0
+
+
+def test_did_you_mean_matches_oracle_mirror(ray_session):
+    """Spell correction identical to the scalar mirror (dictionary
+    membership + fuzzy_expand best candidate), and it actually repairs
+    most injected typos back to the original query."""
+    from terrier_ray.datagen.webtext import generate_queries as gq
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.pipelines.fulltext import _typo_queries, did_you_mean
+
+    sf = "/root/testdata/sf0.001"
+    n = 12
+    oracle = OracleBM25(webtext_for_sf(sf))
+    got = did_you_mean(sf, num_queries=n)
+    typod = _typo_queries(n)
+    want_corrected = []
+    for text in typod.column("text").to_pylist():
+        out = []
+        for t in text.split():
+            if t in oracle.df:
+                out.append(t)
+                continue
+            cands = oracle.fuzzy_expand(t, max_edits=1, prefix_len=1)
+            out.append(cands[0][0] if cands else t)
+        want_corrected.append(" ".join(out))
+    assert got.column("corrected").to_pylist() == want_corrected
+    assert got.column("original").to_pylist() == typod.column("text").to_pylist()
+    originals = gq(n).column("text").to_pylist()
+    n_repaired = sum(
+        1 for c, o in zip(want_corrected, originals) if c == o
+    )
+    assert n_repaired >= n // 2, (n_repaired, list(zip(want_corrected, originals)))
