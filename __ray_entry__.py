@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["suggest_terms"] = suggest_terms
     q["did_you_mean"] = did_you_mean
+    from terrier_ray.pipelines.fulltext import bm25f_true_topk
+
+    q["bm25f_true_topk"] = bm25f_true_topk
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

@@ -913,3 +913,101 @@ def did_you_mean(sf_dir: str, num_queries: int = 12, max_edits: int = 1):
             "corrected": pa.array(correcteds, type=pa.string()),
         }
     )
+
+
+def bm25f_true_topk(
+    sf_dir: str,
+    k: int = 10,
+    num_queries: int = 20,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+):
+    """TRUE BM25F (Robertson/Zaragoza): field-weighted term frequencies
+    are merged BEFORE the single saturation, unlike ``bm25f_topk``'s
+    per-field-score sum:
+
+        tf'(t, d)  = w_title*tf_title + w_body*tf_body
+        dl'(d)     = w_title*dl_title + w_body*dl_body
+        avgdl'     = w_title*avgdl_title + w_body*avgdl_body
+        df'(t)     = |docs with t in EITHER field|
+        score(q,d) = sum_t idf(N, df') * tf'*(k1+1)/(tf' + k1*(1-b+b*dl'/avgdl'))
+
+    computed query-time from the two per-field indexes (postings union via
+    np.union1d + scatter-add, doclens from each field's memmapped sidecar;
+    title contribution added before body at every merge point, float64).
+    Accumulation runs in query-term order — bit-identical to the scalar
+    two-oracle mirror (tests/test_multifield.py).  Rank: score desc,
+    docid asc.  Rows-only entry."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx_title = BM25Index(ensure_index(sf_dir, field="title"))
+    idx_body = BM25Index(ensure_index(sf_dir))
+    queries = generate_queries(num_queries)
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, s) in enumerate(
+            bm25f_true_search(idx_title, idx_body, text, k=k,
+                              w_title=w_title, w_body=w_body),
+            start=1,
+        ):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def bm25f_true_search(idx_title, idx_body, query, *, k, w_title, w_body):
+    """One true-BM25F query over two open per-field index handles (see
+    ``bm25f_true_topk`` for the pinned formula)."""
+    import numpy as np
+
+    from terrier_ray.index.bm25 import K1, B, _query_terms, idf
+
+    assert idx_title.n_docs == idx_body.n_docs, "per-field indexes must align"
+    n_docs = idx_body.n_docs
+    avgdlw = w_title * idx_title.avgdl + w_body * idx_body.avgdl
+    terms = _query_terms(query)
+    pt = idx_title.lookup(terms)
+    pb = idx_body.lookup(terms)
+    chunks_d, chunks_c = [], []
+    for t in terms:
+        a, b = pt.get(t), pb.get(t)
+        if a is None and b is None:
+            continue
+        dt = a[1].astype(np.int64) if a is not None else np.empty(0, np.int64)
+        db = b[1].astype(np.int64) if b is not None else np.empty(0, np.int64)
+        union = np.union1d(dt, db)  # sorted unique
+        tfw = np.zeros(len(union), dtype=np.float64)
+        if a is not None:
+            tfw[np.searchsorted(union, dt)] += w_title * a[2].astype(np.float64)
+        if b is not None:
+            tfw[np.searchsorted(union, db)] += w_body * b[2].astype(np.float64)
+        dlw = (
+            w_title * idx_title.doc_len(union)
+            + w_body * idx_body.doc_len(union)
+        )
+        wd = tfw * (K1 + 1.0) / (tfw + K1 * (1.0 - B + B * dlw / avgdlw))
+        chunks_d.append(union)
+        chunks_c.append(idf(n_docs, len(union)) * wd)
+    if not chunks_d:
+        return []
+    all_d = np.concatenate(chunks_d)
+    all_c = np.concatenate(chunks_c)
+    uniq, inverse = np.unique(all_d, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inverse, all_c)  # query-term order
+    kk = min(k, len(uniq))
+    order = np.lexsort((uniq, -acc))[:kk]
+    return [(int(uniq[i]), float(acc[i])) for i in order]

@@ -358,3 +358,52 @@ def test_did_you_mean_matches_oracle_mirror(ray_session):
         1 for c, o in zip(want_corrected, originals) if c == o
     )
     assert n_repaired >= n // 2, (n_repaired, list(zip(want_corrected, originals)))
+
+
+def test_bm25f_true_matches_scalar_mirror(
+    title_index, body_index, title_oracle, body_oracle
+):
+    """TRUE BM25F (field-weighted tf merged before ONE saturation)
+    bit-identical to the scalar two-oracle mirror: tf' = w_t*tf_t +
+    w_b*tf_b, dl' = w_t*dl_t + w_b*dl_b, avgdl' = w_t*avgdl_t +
+    w_b*avgdl_b, df' = |union|, accumulation in query-term order."""
+    import math
+
+    from terrier_ray.pipelines.fulltext import bm25f_true_search
+    from terrier_ray.text.tokenize import tokenize
+
+    K1, B = 1.2, 0.75
+    w_t, w_b, k = 2.0, 1.0, 10
+    it, ib = BM25Index(title_index[0]), BM25Index(body_index[0])
+    n_docs = body_oracle.n_docs
+    avgdlw = w_t * title_oracle.avgdl + w_b * body_oracle.avgdl
+    n_nonempty = 0
+    for text in generate_queries(15).column("text").to_pylist():
+        got = bm25f_true_search(it, ib, text, k=k, w_title=w_t, w_body=w_b)
+        qterms: list[str] = []
+        for t in tokenize(text):
+            if t not in qterms:
+                qterms.append(t)
+        scores: dict[int, float] = {}
+        for t in qterms:
+            tft = title_oracle.tf.get(t, {})
+            tfb = body_oracle.tf.get(t, {})
+            union = sorted(set(tft) | set(tfb))
+            if not union:
+                continue
+            df = len(union)
+            w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for d in union:
+                tfw = w_t * float(tft.get(d, 0)) + w_b * float(tfb.get(d, 0))
+                dlw = w_t * float(title_oracle.dl[d]) + w_b * float(
+                    body_oracle.dl[d]
+                )
+                contrib = w * (
+                    tfw * (K1 + 1.0)
+                    / (tfw + K1 * (1.0 - B + B * dlw / avgdlw))
+                )
+                scores[d] = scores.get(d, 0.0) + contrib
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        assert got == want, text
+        n_nonempty += bool(got)
+    assert n_nonempty >= 13
