@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import bm25f_true_topk
 
     q["bm25f_true_topk"] = bm25f_true_topk
+    from terrier_ray.pipelines.fulltext import search_query_string
+
+    q["search_query_string"] = search_query_string
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

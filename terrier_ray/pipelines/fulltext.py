@@ -915,6 +915,70 @@ def did_you_mean(sf_dir: str, num_queries: int = 12, max_edits: int = 1):
     )
 
 
+def search_query_string(sf_dir: str, k: int = 10):
+    """Lucene-style query-string retrieval — the unified front door over
+    every search primitive (``index/querylang.py``): boolean occurs
+    (``+must -not``), boosts (``^2``), prefix (``pre*``), fuzzy
+    (``term~1``), exact phrases (``"a b"`` via the positional index), and
+    per-field scoping (``title:term`` against the title-field index).
+    Runs a fixed deterministic suite of query strings exercising each
+    construct; every execution identity (bare == exact TAAT, boost ==
+    search_weighted, phrase == positional matcher, field == per-field
+    search) is pinned in tests/test_querylang.py.  Rows: (query_id,
+    query, rank, docid, score); rows-only (free-text query language)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.index.querylang import QueryStringEngine
+
+    web = webtext_for_sf(sf_dir)
+    pos_dir = os.path.join(
+        INDEX_ROOT, os.path.basename(web.rstrip("/")) + "-pos"
+    )
+    build_index(web, pos_dir, positions=True)
+    body = BM25Index(pos_dir)
+    title = BM25Index(ensure_index(sf_dir, field="title"))
+    engine = QueryStringEngine({"body": body, "title": title})
+
+    base = generate_queries(4).column("text").to_pylist()
+    terms: list[str] = []
+    for qtext in base:
+        for w in qtext.split():
+            if w not in terms:
+                terms.append(w)
+    t0, t1, t2 = terms[0], terms[1], terms[2]
+    typo = t0[:-1] + ("x" if t0[-1] != "x" else "q")
+    phrase = _mine_phrases(body, web, 1)[0]
+    suite = [
+        base[0],  # plain multi-term (== exact TAAT)
+        f"+{t0} {t1}",  # MUST filter + SHOULD scoring
+        f"{t0} -{t1}",  # exclusion
+        f"{t0}^2 {t1}",  # per-clause boost
+        f"{t0[:2]}*",  # dictionary prefix expansion
+        f"{typo}~1",  # fuzzy (OSA ed<=1)
+        f'"{phrase}"',  # positional phrase pseudo-term
+        f"title:{t0} {t1}",  # field-scoped clause
+        f"+title:{t0} -{t1} {t2}^1.5",  # combined
+    ]
+    qids, qs, ranks, docids, scores = [], [], [], [], []
+    for qid, qstr in enumerate(suite):
+        for rank, (d, s) in enumerate(engine.search(qstr, k=k), start=1):
+            qids.append(qid)
+            qs.append(qstr)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "query": pa.array(qs, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def bm25f_true_topk(
     sf_dir: str,
     k: int = 10,

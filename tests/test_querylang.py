@@ -1,0 +1,202 @@
+"""Query-string language: parser structure + execution identities vs the
+underlying primitives (exact TAAT, search_weighted, boolean sets, the
+positional phrase matcher)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from terrier_ray.datagen.webtext import generate_queries
+from terrier_ray.index.bm25 import BM25Index, idf
+from terrier_ray.index.build import build_index
+from terrier_ray.index.querylang import (
+    Clause,
+    QueryStringEngine,
+    _phrase_occurrences,
+    parse_query,
+)
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, webtext_small, tmp_root):
+    out = os.path.join(str(tmp_root), "index_ql_pos")
+    build_index(webtext_small, out, num_buckets=4, num_salts=2, positions=True)
+    return BM25Index(out)
+
+
+@pytest.fixture(scope="module")
+def title_index_ql(ray_session, webtext_small, tmp_root):
+    out = os.path.join(str(tmp_root), "index_ql_title")
+    build_index(webtext_small, out, num_buckets=4, num_salts=2, field="title")
+    return BM25Index(out)
+
+
+@pytest.fixture(scope="module")
+def engine(pos_index, title_index_ql):
+    return QueryStringEngine(
+        {"body": pos_index, "title": title_index_ql}, default_field="body"
+    )
+
+
+@pytest.fixture(scope="module")
+def qterms(pos_index):
+    """A few real mid-frequency dictionary terms, deterministic."""
+    tab = pos_index.terms_in_range(lo="m", hi="o")
+    df = tab.column("df").to_numpy(zero_copy_only=False)
+    terms = np.asarray(tab.column("term").to_pylist(), dtype=object)
+    mid = (df >= 5) & (df <= 200)
+    picked = terms[mid][:4].tolist()
+    assert len(picked) >= 3
+    return picked
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_structure():
+    cs = parse_query('+title:ray -slow "exact phrase" fuzz~2 pre* body^2.5')
+    assert cs == [
+        Clause("+", "title", "term", "ray"),
+        Clause("-", None, "term", "slow"),
+        Clause("", None, "phrase", "exact phrase"),
+        Clause("", None, "fuzzy", "fuzz", max_edits=2),
+        Clause("", None, "prefix", "pre"),
+        Clause("", None, "term", "body", boost=2.5),
+    ]
+    # bare fuzzy defaults to 1 edit; boost combines with operators
+    assert parse_query("a~ b*^3") == [
+        Clause("", None, "fuzzy", "a", max_edits=1),
+        Clause("", None, "prefix", "b", boost=3.0),
+    ]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="empty"):
+        parse_query("   ")
+    with pytest.raises(ValueError, match="pure-negative"):
+        parse_query("-a -b")
+    with pytest.raises(ValueError, match="edits"):
+        parse_query("a~5")
+    with pytest.raises(ValueError, match="syntax error at offset"):
+        parse_query('a ^"broken')
+
+
+# ------------------------------------------------------------- execution
+
+
+def test_bare_terms_identical_to_exact_taat(engine, pos_index):
+    for row in generate_queries(5).to_pylist():
+        q = row["text"]
+        assert engine.search(q, k=10) == pos_index.search(q, k=10)
+
+
+def test_boost_matches_search_weighted(engine, pos_index, qterms):
+    a, b = qterms[0], qterms[1]
+    got = engine.search(f"{a}^2 {b}", k=10)
+    want = pos_index.search_weighted([(a, 2.0), (b, 1.0)], k=10)
+    assert got == want
+
+
+def test_must_filters_and_scores(engine, pos_index, qterms):
+    a, b = qterms[0], qterms[1]
+    res = engine.search(f"+{a} {b}", k=1000)
+    a_docs = set(int(d) for d in pos_index.search_boolean(must=[a]))
+    assert res and all(d in a_docs for d, _ in res)
+    # scores are the plain two-term scores, restricted to the MUST set
+    full = dict(pos_index.search(f"{a} {b}", k=10**9))
+    assert all(full[d] == s for d, s in res)
+
+
+def test_must_not_excludes(engine, pos_index, qterms):
+    a, b = qterms[0], qterms[1]
+    res = engine.search(f"{a} -{b}", k=1000)
+    b_docs = set(int(d) for d in pos_index.search_boolean(must=[b]))
+    assert res and not any(d in b_docs for d, _ in res)
+    only_a = dict(pos_index.search(a, k=10**9))
+    assert all(only_a[d] == s for d, s in res)
+
+
+def test_multi_token_must_clause_requires_all(engine, pos_index, qterms):
+    a, b = qterms[0], qterms[1]
+    # one clause, two tokens ('.' is a token break in the index tokenizer)
+    res = engine.search(f"+{a}.{b}", k=1000)
+    both = set(int(d) for d in pos_index.search_boolean(must=[f"{a} {b}"]))
+    assert set(d for d, _ in res) == both
+
+
+def test_prefix_expansion_matches_weighted(engine, pos_index, qterms):
+    pre = qterms[0][:2]
+    tab = pos_index.terms_in_range(prefix=pre)
+    df = tab.column("df").to_numpy(zero_copy_only=False)
+    terms = tab.column("term").to_pylist()
+    order = sorted(range(len(terms)), key=lambda i: (-int(df[i]), terms[i]))
+    clauses = [(terms[i], 1.0) for i in order[:50]]
+    assert engine.search(f"{pre}*", k=10) == pos_index.search_weighted(
+        clauses, k=10
+    )
+
+
+def test_fuzzy_matches_weighted_expansion(engine, pos_index, qterms):
+    base = qterms[2]
+    typo = base[:-1] + ("x" if base[-1] != "x" else "q")
+    clauses = [
+        (v, 1.0 - ed / max(1, min(len(typo), len(v))))
+        for v, ed, _df in pos_index.fuzzy_expand(typo, max_edits=1)
+    ]
+    got = engine.search(f"{typo}~1", k=10)
+    assert got == pos_index.search_weighted(clauses, k=10)
+    assert got  # the un-typo'd dictionary term is within one edit
+
+
+def test_phrase_pseudo_term_scoring(engine, pos_index, webtext_small):
+    from terrier_ray.index.bm25 import B, K1
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    docs, counts = _phrase_occurrences(pos_index, phrase)
+    assert len(docs)
+    tf = counts.astype(np.float64)
+    dl = pos_index.doc_len(docs).astype(np.float64)
+    wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / pos_index.avgdl))
+    contrib = idf(pos_index.n_docs, len(docs)) * wd
+    order = np.lexsort((docs, -contrib))[: min(10, len(docs))]
+    want = [(int(docs[i]), float(contrib[i])) for i in order]
+    assert engine.search(f'"{phrase}"', k=10) == want
+
+
+def test_phrase_as_must_filter(engine, pos_index, webtext_small, qterms):
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    docs, _ = _phrase_occurrences(pos_index, phrase)
+    res = engine.search(f'+"{phrase}" {qterms[0]}', k=1000)
+    assert res and set(d for d, _ in res) <= set(int(d) for d in docs)
+
+
+def test_phrase_requires_positions(title_index_ql):
+    eng = QueryStringEngine(title_index_ql, default_field="title")
+    with pytest.raises(ValueError, match="positional"):
+        eng.search('title:"some phrase"')
+
+
+def test_field_scoping(engine, title_index_ql, qterms):
+    # a title:term clause is scored by the title index exactly
+    t = qterms[0]
+    assert engine.search(f"title:{t}", k=10) == title_index_ql.search(t, k=10)
+    with pytest.raises(ValueError, match="unknown field"):
+        engine.search("url:xyz")
+
+
+def test_pipeline_entry_shape(ray_session, sf_smoke):
+    from terrier_ray.pipelines.fulltext import search_query_string
+
+    tab = search_query_string(sf_smoke)
+    assert tab.num_rows > 0
+    assert tab.column_names == ["query_id", "query", "rank", "docid", "score"]
+    # ranks start at 1 and are per-query contiguous
+    import pyarrow.compute as pc
+
+    assert pc.min(tab.column("rank")).as_py() == 1
