@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import search_query_string
 
     q["search_query_string"] = search_query_string
+    q["search_query_string_distributed"] = lambda sf_dir: search_query_string(
+        sf_dir, distributed=True
+    )
     from terrier_ray.pipelines.fulltext import prefix_terms, terms_desc_limit
 
     q["prefix_terms"] = prefix_terms

@@ -126,6 +126,7 @@ class BM25Index:
     PF_CACHE_CAP = 1024
 
     def __init__(self, index_dir: str):
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = self.stats["n_docs"]

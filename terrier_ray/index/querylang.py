@@ -125,10 +125,12 @@ def parse_query(q: str) -> list[Clause]:
     return clauses
 
 
-def _phrase_occurrences(idx, phrase: str):
+def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None = None):
     """(docids ascending int64, per-doc adjacency-match counts int64) for
     the exact token sequence, by position-list intersection (the
-    ``_match_phrases_positional`` kernel, expressed index-side)."""
+    ``_match_phrases_positional`` kernel, expressed index-side).  With
+    ``lo``/``hi`` the candidate set is restricted to that docid range
+    (the shard-side unit of ``search_distributed``)."""
     from terrier_ray.index.bm25 import _query_terms
     from terrier_ray.text.tokenize import tokenize
 
@@ -140,6 +142,8 @@ def _phrase_occurrences(idx, phrase: str):
             "phrase clauses need a positional index (build_index(positions=True))"
         )
     cand = idx.search_boolean(must=[phrase])
+    if lo is not None:
+        cand = cand[(cand >= np.uint64(lo)) & (cand < np.uint64(hi))]
     if not len(cand):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     cand_list = [int(d) for d in cand]
@@ -165,6 +169,124 @@ def _phrase_occurrences(idx, phrase: str):
     return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
 
 
+def _qs_phrase_counts(index_dirs, lo, hi, phrases):
+    """Phase-1 shard task of ``search_distributed``: UNFILTERED phrase
+    match counts per (field, text) within this docid range — the partials
+    that sum to each phrase pseudo-term's exact global df (every doc lives
+    in exactly one range).  Returns list[int], one per phrase."""
+    from terrier_ray.index.bm25 import BM25Index
+
+    idxs: dict = {}
+    counts = []
+    for f, text in phrases:
+        idx = idxs.get(f) or idxs.setdefault(f, BM25Index(index_dirs[f]))
+        docs, _ = _phrase_occurrences(idx, text, lo=lo, hi=hi)
+        counts.append(int(len(docs)))
+    return counts
+
+
+def _qs_score_range(index_dirs, lo, hi, plan, phrase_df, k):
+    """Phase-2 shard task of ``search_distributed``: score every plan
+    clause against the docid range [lo, hi) and return a partial top-k.
+
+    Mirrors ``QueryStringEngine.search`` exactly, restricted to the range:
+    per-clause contributions use the same float64 expression and clause
+    order (term df in the posting rows is GLOBAL post-fold, phrase df
+    arrives from phase 1), MUST/NOT filters apply shard-side (each doc
+    lives in exactly one range, so the filtered partial k-lists merge
+    rank-AND-score-identical to the single-handle engine — tested).
+    Postings decode where the range's doclens live and never transit."""
+    from terrier_ray.index.bm25 import B, K1, BM25Index, idf
+
+    idxs = {f: BM25Index(d) for f, d in index_dirs.items()}
+    lo64, hi64 = np.uint64(lo), np.uint64(hi)
+    # one bucket-grouped lookup per field over all its pair terms
+    post_by_field: dict = {}
+    for cl in plan:
+        if cl["kind"] == "pairs":
+            post_by_field.setdefault(cl["field"], set()).update(
+                t for t, _ in cl["pairs"]
+            )
+    post_by_field = {
+        f: idxs[f].lookup(sorted(ts)) for f, ts in post_by_field.items()
+    }
+    chunks_d: list[np.ndarray] = []
+    chunks_c: list[np.ndarray] = []
+    must_sets: list[np.ndarray] = []
+    not_sets: list[np.ndarray] = []
+    pi = 0
+    for cl in plan:
+        idx = idxs[cl["field"]]
+        chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        if cl["kind"] == "phrase":
+            docs, counts = _phrase_occurrences(idx, cl["text"], lo=lo, hi=hi)
+            df = phrase_df[pi]
+            pi += 1
+            if len(docs):
+                tf = counts.astype(np.float64)
+                dl = idx.doc_len(docs).astype(np.float64)
+                wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+                chunks.append((docs, cl["boost"] * idf(idx.n_docs, df) * wd))
+            match = docs
+        else:
+            post = post_by_field[cl["field"]]
+            per_term_docs: list[np.ndarray] = []
+            for t, w in cl["pairs"]:
+                p = post.get(t)
+                if p is None:
+                    per_term_docs.append(np.empty(0, np.int64))
+                    continue
+                dids = p[1]
+                i0 = int(np.searchsorted(dids, lo64))
+                i1 = int(np.searchsorted(dids, hi64))
+                if i1 <= i0:
+                    per_term_docs.append(np.empty(0, np.int64))
+                    continue
+                d = dids[i0:i1].astype(np.int64)
+                tf = p[2][i0:i1].astype(np.float64)
+                dl = idx.doc_len(dids[i0:i1])
+                wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+                chunks.append((d, w * idf(idx.n_docs, p[0]) * wd))
+                per_term_docs.append(d)
+            if cl["must_all"]:
+                match = per_term_docs[0] if per_term_docs else np.empty(0, np.int64)
+                for dd in per_term_docs[1:]:
+                    match = np.intersect1d(match, dd, assume_unique=True)
+            else:
+                match = (
+                    np.unique(np.concatenate(per_term_docs))
+                    if per_term_docs
+                    else np.empty(0, np.int64)
+                )
+        if cl["occur"] == MUST_NOT:
+            not_sets.append(match)
+            continue
+        for d, w in chunks:
+            chunks_d.append(d)
+            chunks_c.append(w)
+        if cl["occur"] == MUST:
+            must_sets.append(match)
+    if not chunks_d:
+        return []
+    all_d = np.concatenate(chunks_d)
+    all_c = np.concatenate(chunks_c)
+    uniq, inverse = np.unique(all_d, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inverse, all_c)
+    keep = np.ones(len(uniq), dtype=bool)
+    for ms in must_sets:
+        keep &= np.isin(uniq, ms, assume_unique=True)
+    if not_sets:
+        excl = np.unique(np.concatenate(not_sets))
+        if len(excl):
+            keep &= ~np.isin(uniq, excl, assume_unique=True)
+    uniq, acc = uniq[keep], acc[keep]
+    if not len(uniq):
+        return []
+    order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+    return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
 class QueryStringEngine:
     """Execute parsed query strings over one or more per-field
     ``BM25Index`` handles (same corpus; docids are corpus-global)."""
@@ -180,6 +302,7 @@ class QueryStringEngine:
         self.indexes = indexes
         self.default_field = default_field
         self.max_expansions = max_expansions
+        self._remotes = None  # lazy (ray only needed for search_distributed)
 
     def _index_of(self, field: str | None):
         f = field or self.default_field
@@ -292,3 +415,102 @@ class QueryStringEngine:
         kk = min(k, len(uniq))
         order = np.lexsort((uniq, -acc))[:kk]  # score desc, docid asc
         return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    # ------------------------------------------------------- distributed
+
+    def _shard_ranges(self, num_shards):
+        """Docid ranges from the default field's doclen parts (the
+        DistributedBM25 discipline: each shard's doclens are one
+        contiguous mmap), split further when asked."""
+        local = self.indexes[self.default_field]
+        lows = [int(lo) for lo in local._dl_lo]
+        bounds = lows + [1 << 63]
+        ranges = list(zip(bounds[:-1], bounds[1:]))
+        if num_shards is None or num_shards <= len(ranges):
+            return ranges
+        per = -(-num_shards // len(ranges))
+        out = []
+        for lo, hi in ranges:
+            step = max(1, (hi - lo) // per)
+            cuts = list(range(lo, hi, step))[:per] + [hi]
+            out.extend(zip(cuts[:-1], cuts[1:]))
+        return out
+
+    def search_distributed(
+        self, q: str, k: int = 10, num_shards: "int | None" = None
+    ) -> "list[tuple[int, float]]":
+        """Query-string retrieval with SHARD-SIDE scoring — the 1e12-doc
+        serving shape for the query language, rank-AND-score-identical to
+        ``search`` (tested):
+
+        - Clause EXPANSION (dictionary prefix scans, fuzzy OSA expansion)
+          runs once at the coordinator — pruned (term, df) column reads,
+          no posting blobs — and ships as a serializable weighted plan.
+        - Phrase pseudo-term df needs a global count, so phrase queries
+          take TWO rounds: phase 1 returns per-range unfiltered match
+          counts (ints only) that sum to the exact global df; phase 2
+          scores.  Phrase-free queries skip phase 1.
+        - Phase 2 tasks score every clause against their docid range with
+          locally-memmapped doclens and apply MUST/NOT filters in-shard
+          (each doc lives in exactly one range), returning partial top-k
+          lists the coordinator merges — decoded postings never transit
+          (the ``search_many_sharded`` / sorter.cpp:424-430 shape)."""
+        import ray
+
+        if self._remotes is None:
+            self._remotes = (
+                ray.remote(_qs_phrase_counts),
+                ray.remote(_qs_score_range),
+            )
+        counts_remote, score_remote = self._remotes
+        clauses = parse_query(q)
+        index_dirs = {f: idx.index_dir for f, idx in self.indexes.items()}
+        plan: list[dict] = []
+        phrase_keys: list[tuple[str, str]] = []
+        for c in clauses:
+            f = c.field or self.default_field
+            idx = self._index_of(c.field)
+            if c.kind == "phrase":
+                if not idx.has_positions:
+                    raise ValueError(
+                        "phrase clauses need a positional index "
+                        "(build_index(positions=True))"
+                    )
+                plan.append(
+                    {
+                        "occur": c.occur,
+                        "field": f,
+                        "kind": "phrase",
+                        "text": c.text,
+                        "boost": c.boost,
+                    }
+                )
+                phrase_keys.append((f, c.text))
+            else:
+                pairs = self._expand(idx, c)
+                plan.append(
+                    {
+                        "occur": c.occur,
+                        "field": f,
+                        "kind": "pairs",
+                        "pairs": pairs,
+                        "must_all": c.kind == "term"
+                        and c.occur == MUST
+                        and len(pairs) > 1,
+                    }
+                )
+        ranges = self._shard_ranges(num_shards)
+        phrase_df: list[int] = []
+        if phrase_keys:
+            futs = [
+                counts_remote.remote(index_dirs, lo, hi, phrase_keys)
+                for lo, hi in ranges
+            ]
+            phrase_df = [sum(col) for col in zip(*ray.get(futs))]
+        futs = [
+            score_remote.remote(index_dirs, lo, hi, plan, phrase_df, k)
+            for lo, hi in ranges
+        ]
+        cand = [pair for part in ray.get(futs) for pair in part]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        return cand[:k]

@@ -915,7 +915,7 @@ def did_you_mean(sf_dir: str, num_queries: int = 12, max_edits: int = 1):
     )
 
 
-def search_query_string(sf_dir: str, k: int = 10):
+def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
     """Lucene-style query-string retrieval — the unified front door over
     every search primitive (``index/querylang.py``): boolean occurs
     (``+must -not``), boosts (``^2``), prefix (``pre*``), fuzzy
@@ -925,7 +925,13 @@ def search_query_string(sf_dir: str, k: int = 10):
     construct; every execution identity (bare == exact TAAT, boost ==
     search_weighted, phrase == positional matcher, field == per-field
     search) is pinned in tests/test_querylang.py.  Rows: (query_id,
-    query, rank, docid, score); rows-only (free-text query language)."""
+    query, rank, docid, score); rows-only (free-text query language).
+
+    ``distributed=True`` serves the same suite through shard-side scoring
+    (``QueryStringEngine.search_distributed``: coordinator-side expansion,
+    two-round phrase df, per-range scoring + filters, k-list merge) —
+    rank-AND-score-identical rows, so the two entries' tables match
+    byte-for-byte (tested)."""
     import pyarrow as pa
 
     from terrier_ray.index.bm25 import BM25Index
@@ -960,9 +966,14 @@ def search_query_string(sf_dir: str, k: int = 10):
         f"title:{t0} {t1}",  # field-scoped clause
         f"+title:{t0} -{t1} {t2}^1.5",  # combined
     ]
+    run = (
+        (lambda qstr: engine.search_distributed(qstr, k=k, num_shards=4))
+        if distributed
+        else (lambda qstr: engine.search(qstr, k=k))
+    )
     qids, qs, ranks, docids, scores = [], [], [], [], []
     for qid, qstr in enumerate(suite):
-        for rank, (d, s) in enumerate(engine.search(qstr, k=k), start=1):
+        for rank, (d, s) in enumerate(run(qstr), start=1):
             qids.append(qid)
             qs.append(qstr)
             ranks.append(rank)

@@ -190,6 +190,36 @@ def test_field_scoping(engine, title_index_ql, qterms):
         engine.search("url:xyz")
 
 
+def test_distributed_identical_to_local(
+    ray_session, engine, pos_index, webtext_small, qterms
+):
+    """search_distributed must be rank-AND-score-identical (exact float
+    equality) to the single-handle engine for every construct, at a shard
+    count that forces real range splits."""
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    a, b = qterms[0], qterms[1]
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    typo = qterms[2][:-1] + ("x" if qterms[2][-1] != "x" else "q")
+    suite = [
+        f"{a} {b}",
+        f"+{a} {b}",
+        f"{a} -{b}",
+        f"{a}^2 {b}",
+        f"{a[:2]}*",
+        f"{typo}~1",
+        f'"{phrase}"',
+        f'+"{phrase}" {a}',
+        f'{a} -"{phrase}"',
+        f"title:{a} {b}",
+        f"+{a}.{b} title:{a}^1.5",
+    ]
+    for q in suite:
+        want = engine.search(q, k=25)
+        got = engine.search_distributed(q, k=25, num_shards=3)
+        assert got == want, q
+
+
 def test_pipeline_entry_shape(ray_session, sf_smoke):
     from terrier_ray.pipelines.fulltext import search_query_string
 
@@ -200,3 +230,5 @@ def test_pipeline_entry_shape(ray_session, sf_smoke):
     import pyarrow.compute as pc
 
     assert pc.min(tab.column("rank")).as_py() == 1
+    # the distributed serving entry returns the byte-identical table
+    assert search_query_string(sf_smoke, distributed=True).equals(tab)
