@@ -551,6 +551,8 @@ class BM25Index:
             band = np.abs(lens - len(term)) <= max_edits
         if not len(band) or not band.any():
             self._fuzzy_cache[key] = []
+            while len(self._fuzzy_cache) > self.CACHE_CAP:
+                self._fuzzy_cache.popitem(last=False)
             return []
         mask = pa.array(band)
         cand_terms = terms_arr.filter(mask).to_pylist()
@@ -1382,6 +1384,29 @@ class DistributedSegmentedBM25:
         return results
 
 
+def doclen_shard_ranges(
+    handle, num_shards: "int | None"
+) -> "list[tuple[int, int]]":
+    """Docid ranges to score per shard task: the doclen parts' natural
+    boundaries (each shard's doclens are one contiguous mmap), split
+    further when ``num_shards`` asks for more parallelism.  The ONE range
+    discipline shared by every shard-side serving path (DistributedBM25
+    and QueryStringEngine) — each corpus docid lands in exactly one range,
+    so per-range partials merge exactly."""
+    lows = [int(lo) for lo in handle._dl_lo]
+    bounds = lows + [1 << 63]
+    ranges = list(zip(bounds[:-1], bounds[1:]))
+    if num_shards is None or num_shards <= len(ranges):
+        return ranges
+    per = -(-num_shards // len(ranges))
+    out = []
+    for lo, hi in ranges:
+        step = max(1, (hi - lo) // per)
+        cuts = list(range(lo, hi, step))[:per] + [hi]
+        out.extend(zip(cuts[:-1], cuts[1:]))
+    return out
+
+
 class DistributedBM25:
     """Scatter-gather query execution, two shapes:
 
@@ -1411,21 +1436,7 @@ class DistributedBM25:
         self._score_range = ray.remote(_score_range_topk)
 
     def _shard_ranges(self, num_shards: "int | None") -> "list[tuple[int, int]]":
-        """Docid ranges to score per task: the doclen parts' natural
-        boundaries (each shard's doclens are one contiguous mmap), split
-        further when num_shards asks for more parallelism."""
-        lows = [int(lo) for lo in self.local._dl_lo]
-        bounds = lows + [1 << 63]
-        ranges = list(zip(bounds[:-1], bounds[1:]))
-        if num_shards is None or num_shards <= len(ranges):
-            return ranges
-        per = -(-num_shards // len(ranges))
-        out = []
-        for lo, hi in ranges:
-            step = max(1, (hi - lo) // per)
-            cuts = list(range(lo, hi, step))[:per] + [hi]
-            out.extend(zip(cuts[:-1], cuts[1:]))
-        return out
+        return doclen_shard_ranges(self.local, num_shards)
 
     def search_many_sharded(
         self, queries: "list[str]", k: int = 10, num_shards: "int | None" = None

@@ -7,7 +7,9 @@ an IR engine's is the query string):
 
     +distributed -slow title:ray "exact phrase" fuzzy~1 pre* body^2.5
 
-Grammar (whitespace-separated clauses)::
+Grammar (whitespace-separated clauses — a clause ending mid-token is a
+syntax error, never a silent split; exact duplicate clauses collapse to
+the first occurrence, matching ``_query_terms``'s unique-token rule)::
 
     clause := [occur] [field ':'] atom ['^' boost]
     occur  := '+' (MUST) | '-' (MUST_NOT)        # default: SHOULD
@@ -88,8 +90,15 @@ _CLAUSE_RE = re.compile(
 
 def parse_query(q: str) -> list[Clause]:
     """Parse a query string into clauses; raises ValueError with the
-    offending offset on junk the grammar can't consume."""
+    offending offset on junk the grammar can't consume.  Clauses must be
+    whitespace-separated — a clause that ends mid-token (``a~10``,
+    ``foo*bar``, ``ab^2cd``) is a syntax error, not two clauses (silently
+    splitting would return wrong results with no signal).  EXACT duplicate
+    clauses collapse to the first occurrence, mirroring ``_query_terms``'s
+    unique-token discipline so a bare repeated word stays score-identical
+    to ``BM25Index.search`` (module contract above)."""
     clauses: list[Clause] = []
+    seen: set[Clause] = set()
     pos, n = 0, len(q)
     while pos < n:
         if q[pos].isspace():
@@ -98,6 +107,12 @@ def parse_query(q: str) -> list[Clause]:
         m = _CLAUSE_RE.match(q, pos)
         if m is None or m.end() == m.start():
             raise ValueError(f"query syntax error at offset {pos}: {q[pos:]!r}")
+        if m.end() < n and not q[m.end()].isspace():
+            raise ValueError(
+                f"query syntax error at offset {m.end()}: clauses are "
+                f"whitespace-separated, got {q[m.end():]!r} after "
+                f"{q[pos:m.end()]!r}"
+            )
         occur = m.group("occur") or SHOULD
         field = m.group("field")
         boost = float(m.group("boost")) if m.group("boost") else 1.0
@@ -114,7 +129,9 @@ def parse_query(q: str) -> list[Clause]:
                 c = Clause(occur, field, "fuzzy", word, boost, max_edits=ed)
             else:
                 c = Clause(occur, field, "term", word, boost)
-        clauses.append(c)
+        if c not in seen:
+            seen.add(c)
+            clauses.append(c)
         pos = m.end()
     if not clauses:
         raise ValueError("empty query")
@@ -131,24 +148,44 @@ def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None 
     ``_match_phrases_positional`` kernel, expressed index-side).  With
     ``lo``/``hi`` the candidate set is restricted to that docid range
     (the shard-side unit of ``search_distributed``)."""
-    from terrier_ray.index.bm25 import _query_terms
     from terrier_ray.text.tokenize import tokenize
 
     seq = tokenize(phrase)
+    empty = np.empty(0, np.int64), np.empty(0, np.int64)
     if not seq:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return empty
     if not idx.has_positions:
         raise ValueError(
             "phrase clauses need a positional index (build_index(positions=True))"
         )
-    cand = idx.search_boolean(must=[phrase])
-    if lo is not None:
-        cand = cand[(cand >= np.uint64(lo)) & (cand < np.uint64(hi))]
-    if not len(cand):
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # Candidate AND with the postings SLICED to [lo, hi) first (searchsorted
+    # on the docid-sorted lists), rarest-first — a shard task intersects only
+    # its own range's postings, never the full corpus's (search_boolean's
+    # rarest-first discipline, range-restricted).
+    uniq_terms = list(dict.fromkeys(seq))
+    post = idx.lookup(uniq_terms)
+    sliced: dict[str, np.ndarray] = {}
+    for t in uniq_terms:
+        p = post.get(t)
+        if p is None:
+            return empty  # AND with an unindexed term
+        d = p[1]
+        if lo is not None:
+            i0 = int(np.searchsorted(d, np.uint64(lo)))
+            i1 = int(np.searchsorted(d, np.uint64(hi)))
+            d = d[i0:i1]
+        if not len(d):
+            return empty
+        sliced[t] = d
+    cand: np.ndarray | None = None
+    for t in sorted(uniq_terms, key=lambda t: len(sliced[t])):
+        d = sliced[t]
+        cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+        if not len(cand):
+            return empty
     cand_list = [int(d) for d in cand]
     # one positions fetch per UNIQUE term (a repeated token reuses it)
-    posmaps = {t: idx.positions_for(t, cand_list) for t in _query_terms(phrase)}
+    posmaps = {t: idx.positions_for(t, cand_list) for t in uniq_terms}
     docs: list[int] = []
     counts: list[int] = []
     for d in cand_list:
@@ -169,36 +206,41 @@ def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None 
     return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
 
 
-def _qs_phrase_counts(index_dirs, lo, hi, phrases):
+def _qs_phrase_matches(index_dirs, lo, hi, phrases):
     """Phase-1 shard task of ``search_distributed``: UNFILTERED phrase
-    match counts per (field, text) within this docid range — the partials
-    that sum to each phrase pseudo-term's exact global df (every doc lives
-    in exactly one range).  Returns list[int], one per phrase."""
+    matches per (field, text) within this docid range.  Returns one
+    ``(docids int64, adjacency counts int64)`` pair per phrase — the match
+    lengths sum to each phrase pseudo-term's exact global df (every doc
+    lives in exactly one range), and the pairs ship BACK to the same
+    range's phase-2 task so the position-intersect work runs exactly once
+    per (phrase, range).  Wire size is bounded by the phrase's per-range
+    df (doc ids + small counts, never postings or positions)."""
     from terrier_ray.index.bm25 import BM25Index
 
     idxs: dict = {}
-    counts = []
+    out = []
     for f, text in phrases:
         idx = idxs.get(f) or idxs.setdefault(f, BM25Index(index_dirs[f]))
-        docs, _ = _phrase_occurrences(idx, text, lo=lo, hi=hi)
-        counts.append(int(len(docs)))
-    return counts
+        out.append(_phrase_occurrences(idx, text, lo=lo, hi=hi))
+    return out
 
 
-def _qs_score_range(index_dirs, lo, hi, plan, phrase_df, k):
+def _qs_score_range(index_dirs, lo, hi, plan, phrase_hits, phrase_df, k):
     """Phase-2 shard task of ``search_distributed``: score every plan
     clause against the docid range [lo, hi) and return a partial top-k.
 
     Mirrors ``QueryStringEngine.search`` exactly, restricted to the range:
     per-clause contributions use the same float64 expression and clause
-    order (term df in the posting rows is GLOBAL post-fold, phrase df
-    arrives from phase 1), MUST/NOT filters apply shard-side (each doc
+    order (term df in the posting rows is GLOBAL post-fold; phrase matches
+    AND global phrase df arrive from phase 1, so position intersection ran
+    exactly once per range), MUST/NOT filters apply shard-side (each doc
     lives in exactly one range, so the filtered partial k-lists merge
     rank-AND-score-identical to the single-handle engine — tested).
+    MUST_NOT clauses contribute only their match set — no weight math.
     Postings decode where the range's doclens live and never transit."""
     from terrier_ray.index.bm25 import B, K1, BM25Index, idf
 
-    idxs = {f: BM25Index(d) for f, d in index_dirs.items()}
+    idxs: dict = {}  # lazy: only fields the plan actually references
     lo64, hi64 = np.uint64(lo), np.uint64(hi)
     # one bucket-grouped lookup per field over all its pair terms
     post_by_field: dict = {}
@@ -208,7 +250,10 @@ def _qs_score_range(index_dirs, lo, hi, plan, phrase_df, k):
                 t for t, _ in cl["pairs"]
             )
     post_by_field = {
-        f: idxs[f].lookup(sorted(ts)) for f, ts in post_by_field.items()
+        f: (
+            idxs.get(f) or idxs.setdefault(f, BM25Index(index_dirs[f]))
+        ).lookup(sorted(ts))
+        for f, ts in post_by_field.items()
     }
     chunks_d: list[np.ndarray] = []
     chunks_c: list[np.ndarray] = []
@@ -216,14 +261,16 @@ def _qs_score_range(index_dirs, lo, hi, plan, phrase_df, k):
     not_sets: list[np.ndarray] = []
     pi = 0
     for cl in plan:
-        idx = idxs[cl["field"]]
+        f = cl["field"]
+        idx = idxs.get(f) or idxs.setdefault(f, BM25Index(index_dirs[f]))
+        scoring = cl["occur"] != MUST_NOT
         chunks: list[tuple[np.ndarray, np.ndarray]] = []
         if cl["kind"] == "phrase":
-            docs, counts = _phrase_occurrences(idx, cl["text"], lo=lo, hi=hi)
+            docs, counts = phrase_hits[pi]
             df = phrase_df[pi]
             pi += 1
-            if len(docs):
-                tf = counts.astype(np.float64)
+            if scoring and len(docs):
+                tf = np.asarray(counts, np.float64)
                 dl = idx.doc_len(docs).astype(np.float64)
                 wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
                 chunks.append((docs, cl["boost"] * idf(idx.n_docs, df) * wd))
@@ -243,10 +290,13 @@ def _qs_score_range(index_dirs, lo, hi, plan, phrase_df, k):
                     per_term_docs.append(np.empty(0, np.int64))
                     continue
                 d = dids[i0:i1].astype(np.int64)
-                tf = p[2][i0:i1].astype(np.float64)
-                dl = idx.doc_len(dids[i0:i1])
-                wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
-                chunks.append((d, w * idf(idx.n_docs, p[0]) * wd))
+                if scoring:
+                    tf = p[2][i0:i1].astype(np.float64)
+                    dl = idx.doc_len(dids[i0:i1])
+                    wd = tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / idx.avgdl)
+                    )
+                    chunks.append((d, w * idf(idx.n_docs, p[0]) * wd))
                 per_term_docs.append(d)
             if cl["must_all"]:
                 match = per_term_docs[0] if per_term_docs else np.empty(0, np.int64)
@@ -346,9 +396,11 @@ class QueryStringEngine:
         from terrier_ray.index.bm25 import K1, B, idf
 
         idx = self._index_of(c.field)
+        scoring = c.occur != MUST_NOT  # negative clauses never score —
+        # only their match set is needed, so skip all weight math
         if c.kind == "phrase":
             docs, counts = _phrase_occurrences(idx, c.text)
-            if not len(docs):
+            if not scoring or not len(docs):
                 return [], docs
             tf = counts.astype(np.float64)
             dl = idx.doc_len(docs).astype(np.float64)
@@ -365,7 +417,8 @@ class QueryStringEngine:
                 per_term_docs.append(np.empty(0, np.int64))
                 continue
             d = p[1].astype(np.int64)
-            chunks.append((d, w * idf(idx.n_docs, p[0]) * idx._wd_of(t, p)))
+            if scoring:
+                chunks.append((d, w * idf(idx.n_docs, p[0]) * idx._wd_of(t, p)))
             per_term_docs.append(d)
         if c.kind == "term" and c.occur == MUST and len(pairs) > 1:
             match = per_term_docs[0]
@@ -419,22 +472,13 @@ class QueryStringEngine:
     # ------------------------------------------------------- distributed
 
     def _shard_ranges(self, num_shards):
-        """Docid ranges from the default field's doclen parts (the
-        DistributedBM25 discipline: each shard's doclens are one
-        contiguous mmap), split further when asked."""
-        local = self.indexes[self.default_field]
-        lows = [int(lo) for lo in local._dl_lo]
-        bounds = lows + [1 << 63]
-        ranges = list(zip(bounds[:-1], bounds[1:]))
-        if num_shards is None or num_shards <= len(ranges):
-            return ranges
-        per = -(-num_shards // len(ranges))
-        out = []
-        for lo, hi in ranges:
-            step = max(1, (hi - lo) // per)
-            cuts = list(range(lo, hi, step))[:per] + [hi]
-            out.extend(zip(cuts[:-1], cuts[1:]))
-        return out
+        """Docid ranges from the default field's doclen parts —
+        ``doclen_shard_ranges``, the one range discipline shared with
+        ``DistributedBM25`` (per-field indexes share the corpus docid
+        space, so the default field's parts partition every field)."""
+        from terrier_ray.index.bm25 import doclen_shard_ranges
+
+        return doclen_shard_ranges(self.indexes[self.default_field], num_shards)
 
     def search_distributed(
         self, q: str, k: int = 10, num_shards: "int | None" = None
@@ -447,9 +491,12 @@ class QueryStringEngine:
           runs once at the coordinator — pruned (term, df) column reads,
           no posting blobs — and ships as a serializable weighted plan.
         - Phrase pseudo-term df needs a global count, so phrase queries
-          take TWO rounds: phase 1 returns per-range unfiltered match
-          counts (ints only) that sum to the exact global df; phase 2
-          scores.  Phrase-free queries skip phase 1.
+          take TWO rounds: phase 1 returns per-range unfiltered phrase
+          matches (docids + adjacency counts, bounded by per-range phrase
+          df — never postings or positions); their lengths sum to the
+          exact global df, and each range's matches ship back to ITS
+          phase-2 task, so position intersection runs once per (phrase,
+          range).  Phrase-free queries skip phase 1.
         - Phase 2 tasks score every clause against their docid range with
           locally-memmapped doclens and apply MUST/NOT filters in-shard
           (each doc lives in exactly one range), returning partial top-k
@@ -459,10 +506,10 @@ class QueryStringEngine:
 
         if self._remotes is None:
             self._remotes = (
-                ray.remote(_qs_phrase_counts),
+                ray.remote(_qs_phrase_matches),
                 ray.remote(_qs_score_range),
             )
-        counts_remote, score_remote = self._remotes
+        matches_remote, score_remote = self._remotes
         clauses = parse_query(q)
         index_dirs = {f: idx.index_dir for f, idx in self.indexes.items()}
         plan: list[dict] = []
@@ -501,15 +548,20 @@ class QueryStringEngine:
                 )
         ranges = self._shard_ranges(num_shards)
         phrase_df: list[int] = []
+        hits_by_range: "list[list]" = [[] for _ in ranges]
         if phrase_keys:
             futs = [
-                counts_remote.remote(index_dirs, lo, hi, phrase_keys)
+                matches_remote.remote(index_dirs, lo, hi, phrase_keys)
                 for lo, hi in ranges
             ]
-            phrase_df = [sum(col) for col in zip(*ray.get(futs))]
+            hits_by_range = ray.get(futs)
+            phrase_df = [
+                sum(len(r[pi][0]) for r in hits_by_range)
+                for pi in range(len(phrase_keys))
+            ]
         futs = [
-            score_remote.remote(index_dirs, lo, hi, plan, phrase_df, k)
-            for lo, hi in ranges
+            score_remote.remote(index_dirs, lo, hi, plan, hits, phrase_df, k)
+            for (lo, hi), hits in zip(ranges, hits_by_range)
         ]
         cand = [pair for part in ray.get(futs) for pair in part]
         cand.sort(key=lambda x: (-x[1], x[0]))

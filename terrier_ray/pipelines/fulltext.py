@@ -23,6 +23,8 @@ def ensure_index(sf_dir: str, **kwargs) -> str:
     field = kwargs.get("field", "body")
     if field != "body":  # per-field indexes live side by side (BM25F)
         name = f"{name}-{field}"
+    if kwargs.get("positions"):  # positional build = separate cached layout
+        name = f"{name}-pos"
     idx_dir = os.path.join(INDEX_ROOT, name)
     build_index(web, idx_dir, **kwargs)
     return idx_dir
@@ -474,33 +476,17 @@ def _match_phrases_positional(idx, phrases: "list[str]"):
     shifted by phrase offset (``positions_for`` decodes one 128-posting
     block per (term, candidate)) — ZERO corpus text reads, so a
     stopword-heavy phrase costs position-block decodes, never a text
-    refetch of a huge AND set (the r4 verdict's degenerate case)."""
-    import numpy as np
-
-    from terrier_ray.text.tokenize import tokenize
+    refetch of a huge AND set (the r4 verdict's degenerate case).  The
+    kernel is ``querylang._phrase_occurrences`` — the ONE position-
+    intersection implementation (the query language's phrase clauses and
+    this table-shaped entry must agree doc-for-doc)."""
+    from terrier_ray.index.querylang import _phrase_occurrences
 
     rows: list[tuple[int, str, int, int]] = []
     for pid, phrase in enumerate(phrases):
-        seq = tokenize(phrase)
-        cand = idx.search_boolean(must=[phrase])
-        if not len(cand) or not seq:
-            continue
-        cand_list = [int(d) for d in cand]
-        posmaps = [idx.positions_for(t, cand_list) for t in seq]
-        for d in cand_list:
-            acc = posmaps[0].get(d)
-            if acc is None:
-                continue
-            for j in range(1, len(seq)):
-                pj = posmaps[j].get(d)
-                if pj is None:
-                    acc = acc[:0]
-                    break
-                acc = np.intersect1d(acc, pj - j, assume_unique=True)
-                if not len(acc):
-                    break
-            if len(acc):
-                rows.append((pid, phrase, d, int(len(acc))))
+        docs, counts = _phrase_occurrences(idx, phrase)
+        for d, c in zip(docs.tolist(), counts.tolist()):
+            rows.append((pid, phrase, d, c))
     return _phrase_table(rows)
 
 
@@ -574,11 +560,7 @@ def phrase_matches_positional(sf_dir: str, num_phrases: int = 6):
     from terrier_ray.index.bm25 import BM25Index
 
     web = webtext_for_sf(sf_dir)
-    idx_dir = os.path.join(
-        INDEX_ROOT, os.path.basename(web.rstrip("/")) + "-pos"
-    )
-    build_index(web, idx_dir, positions=True)
-    idx = BM25Index(idx_dir)
+    idx = BM25Index(ensure_index(sf_dir, positions=True))
     phrases = _mine_phrases(idx, web, num_phrases)
     return _match_phrases_positional(idx, phrases)
 
@@ -938,11 +920,7 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
     from terrier_ray.index.querylang import QueryStringEngine
 
     web = webtext_for_sf(sf_dir)
-    pos_dir = os.path.join(
-        INDEX_ROOT, os.path.basename(web.rstrip("/")) + "-pos"
-    )
-    build_index(web, pos_dir, positions=True)
-    body = BM25Index(pos_dir)
+    body = BM25Index(ensure_index(sf_dir, positions=True))
     title = BM25Index(ensure_index(sf_dir, field="title"))
     engine = QueryStringEngine({"body": body, "title": title})
 
@@ -954,7 +932,7 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
                 terms.append(w)
     t0, t1, t2 = terms[0], terms[1], terms[2]
     typo = t0[:-1] + ("x" if t0[-1] != "x" else "q")
-    phrase = _mine_phrases(body, web, 1)[0]
+    mined = _mine_phrases(body, web, 1)
     suite = [
         base[0],  # plain multi-term (== exact TAAT)
         f"+{t0} {t1}",  # MUST filter + SHOULD scoring
@@ -962,7 +940,9 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
         f"{t0}^2 {t1}",  # per-clause boost
         f"{t0[:2]}*",  # dictionary prefix expansion
         f"{typo}~1",  # fuzzy (OSA ed<=1)
-        f'"{phrase}"',  # positional phrase pseudo-term
+        # positional phrase pseudo-term — dropped (deterministically, so the
+        # distributed variant stays byte-identical) when no phrase is minable
+        *([f'"{mined[0]}"'] if mined else []),
         f"title:{t0} {t1}",  # field-scoped clause
         f"+title:{t0} -{t1} {t2}^1.5",  # combined
     ]

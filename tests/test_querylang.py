@@ -84,6 +84,52 @@ def test_parse_errors():
         parse_query('a ^"broken')
 
 
+def test_parse_requires_whitespace_between_clauses():
+    # a clause ending mid-token is a syntax error, never a silent split:
+    # 'a~10' must NOT parse as fuzzy(a, 1) + term('0')
+    for bad in ("a~10", "foo*bar", "ab^2cd", '"a b"x'):
+        with pytest.raises(ValueError, match="whitespace-separated"):
+            parse_query(bad)
+
+
+def test_parse_dedups_exact_duplicate_clauses():
+    # mirrors _query_terms' unique-token rule (first occurrence wins);
+    # clauses differing in ANY attribute are kept
+    assert parse_query("ray ray") == [Clause("", None, "term", "ray")]
+    assert parse_query("ray ray^2") == [
+        Clause("", None, "term", "ray"),
+        Clause("", None, "term", "ray", boost=2.0),
+    ]
+
+
+def test_repeated_bare_word_identical_to_exact_taat(engine, pos_index, qterms):
+    # BM25Index.search dedups query tokens; the clause dedup keeps the
+    # engine score-identical on repeated words (module contract)
+    a, b = qterms[0], qterms[1]
+    assert engine.search(f"{a} {a} {b}", k=10) == pos_index.search(
+        f"{a} {a} {b}", k=10
+    )
+
+
+def test_fuzzy_cache_bounded_on_no_match_path(pos_index):
+    # the empty-expansion insert must evict too (r5 review finding)
+    import string
+
+    before = dict(pos_index._fuzzy_cache)
+    old_cap = type(pos_index).CACHE_CAP
+    type(pos_index).CACHE_CAP = 8
+    try:
+        pos_index._fuzzy_cache.clear()
+        for a in string.ascii_lowercase:
+            # long gibberish: expands to nothing at every first letter
+            pos_index.fuzzy_expand(a + "qzxjvkwpqzxjvkwp", max_edits=1)
+        assert len(pos_index._fuzzy_cache) <= 8
+    finally:
+        type(pos_index).CACHE_CAP = old_cap
+        pos_index._fuzzy_cache.clear()
+        pos_index._fuzzy_cache.update(before)
+
+
 # ------------------------------------------------------------- execution
 
 
