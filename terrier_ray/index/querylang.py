@@ -142,6 +142,33 @@ def parse_query(q: str) -> list[Clause]:
     return clauses
 
 
+def _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k):
+    """The pinned TAAT accumulate → MUST/NOT filter → top-k kernel shared
+    by the local engine and the shard tasks (ONE implementation so the
+    rank-AND-score-identity contract lives in one place): float64
+    ``np.add.at`` in chunk order, boolean keep mask from the MUST
+    intersections and NOT exclusions, then (score desc, docid asc)."""
+    if not chunks_d:
+        return []
+    all_d = np.concatenate(chunks_d)
+    all_c = np.concatenate(chunks_c)
+    uniq, inverse = np.unique(all_d, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inverse, all_c)  # chunk = clause/expansion order
+    keep = np.ones(len(uniq), dtype=bool)
+    for ms in must_sets:
+        keep &= np.isin(uniq, ms, assume_unique=True)
+    if not_sets:
+        excl = np.unique(np.concatenate(not_sets))
+        if len(excl):
+            keep &= ~np.isin(uniq, excl, assume_unique=True)
+    uniq, acc = uniq[keep], acc[keep]
+    if not len(uniq):
+        return []
+    order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+    return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
 def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None = None):
     """(docids ascending int64, per-doc adjacency-match counts int64) for
     the exact token sequence, by position-list intersection (the
@@ -316,25 +343,7 @@ def _qs_score_range(index_dirs, lo, hi, plan, phrase_hits, phrase_df, k):
             chunks_c.append(w)
         if cl["occur"] == MUST:
             must_sets.append(match)
-    if not chunks_d:
-        return []
-    all_d = np.concatenate(chunks_d)
-    all_c = np.concatenate(chunks_c)
-    uniq, inverse = np.unique(all_d, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inverse, all_c)
-    keep = np.ones(len(uniq), dtype=bool)
-    for ms in must_sets:
-        keep &= np.isin(uniq, ms, assume_unique=True)
-    if not_sets:
-        excl = np.unique(np.concatenate(not_sets))
-        if len(excl):
-            keep &= ~np.isin(uniq, excl, assume_unique=True)
-    uniq, acc = uniq[keep], acc[keep]
-    if not len(uniq):
-        return []
-    order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
-    return [(int(uniq[i]), float(acc[i])) for i in order]
+    return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k)
 
 
 class QueryStringEngine:
@@ -448,37 +457,23 @@ class QueryStringEngine:
                 chunks_c.append(w)
             if c.occur == MUST:
                 must_sets.append(match)
-        if not chunks_d:
-            return []
-        all_d = np.concatenate(chunks_d)
-        all_c = np.concatenate(chunks_c)
-        uniq, inverse = np.unique(all_d, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(acc, inverse, all_c)  # clause order (module doc)
-        keep = np.ones(len(uniq), dtype=bool)
-        for ms in must_sets:
-            keep &= np.isin(uniq, ms, assume_unique=True)
-        if not_sets:
-            excl = np.unique(np.concatenate(not_sets))
-            if len(excl):
-                keep &= ~np.isin(uniq, excl, assume_unique=True)
-        uniq, acc = uniq[keep], acc[keep]
-        if not len(uniq):
-            return []
-        kk = min(k, len(uniq))
-        order = np.lexsort((uniq, -acc))[:kk]  # score desc, docid asc
-        return [(int(uniq[i]), float(acc[i])) for i in order]
+        return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k)
 
     # ------------------------------------------------------- distributed
 
     def _shard_ranges(self, num_shards):
         """Docid ranges from the default field's doclen parts —
         ``doclen_shard_ranges``, the one range discipline shared with
-        ``DistributedBM25`` (per-field indexes share the corpus docid
-        space, so the default field's parts partition every field)."""
+        ``DistributedBM25``.  ANY field's parts partition the shared
+        corpus docid space (each doc in exactly one range), so an engine
+        built without the default field falls back deterministically to
+        the first indexed field by name."""
         from terrier_ray.index.bm25 import doclen_shard_ranges
 
-        return doclen_shard_ranges(self.indexes[self.default_field], num_shards)
+        local = self.indexes.get(self.default_field)
+        if local is None:
+            local = self.indexes[min(self.indexes)]
+        return doclen_shard_ranges(local, num_shards)
 
     def search_distributed(
         self, q: str, k: int = 10, num_shards: "int | None" = None

@@ -421,7 +421,37 @@ def sync_snapshot_dml(
     return delta_seg, tomb
 
 
+def _recover_compaction(segments_root: str) -> None:
+    """Complete a compaction whose process died after its COMMIT POINT
+    (``_compact_commit.json`` written atomically by ``maybe_compact``):
+    retire the listed old segments/tombstones, publish the staging build
+    under its ``seg-*`` name, then drop the commit record.  Idempotent —
+    every step checks existence first, so re-running after any partial
+    recovery finishes the rest.  Called by the listing functions, which
+    makes every reader self-healing."""
+    cf = os.path.join(segments_root, "_compact_commit.json")
+    if not os.path.exists(cf):
+        return
+    with open(cf) as f:
+        j = json.load(f)
+    retired = os.path.join(segments_root, "_retired")
+    os.makedirs(retired, exist_ok=True)
+    for name in j["retire"]:
+        src = os.path.join(segments_root, name)
+        if os.path.exists(src):
+            tgt = os.path.join(retired, name)
+            if os.path.exists(tgt):
+                shutil.rmtree(tgt)
+            os.rename(src, tgt)
+    staging = os.path.join(segments_root, j["staging"])
+    dest = os.path.join(segments_root, j["dest"])
+    if os.path.exists(staging) and not os.path.exists(dest):
+        os.rename(staging, dest)
+    os.remove(cf)
+
+
 def list_tombstones(segments_root: str) -> "list[str]":
+    _recover_compaction(segments_root)
     return sorted(
         d
         for d in glob.glob(os.path.join(segments_root, "tomb-*"))
@@ -430,6 +460,7 @@ def list_tombstones(segments_root: str) -> "list[str]":
 
 
 def list_segments(segments_root: str) -> "list[str]":
+    _recover_compaction(segments_root)
     return sorted(
         d
         for d in glob.glob(os.path.join(segments_root, "seg-*"))
@@ -499,13 +530,21 @@ def maybe_compact(
     (tombstoned-doc fraction > ``max_dead_frac``) crosses its threshold,
     compact to ONE segment over the CURRENT snapshot version and retire
     the old segments + tombstones (moved under ``_retired/``, invisible to
-    list_segments/list_tombstones).  Retirement happens only AFTER
-    build_index publishes the new segment's manifest, so a compaction
-    killed mid-build leaves the old set fully live and a re-run resumes
-    the build.  Returns the new segment dir, or None when healthy.
-    Reference analog: the reference rebuilds/maintains indexes inside DML
-    plans; Lucene's TieredMergePolicy is the public design this follows
-    (threshold-triggered background merge making deletes physical)."""
+    list_segments/list_tombstones).
+
+    Crash safety (WAL-shaped, the reference's commit-point discipline):
+    the compact index builds under a STAGING name (``_compacting-v####``,
+    invisible to the ``seg-*`` listings — a mid-build or pre-commit kill
+    leaves the old set fully live and a re-run resumes the build via the
+    epoch manifests), then ONE atomic ``os.replace`` of
+    ``_compact_commit.json`` is the commit point; the retire + publish
+    renames after it are replayed idempotently by ``_recover_compaction``
+    from every listing call, so a kill anywhere after the commit
+    self-heals on the next read.  Returns the new segment dir, or None
+    when healthy.  Reference analog: the reference rebuilds/maintains
+    indexes inside DML plans; Lucene's TieredMergePolicy is the public
+    design this follows (threshold-triggered background merge making
+    deletes physical)."""
     from terrier_ray.state import snapshots
 
     h = segments_health(segments_root)
@@ -513,20 +552,28 @@ def maybe_compact(
         return None
     version = snapshots.current_version(snapshot_root)
     dest_name = f"seg-compact-v{version:04d}"
+    staging_name = f"_compacting-v{version:04d}"
     dest = os.path.join(segments_root, dest_name)
     old_segs = [
         d for d in list_segments(segments_root)
         if os.path.basename(d.rstrip("/")) != dest_name
     ]
     old_tombs = list_tombstones(segments_root)
-    compact_snapshot(snapshot_root, dest, version, **build_kwargs)
-    retired = os.path.join(segments_root, "_retired")
-    os.makedirs(retired, exist_ok=True)
-    for d in old_segs + old_tombs:
-        tgt = os.path.join(retired, os.path.basename(d.rstrip("/")))
-        if os.path.exists(tgt):
-            shutil.rmtree(tgt)
-        os.rename(d, tgt)
+    compact_snapshot(
+        snapshot_root, os.path.join(segments_root, staging_name),
+        version, **build_kwargs
+    )
+    commit = {
+        "staging": staging_name,
+        "dest": dest_name,
+        "retire": [os.path.basename(d.rstrip("/")) for d in old_segs + old_tombs],
+    }
+    cf = os.path.join(segments_root, "_compact_commit.json")
+    tmp = f"{cf}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    os.replace(tmp, cf)  # COMMIT POINT
+    _recover_compaction(segments_root)
     return dest
 
 

@@ -60,9 +60,11 @@ def analyze_table(sf_dir: str, table: str, columns: "list[str] | None" = None):
     ds = read_table(sf_dir, table, columns=columns)
     agg = global_aggregate(
         ds,
-        [("count", columns[0], "n")]
-        + [(op, c, f"{op}_{c}") for c in columns for op in ("min", "max")],
+        [(op, c, f"{op}_{c}") for c in columns for op in ("min", "max")],
     )
+    # n = TABLE row count (the oracle's COUNT(*) — a count over any single
+    # column would understate it when that column has nulls)
+    n_rows = read_table(sf_dir, table, columns=[columns[0]]).count()
     stats: dict[str, dict] = {}
     rows = []
     for c in columns:
@@ -70,7 +72,7 @@ def analyze_table(sf_dir: str, table: str, columns: "list[str] | None" = None):
         mn = agg.column(f"min_{c}")[0].as_py()
         mx = agg.column(f"max_{c}")[0].as_py()
         stats[c] = {
-            "n": agg.column("n")[0].as_py(),
+            "n": n_rows,
             "ndv": ndv,
             "min": mn,
             "max": mx,

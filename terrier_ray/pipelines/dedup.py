@@ -844,8 +844,13 @@ def segment_dedup(sf_dir: str, width: int = 5, num_partitions: int = 32):
         """Per segment-hash bucket: keep every ragged tail, and of each
         distinct full-width segment string keep only the min-enc row."""
         t = group.drop_columns(["__sbucket"]).combine_chunks()
-        enc = pc.add(
-            pc.multiply(t.column("doc_id"), pa.scalar(1 << _SEG_SHIFT, pa.int64())),
+        # checked arithmetic: doc_id >= 2^(63-_SEG_SHIFT) must fail loudly
+        # (the oracle's BIGINT overflow errors too) — a silent int64 wrap
+        # would pick wrong keep-first winners (q11 multiply_checked precedent)
+        enc = pc.add_checked(
+            pc.multiply_checked(
+                t.column("doc_id"), pa.scalar(1 << _SEG_SHIFT, pa.int64())
+            ),
             t.column("seg_no"),
         )
         t = t.append_column("__enc", enc).combine_chunks()

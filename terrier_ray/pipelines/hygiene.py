@@ -44,7 +44,10 @@ def _benchmark_texts(sf_dir: str) -> list[str]:
         return batch.filter(pa.array(mask))
 
     hits = docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
-    tab = pa.concat_tables(hits.iter_batches(batch_size=None, batch_format="pyarrow"))
+    parts = list(hits.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:  # no doc_id hits the probe stride → zero probes, not a crash
+        return []
+    tab = pa.concat_tables(parts)
     # Deterministic probe order (matches the SQL CTE's source order).
     tab = tab.sort_by("doc_id")
     return tab.column("text").to_pylist()

@@ -114,6 +114,13 @@ def register_table_stats(sf_dir: str, table: str, stats: "dict[str, dict]") -> N
     _ANALYZE_STATS[(sf_dir.rstrip("/"), table)] = stats
 
 
+#: Footer-stat memo: path → (file fingerprint, result).  optimize() consults
+#: footers for the same tables many times per plan (build side, join order,
+#: bucket sizing); the fingerprint (name, size, mtime per file — stat calls
+#: only) keeps the cache correct when a table is rewritten between plans.
+_FOOTER_CACHE: "dict[str, tuple[tuple, tuple]]" = {}
+
+
 def _footer_ranges(sf_dir: str, table: str) -> "tuple[int, dict[str, tuple]]":
     """(row_count, {col: (min, max)}) from parquet footer statistics only —
     no data reads.  Columns with missing/truncated stats are omitted."""
@@ -128,6 +135,13 @@ def _footer_ranges(sf_dir: str, table: str) -> "tuple[int, dict[str, tuple]]":
         if os.path.isdir(path)
         else [path]
     )
+    fp = tuple(
+        (f, st.st_size, st.st_mtime_ns)
+        for f, st in ((f, os.stat(f)) for f in files if os.path.exists(f))
+    )
+    hit = _FOOTER_CACHE.get(path)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     rows = 0
     rng: dict[str, list] = {}
     bad: set[str] = set()
@@ -149,7 +163,9 @@ def _footer_ranges(sf_dir: str, table: str) -> "tuple[int, dict[str, tuple]]":
                 else:
                     cur[0] = min(cur[0], st.min)
                     cur[1] = max(cur[1], st.max)
-    return rows, {k: (v[0], v[1]) for k, v in rng.items() if k not in bad}
+    out = rows, {k: (v[0], v[1]) for k, v in rng.items() if k not in bad}
+    _FOOTER_CACHE[path] = (fp, out)
+    return out
 
 
 def _to_num(v):

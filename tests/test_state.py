@@ -440,6 +440,62 @@ def test_sql_update_dml_sync_identity(ray_session, tmp_root):
     assert maybe_compact(segroot, store, max_segments=1, **kw) is None
 
 
+def test_compaction_crash_recovery(tmp_root):
+    """A compaction killed anywhere around its commit point must never
+    expose the staging build alongside the live segments (double counting)
+    — before the commit the staging dir is invisible; after it, every
+    listing call replays the retire+publish renames idempotently."""
+    import json
+    import os
+
+    from terrier_ray.index.segments import list_segments, list_tombstones
+
+    root = os.path.join(str(tmp_root), "segroot_crash")
+    os.makedirs(os.path.join(root, "seg-a"))
+    os.makedirs(os.path.join(root, "seg-b"))
+    os.makedirs(os.path.join(root, "tomb-0001"))
+    with open(os.path.join(root, "tomb-0001", "meta.json"), "w") as f:
+        json.dump({"n_del": 1}, f)
+    # killed MID-BUILD / before the commit point: staging is invisible,
+    # the old set stays fully live
+    staging = os.path.join(root, "_compacting-v0003")
+    os.makedirs(staging)
+    assert [os.path.basename(d) for d in list_segments(root)] == [
+        "seg-a", "seg-b"
+    ]
+    assert len(list_tombstones(root)) == 1
+    # killed right AFTER the commit point: the next listing self-heals
+    with open(os.path.join(root, "_compact_commit.json"), "w") as f:
+        json.dump(
+            {
+                "staging": "_compacting-v0003",
+                "dest": "seg-compact-v0003",
+                "retire": ["seg-a", "seg-b", "tomb-0001"],
+            },
+            f,
+        )
+    assert [os.path.basename(d) for d in list_segments(root)] == [
+        "seg-compact-v0003"
+    ]
+    assert list_tombstones(root) == []
+    assert not os.path.exists(os.path.join(root, "_compact_commit.json"))
+    assert os.path.isdir(os.path.join(root, "_retired", "seg-a"))
+    # killed MID-RECOVERY (some renames done, commit record still there):
+    # the replay skips what's finished and completes the rest
+    with open(os.path.join(root, "_compact_commit.json"), "w") as f:
+        json.dump(
+            {
+                "staging": "_compacting-v0003",
+                "dest": "seg-compact-v0003",
+                "retire": ["seg-a", "seg-b", "tomb-0001"],
+            },
+            f,
+        )
+    assert [os.path.basename(d) for d in list_segments(root)] == [
+        "seg-compact-v0003"
+    ]
+
+
 def test_segmented_phrase_matches_after_update(ray_session, tmp_root):
     """Positional phrase retrieval survives DML: after an UPDATE, the
     segmented matcher (per-segment position intersect + tombstone drop)
