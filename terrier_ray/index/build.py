@@ -138,24 +138,20 @@ def _input_fingerprint(path: str, extra: dict | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _token_hash(terms: list) -> int:
-    return int.from_bytes(
-        hashlib.blake2b("\x00".join(terms).encode("utf-8"), digest_size=8).digest(),
-        "little",
-    )
-
-
 def _dedup_group(group: pa.Table) -> pa.Table:
     """Keep one row per docid: max (warc_ts, dl, content-hash).  The content
     hash breaks (warc_ts, dl) ties DETERMINISTICALLY — group row order is
     shuffle-dependent, and the rank-identity oracle (index/oracle.py) applies
-    the identical 3-tuple rule.  Runs only over the (tiny) duplicated set."""
+    the identical 3-tuple rule.  The hash is the corpus ``chash`` column
+    (``text.tokenize.token_stream_hash`` of the raw token stream, computed
+    per doc by the Tokenizer) — hashing the ``terms`` list here would be
+    batch-composition-dependent (dictionary first-appearance order) and
+    would diverge from the oracle's raw-stream hash.  Runs only over the
+    (tiny) duplicated set."""
     docid = group.column("docid").to_numpy(zero_copy_only=False)
     ts = group.column("warc_ts").to_numpy(zero_copy_only=False).astype("int64")
     dl = group.column("dl").to_numpy(zero_copy_only=False)
-    th = np.array(
-        [_token_hash(t) for t in group.column("terms").to_pylist()], dtype=np.uint64
-    )
+    th = group.column("chash").to_numpy(zero_copy_only=False)
     order = np.lexsort((th, dl, ts, docid))  # winners are last per docid run
     sorted_docid = docid[order]
     is_last = np.concatenate((sorted_docid[1:] != sorted_docid[:-1], [True]))
@@ -1707,12 +1703,13 @@ def build_index(
     corpus_dir = os.path.join(out_dir, "corpus")
     postings_dir = os.path.join(out_dir, "postings")
     stats_path = os.path.join(out_dir, "stats.json")
-    fp_extra = {"corpus_format": 2}
+    # v3: chash column (raw-token-stream content hash) replaces the
+    # batch-order-dependent terms-list hash as the dedup tie-break
+    fp_extra = {"corpus_format": 3}
     if positions:  # added only when on, so existing caches stay valid
         fp_extra["positions"] = True
     if field != "body":  # ditto: body-field fingerprints unchanged
         fp_extra["field"] = field
-    # corpus_format v2: deterministic (warc_ts, dl, content-hash) dup winner
     fp_in = _input_fingerprint(webtext_path, fp_extra)
     timings: dict[str, float] = {}
 

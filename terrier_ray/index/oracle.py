@@ -30,9 +30,11 @@ class OracleBM25:
         texts = t.column("text").to_pylist()
         doc_ids = url_doc_id(urls)
         # dedup: per docid keep max (warc_ts, token count, content hash) —
-        # the deterministic 3-tuple rule shared with build._dedup_group
+        # the deterministic 3-tuple rule shared with build._dedup_group;
+        # the hash input is the RAW token stream on both sides (the engine
+        # computes it per doc in the Tokenizer as the corpus chash column)
         from terrier_ray.extract.html import extract_title_reference
-        from terrier_ray.index.build import _token_hash
+        from terrier_ray.text.tokenize import token_stream_hash
 
         langs = (
             t.column("lang").to_pylist()
@@ -47,7 +49,7 @@ class OracleBM25:
                 text = texts[i] if texts[i] else extract_text_reference(htmls[i])
             toks = tokenize(text)
             key = int(doc_ids[i])
-            cand = (ts[i], len(toks), _token_hash(toks), toks, langs[i])
+            cand = (ts[i], len(toks), token_stream_hash(toks), toks, langs[i])
             if key not in best or cand[:3] > best[key][:3]:
                 best[key] = cand
         self.doc_tokens = {d: v[3] for d, v in best.items()}
@@ -88,23 +90,9 @@ class OracleBM25:
         return scores
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        qterms: list[str] = []
-        for t in tokenize(query):
-            if t not in qterms:
-                qterms.append(t)
-        scores: dict[int, float] = {}
-        for t in qterms:
-            if t not in self.df:
-                continue
-            w = math.log(1.0 + (self.n_docs - self.df[t] + 0.5) / (self.df[t] + 0.5))
-            for d, tf in self.tf[t].items():
-                dl = self.dl[d]
-                contrib = w * (
-                    tf * (K1 + 1.0)
-                    / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-                )
-                scores[d] = scores.get(d, 0.0) + contrib
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        # ONE copy of the pinned accumulation (score_map); identical float
+        # behavior — sorting the full map doesn't touch the sums
+        ranked = sorted(self.score_map(query).items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
     # -- fuzzy retrieval (independent scalar re-implementation) ----------

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from terrier_ray.ops.sample import _MULT, _PREMOD
+from terrier_ray.ops.sample import _rank
 
 _BUCKET_SHIFT = 32
 
@@ -40,13 +40,11 @@ def pack_bins(ds, key_col: str, len_col: str, budget: int, num_buckets: int = 16
         raise ValueError("budget must be positive")
 
     def tag(batch: pa.Table) -> pa.Table:
-        k = batch.column(key_col)
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        kv = k.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = (kv % _PREMOD) * _MULT % num_buckets
+        # ops/sample._rank IS the deterministic modular hash the module doc
+        # promises — calling it (not re-deriving it) keeps the cross-module
+        # placement identity maintained in one place
         return batch.select([key_col, len_col]).append_column(
-            "__bucket", pa.array(b.astype(np.int64))
+            "__bucket", _rank(batch.column(key_col), num_buckets)
         )
 
     def pack_group(group: pa.Table) -> pa.Table:

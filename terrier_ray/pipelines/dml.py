@@ -289,10 +289,13 @@ def sql_delete_index_ingest(sf_dir: str):
 
     snapshots.create_snapshot(store, rd.read_parquet(web))
     base_seg = ingest_snapshot_delta(segroot, store, 0, **kw)
-    n_del = sql_dml(
+    # sql_dml returns the NEW SNAPSHOT VERSION (snapshots.delete_rows →
+    # nxt), not a deleted-row count; the zero-match case is caught by the
+    # tombstone assert below (sql_update_index_ingest precedent)
+    v = sql_dml(
         "DELETE FROM webstore WHERE url LIKE '%/p3'", sqlsf, {"webstore": store}
     )
-    assert n_del and n_del > 0, "DELETE removed no rows"
+    assert v == 2, f"DELETE snapshot version {v} != 2"
     tomb = tombstone_snapshot_delete(segroot, store, 1, 2)
     assert tomb is not None, "DELETE tombstoned no indexed docs"
     seg = SegmentedBM25([base_seg], tombstone_dirs=[tomb])

@@ -88,6 +88,10 @@ def lm_quality(ds, text_col: str = "text", sample_permil: int = 50, keep_cols=("
 
     from terrier_ray.ops.sample import bernoulli_sample
 
+    # ds is consumed TWICE (training-sample drain, then the scoring stage)
+    # — materialize so the upstream lineage (read/extract/filter) runs once
+    # (CLAUDE.md dup-stream rule; build_corpus precedent)
+    ds = ds.materialize()
     # the training sample keys on the first keep col (the table's id)
     sample = bernoulli_sample(ds, keep_cols[0], sample_permil)
     sample_texts: list[str] = []

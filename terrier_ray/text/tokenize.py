@@ -14,6 +14,7 @@ Reference analog: per-thread build state in CREATE INDEX
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -29,12 +30,29 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def token_stream_hash(toks: list) -> int:
+    """Canonical per-doc content hash: blake2b-64 of the RAW token stream
+    (order-sensitive).  ONE definition shared by the Tokenizer (which emits
+    it as the corpus ``chash`` column) and the rank-identity oracle — the
+    dedup tie-break in ``build._dedup_group`` compares these, so the hash
+    input must be identical on both sides AND independent of batch
+    composition (the per-doc unique-terms list is NEITHER: its order is
+    dictionary first-appearance order across the whole batch)."""
+    return int.from_bytes(
+        hashlib.blake2b("\x00".join(toks).encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+
+
 class Tokenizer:
     """Actor-pool map_batches stage: (url, warc_ts, text) → tokenized docs.
 
     Emits one row per input doc: docid (hash of url), warc_ts, dl (token
-    count), terms (sorted unique tokens), tfs (per-term counts).  Docs with
-    zero tokens are kept (dl=0, empty lists) so dedup/statistics see them.
+    count), terms (unique tokens, batch-dictionary first-appearance order —
+    NOT sorted; consumers must not rely on the order), tfs (per-term
+    counts), chash (``token_stream_hash`` of the raw token stream — the
+    deterministic dedup tie-break).  Docs with zero tokens are kept (dl=0,
+    empty lists) so dedup/statistics see them.
 
     ``positions=True`` (the positional-index corpus) adds one ``poss``
     binary column per doc: for each term, in terms-list order, the term's
@@ -57,9 +75,11 @@ class Tokenizer:
         # vectorized: Arrow dictionary-encode + one int64 np.unique per batch)
         tokens: list[str] = []
         dls = np.empty(len(texts), dtype=np.int64)
+        chash = np.empty(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
             toks = findall(t.lower()) if t else []
             dls[i] = len(toks)
+            chash[i] = token_stream_hash(toks)
             tokens.extend(toks)
         poss_col = None
         if tokens:
@@ -123,6 +143,7 @@ class Tokenizer:
             "dl": pa.array(dls.astype(np.int32)),
             "terms": terms_col,
             "tfs": tfs_col,
+            "chash": pa.array(chash, type=pa.uint64()),
         }
         if self.positions:
             if poss_col is None:

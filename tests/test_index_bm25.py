@@ -992,3 +992,37 @@ def test_fuzzy_finds_typo_targets(built_index, oracle):
     assert hits, (term, typo)
     target_docs = set(oracle.tf[term])
     assert target_docs & {d for d, _ in hits}, (term, typo, hits)
+
+
+def test_content_hash_batch_independent_and_oracle_identical():
+    """The dedup tie-break hash must be (a) independent of batch
+    composition — the terms-list order is dictionary first-appearance
+    order across the WHOLE batch, so hashing terms was partitioning-
+    dependent — and (b) byte-identical to the oracle's raw-stream hash
+    (the _dedup_group / OracleBM25 shared 3-tuple rule)."""
+    import pyarrow as pa
+
+    from terrier_ray.text.tokenize import Tokenizer, token_stream_hash, tokenize
+
+    tok = Tokenizer()
+
+    def batch(texts):
+        return pa.table(
+            {
+                "url": [f"http://x/{i}" for i in range(len(texts))],
+                "warc_ts": pa.array([0] * len(texts), type=pa.int64()),
+                "text": texts,
+            }
+        )
+
+    doc = "bravo alpha bravo"
+    alone = tok(batch([doc]))
+    batched = tok(batch(["alpha zulu", doc]))
+    h_alone = alone.column("chash")[0].as_py()
+    h_batched = batched.column("chash")[1].as_py()
+    assert h_alone == h_batched
+    assert h_alone == token_stream_hash(tokenize(doc))
+    # and terms order genuinely differs between the two compositions —
+    # the reason the hash must not come from the terms list
+    assert alone.column("terms")[0].as_py() == ["bravo", "alpha"]
+    assert batched.column("terms")[1].as_py() == ["alpha", "bravo"]
