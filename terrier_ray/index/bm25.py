@@ -225,6 +225,12 @@ class BM25Index:
         rgs: set[int] = set()
         for t in ts:
             i = bisect.bisect_right(mins, t) - 1
+            # bisect lands on the LAST group with min <= t; a term whose
+            # rows span several groups (salted sub-postings colliding into
+            # one bucket / legacy v3 layout) makes consecutive mins equal
+            # to t, so back up to the FIRST group that can contain it.
+            while i - 1 >= 0 and maxs[i - 1] >= t:
+                i -= 1
             # a term can span adjacent groups only as multiple rows (salted
             # sub-postings colliding into one bucket / legacy v3 layout)
             while 0 <= i < len(mins) and mins[i] <= t <= maxs[i]:
@@ -689,7 +695,15 @@ class BM25Index:
                 cand_d, cand_acc = out_d, out_a
 
         kk = min(2 * k, len(cand_d))
-        part = np.argpartition(-cand_acc, kk - 1)[:kk] if len(cand_d) > kk else np.arange(len(cand_d))
+        if len(cand_d) > kk:
+            # keep every doc tied with the kk-th accumulated value: with a
+            # mass tie at the cut (identical tf/dl postings) an arbitrary
+            # argpartition pick could drop the canonical (score desc, docid
+            # asc) winners, which the rescore below cannot recover.
+            thresh = cand_acc[np.argpartition(-cand_acc, kk - 1)[kk - 1]]
+            part = np.flatnonzero(cand_acc >= thresh)
+        else:
+            part = np.arange(len(cand_d))
         finalists = cand_d[part]
         # canonical rescoring (query-term order) → bit-identical to oracle
         scores = self._rescore(finalists, terms, post)
@@ -1013,11 +1027,7 @@ class BM25Index:
             if len(acc) == 0:
                 break
         if should:
-            uni = (
-                np.unique(np.concatenate([dids(t) for t in should]))
-                if should
-                else np.empty(0, dtype=np.uint64)
-            )
+            uni = np.unique(np.concatenate([dids(t) for t in should]))
             acc = uni if acc is None else acc[np.isin(acc, uni, assume_unique=True)]
         if acc is None:  # pure NOT query: complement over the corpus docids
             acc = self._dl_docids.astype(np.uint64)  # sorted, unique
@@ -1365,9 +1375,7 @@ class DistributedSegmentedBM25:
             dead = self.local._del_by_seg.get(
                 sname, np.empty(0, dtype=np.int64)
             )
-            lows = [int(lo) for lo in seg._dl_lo]
-            bounds = lows + [1 << 63]
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
+            for lo, hi in doclen_shard_ranges(seg, None):
                 futs.append(
                     self._score.remote(
                         sdir, lo, hi, per_query_terms, k,

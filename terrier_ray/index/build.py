@@ -1554,6 +1554,13 @@ def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
     every BM25 lookup never applies to them."""
     heavy = list(stats.get("heavy_terms", ()))
     num_salts = int(stats.get("num_salts", 1))
+    # exact distinct-term bookkeeping for index_corpus_stats: bucket_metrics
+    # records n_terms PRE-fold (a heavy term counts once per bucket its
+    # salted sub-postings landed in); the fold collapses each folded term
+    # into one bucket, so the pre-fold sum overcounts by (presence - 1) per
+    # folded term.  Recorded here — the only place that knows the pre-fold
+    # presence — and persisted via stats.json.
+    stats["fold_dup_terms"] = 0
     if not heavy or num_salts <= 1:
         return []
     import ray
@@ -1573,6 +1580,7 @@ def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
     # pre-pass: per-term total df from the (term, df) columns only (no blob
     # reads) decides the fold set BEFORE any file is touched
     sizes: dict[str, int] = {t: 0 for t in heavy}
+    presence: dict[str, set] = {t: set() for t in heavy}
     for b, ts in file_terms.items():
         p = bpath(b)
         if not os.path.exists(p):
@@ -1582,7 +1590,9 @@ def fold_salted_postings(postings_dir: str, stats: dict) -> "list[str]":
         )
         for t, df in zip(t_df.column("term").to_pylist(), t_df.column("df").to_pylist()):
             sizes[t] += df
+            presence[t].add(b)
     fold = {t for t in heavy if sizes[t] <= _FOLD_MAX_POSTINGS}
+    stats["fold_dup_terms"] = sum(max(0, len(presence[t]) - 1) for t in fold)
     unfolded = sorted(set(heavy) - fold)
     if not fold:
         return unfolded

@@ -30,6 +30,29 @@ def ensure_index(sf_dir: str, **kwargs) -> str:
     return idx_dir
 
 
+def _hits_table(per_query_hits):
+    """(query_id, rank, docid, score) table from (qid, ranked-hit-list)
+    pairs — the ONE assembly shared by every ranked-retrieval entry, so a
+    schema change happens in one place."""
+    import pyarrow as pa
+
+    qids, ranks, docids, scores = [], [], [], []
+    for qid, hits in per_query_hits:
+        for rank, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docids.append(int(d))
+            scores.append(float(s))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def bm25_topk(sf_dir: str, k: int = 10, num_queries: int = 20):
     """Build (or reuse) the index for this sf and run the query set through a
     BM25Scorer actor pool → (query_id, rank, docid, score)."""
@@ -54,29 +77,13 @@ def bm25_topk_distributed(sf_dir: str, k: int = 10, num_queries: int = 20):
     never transit to the caller; the legacy bucket-fetch scatter path is
     the explicit ``DistributedBM25.search_many_scatter`` opt-in.
     Rank-AND-score-identical to bm25_topk."""
-    import pyarrow as pa
-
     from terrier_ray.index.bm25 import DistributedBM25
 
     idx_dir = ensure_index(sf_dir)
     queries = generate_queries(num_queries)
     engine = DistributedBM25(idx_dir)
     res = engine.search_many(queries.column("text").to_pylist(), k=k)
-    qids, ranks, docids, scores = [], [], [], []
-    for qid, hits in zip(queries.column("query_id").to_pylist(), res):
-        for rank, (d, s) in enumerate(hits, start=1):
-            qids.append(qid)
-            ranks.append(rank)
-            docids.append(d)
-            scores.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(qids, type=pa.int32()),
-            "rank": pa.array(ranks, type=pa.int32()),
-            "docid": pa.array(docids, type=pa.int64()),
-            "score": pa.array(scores, type=pa.float64()),
-        }
-    )
+    return _hits_table(zip(queries.column("query_id").to_pylist(), res))
 
 
 def bm25_topk_sharded(sf_dir: str, k: int = 10, num_queries: int = 20):
@@ -84,8 +91,6 @@ def bm25_topk_sharded(sf_dir: str, k: int = 10, num_queries: int = 20):
     doclens and return partial top-k; caller merges k-lists (the 1e12-doc
     serving shape — hot-term postings never transit to one process).
     Rank-AND-score-identical to bm25_topk."""
-    import pyarrow as pa
-
     from terrier_ray.index.bm25 import DistributedBM25
 
     idx_dir = ensure_index(sf_dir)
@@ -94,21 +99,7 @@ def bm25_topk_sharded(sf_dir: str, k: int = 10, num_queries: int = 20):
     res = engine.search_many_sharded(
         queries.column("text").to_pylist(), k=k, num_shards=4
     )
-    qids, ranks, docids, scores = [], [], [], []
-    for qid, hits in zip(queries.column("query_id").to_pylist(), res):
-        for rank, (d, s) in enumerate(hits, start=1):
-            qids.append(qid)
-            ranks.append(rank)
-            docids.append(d)
-            scores.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(qids, type=pa.int32()),
-            "rank": pa.array(ranks, type=pa.int32()),
-            "docid": pa.array(docids, type=pa.int64()),
-            "score": pa.array(scores, type=pa.float64()),
-        }
-    )
+    return _hits_table(zip(queries.column("query_id").to_pylist(), res))
 
 def boolean_matches(sf_dir: str, num_queries: int = 10):
     """Unranked boolean retrieval over the same inverted index: for each
@@ -177,9 +168,8 @@ def bm25f_combine(idx_title, idx_body, queries, *, k, w_title, w_body):
     """The BM25F combination core over two open per-field index handles
     (see ``bm25f_topk`` for the pinned formula and ordering)."""
     import numpy as np
-    import pyarrow as pa
 
-    qids, ranks, docids, scores = [], [], [], []
+    per_query = []
     for qid, text in zip(
         queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
     ):
@@ -193,19 +183,8 @@ def bm25f_combine(idx_title, idx_body, queries, *, k, w_title, w_body):
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inverse, all_c)  # title chunk first, then body
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
-        for rank, i in enumerate(order, start=1):
-            qids.append(qid)
-            ranks.append(rank)
-            docids.append(int(uniq[i]))
-            scores.append(float(acc[i]))
-    return pa.table(
-        {
-            "query_id": pa.array(qids, type=pa.int32()),
-            "rank": pa.array(ranks, type=pa.int32()),
-            "docid": pa.array(docids, type=pa.int64()),
-            "score": pa.array(scores, type=pa.float64()),
-        }
-    )
+        per_query.append((qid, [(int(uniq[i]), float(acc[i])) for i in order]))
+    return _hits_table(per_query)
 
 
 def _typo_queries(num_queries: int):
@@ -258,33 +237,17 @@ def fuzzy_topk(
     until the surviving variants' lookups).  Rows-only entry: scores are
     bit-identical to the independent ``OracleBM25.search_fuzzy`` scalar
     loop (tests/test_fuzzy.py)."""
-    import pyarrow as pa
-
     from terrier_ray.index.bm25 import BM25Index
 
     idx = BM25Index(ensure_index(sf_dir))
     queries = _typo_queries(num_queries)
-    qids, ranks, docids, scores = [], [], [], []
-    for qid, text in zip(
-        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
-    ):
-        for rank, (d, s) in enumerate(
-            idx.search_fuzzy(
-                text, k=k, max_edits=max_edits, prefix_len=prefix_len
-            ),
-            start=1,
-        ):
-            qids.append(qid)
-            ranks.append(rank)
-            docids.append(d)
-            scores.append(s)
-    return pa.table(
-        {
-            "query_id": pa.array(qids, type=pa.int32()),
-            "rank": pa.array(ranks, type=pa.int32()),
-            "docid": pa.array(docids, type=pa.int64()),
-            "score": pa.array(scores, type=pa.float64()),
-        }
+    return _hits_table(
+        (qid, idx.search_fuzzy(text, k=k, max_edits=max_edits,
+                               prefix_len=prefix_len))
+        for qid, text in zip(
+            queries.column("query_id").to_pylist(),
+            queries.column("text").to_pylist(),
+        )
     )
 
 
@@ -322,9 +285,18 @@ def index_corpus_stats(sf_dir: str):
         stats = json.load(f)
     bm = pd.read_parquet(os.path.join(idx_dir, "bucket_metrics.parquet"))
     # per-bucket n_terms is DISTINCT-in-bucket; a salted heavy term spans
-    # several buckets, so de-overcount from the (tiny) heavy list exactly
+    # several buckets, so de-overcount from the (tiny) heavy list exactly.
+    # bucket_metrics was recorded PRE-fold: folded heavy terms' overcount is
+    # taken from stats['fold_dup_terms'] (exact, recorded by the fold pass
+    # itself), and only the still-salted terms need the file scan.  Legacy
+    # stats.json without the key falls back to scanning all heavy terms —
+    # the pre-round-5 behavior.
     n_terms = int(bm["n_terms"].sum())
-    heavy = stats.get("heavy_terms", [])
+    if "fold_dup_terms" in stats:
+        n_terms -= int(stats["fold_dup_terms"])
+        heavy = stats.get("salted_terms", [])
+    else:
+        heavy = stats.get("heavy_terms", [])
     if heavy:
         occ, seen = 0, set()
         for f in sorted(

@@ -39,6 +39,9 @@ def bloom_semi_join_urgent(sf_dir: str, num_bits: int = 1 << 16):
         columns=["o_custkey", "o_orderpriority"],
         filter=(pads.field("o_orderpriority") == "1-URGENT"),
     ).select_columns(["o_custkey"])
+    # consumed twice (bloom build + join probe): materialize once so the
+    # scan+filter lineage doesn't re-execute (CLAUDE.md dup-stream rule)
+    urgent = urgent.materialize()
     bloom = build_bloom(urgent, "o_custkey", num_bits=num_bits, k=4)
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     cand = bloom_prefilter(cust, "c_custkey", bloom)
