@@ -1026,3 +1026,90 @@ def test_content_hash_batch_independent_and_oracle_identical():
     # the reason the hash must not come from the terms list
     assert alone.column("terms")[0].as_py() == ["bravo", "alpha"]
     assert batched.column("terms")[1].as_py() == ["alpha", "bravo"]
+
+
+def test_read_term_rows_spanning_row_groups(tmp_path):
+    """Row-group pruning must return EVERY row of a term whose rows cross a
+    parquet row-group boundary (salted sub-postings colliding into one
+    bucket / legacy v3 layout): bisect lands on the LAST group whose min
+    <= term, so the scan has to back up to the first containing group —
+    regression for the backward-scan fix in BM25Index._read_term_rows."""
+    from collections import OrderedDict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    # term-sorted rows; row_group_size=2 → groups [aaa,ttt][ttt,ttt][zzz]:
+    # mins=[aaa,ttt,zzz], maxs=[ttt,ttt,zzz] — bisect for 'ttt' lands on
+    # group 1 and must back up to group 0 for the first 'ttt' row
+    tab = pa.table(
+        {
+            "term": ["aaa", "ttt", "ttt", "ttt", "zzz"],
+            "df": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "postings": pa.array([b"a", b"b", b"c", b"d", b"e"], type=pa.binary()),
+        }
+    )
+    pq.write_table(tab, os.path.join(d, "bucket-00000.parquet"), row_group_size=2)
+
+    class _FakeIdx:
+        PF_CACHE_CAP = BM25Index.PF_CACHE_CAP
+        postings_dir = d
+        _pf_cache = OrderedDict()
+        _bucket_handle = BM25Index._bucket_handle
+        _read_term_rows = BM25Index._read_term_rows
+
+    idx = _FakeIdx()
+    got = idx._read_term_rows(0, ["ttt"])
+    assert got.num_rows == 3, got.to_pydict()
+    assert sorted(got.column("df").to_pylist()) == [2, 3, 4]
+    # single-group terms at both edges stay exact
+    assert idx._read_term_rows(0, ["aaa"]).column("df").to_pylist() == [1]
+    assert idx._read_term_rows(0, ["zzz"]).column("df").to_pylist() == [5]
+    assert idx._read_term_rows(0, ["mmm"]) is None or (
+        idx._read_term_rows(0, ["mmm"]).num_rows == 0
+    )
+
+
+def test_pruned_tied_finalist_cut(ray_session, tmp_root):
+    """MaxScore's finalist cut must keep every candidate tied with the
+    kk-th accumulated mass: with N identical (tf, dl) postings the masses
+    all tie, and an arbitrary argpartition pick of kk candidates could
+    drop the canonical (score desc, docid asc) winners — which the exact
+    rescore can never recover.  Regression for the >=-threshold cut in
+    BM25Index.search_pruned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terrier_ray.datagen.webtext import generate_webtext_parquet
+
+    src = os.path.join(str(tmp_root), "webtext_tied")
+    generate_webtext_parquet(src, num_docs=60, seed=11)
+    # every doc: "tietok filler{i}" → tf=1, dl=2 for all 60 docs, so every
+    # accumulated mass for the query term ties exactly
+    for f in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+        tab = pq.read_table(f)
+        n = tab.num_rows
+        texts = [f"tietok fillera{i}" for i in range(n)]
+        tab = tab.set_column(
+            tab.column_names.index("text"), "text", pa.array(texts, pa.string())
+        )
+        tab = tab.set_column(
+            tab.column_names.index("html"),
+            "html",
+            pa.array([b""] * n, pa.binary()),
+        )
+        pq.write_table(tab, f)
+
+    idx_dir = os.path.join(str(tmp_root), "idx_tied")
+    build_index(src, idx_dir, num_buckets=4, num_salts=1)
+    idx = BM25Index(idx_dir)
+    k = 3  # kk = 2k = 6 << 60 candidates → the argpartition cut triggers
+    exact = idx.search("tietok", k)
+    pruned = idx.search_pruned("tietok", k)
+    assert pruned == exact, (pruned, exact)
+    # the canonical winners are the k SMALLEST docids of the tied set
+    all_docids = sorted(int(x) for x in idx._dl_docids)
+    assert [d for d, _ in exact] == all_docids[:k]
+    scores = {s for _, s in exact}
+    assert len(scores) == 1  # genuinely tied
