@@ -174,3 +174,82 @@ def test_exchange_wire_roundtrip_any_rows(rows):
         )
 
     assert key(back) == key(raw)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_parse_query_total(q):
+    """parse_query is TOTAL over arbitrary text: it returns a non-empty
+    clause list or raises ValueError (the documented syntax-error channel)
+    — never any other exception, never an empty success (the module
+    contract: junk fails loudly with an offset, it is not skipped)."""
+    from terrier_ray.index.querylang import Clause, parse_query
+
+    try:
+        clauses = parse_query(q)
+    except ValueError:
+        return
+    assert clauses and all(isinstance(c, Clause) for c in clauses)
+
+
+_ql_word = st.text(alphabet="abcdez", min_size=1, max_size=6)
+_ql_clause = st.tuples(
+    st.sampled_from(["", "+", "-"]),
+    st.one_of(st.none(), st.sampled_from(["title", "body_x"])),
+    st.one_of(
+        st.tuples(st.just("term"), _ql_word),
+        st.tuples(st.just("prefix"), _ql_word),
+        st.tuples(st.just("fuzzy"), _ql_word),
+        st.tuples(
+            st.just("phrase"),
+            st.lists(_ql_word, min_size=1, max_size=3).map(" ".join),
+        ),
+    ),
+    st.one_of(st.none(), st.sampled_from(["1", "2", "0.5", "2.5", "10"])),
+    st.integers(min_value=1, max_value=2),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ql_clause, min_size=1, max_size=5), st.randoms())
+def test_parse_query_roundtrip(specs, rnd):
+    """Render a random well-formed clause list → parse → the structure
+    comes back exactly (occur, field, kind, text, boost, max_edits),
+    modulo the documented collapse of EXACT duplicate clauses and the
+    all-negative rejection."""
+    from terrier_ray.index.querylang import Clause, parse_query
+
+    rendered, expected, seen = [], [], set()
+    for occur, field, (kind, text), boost, edits in specs:
+        atom = {
+            "term": text,
+            "prefix": f"{text}*",
+            "fuzzy": f"{text}~{edits}",
+            "phrase": f'"{text}"',
+        }[kind]
+        s = f"{occur}{field + ':' if field else ''}{atom}"
+        if boost is not None:
+            s += f"^{boost}"
+        rendered.append(s)
+        c = Clause(
+            occur,
+            field,
+            kind,
+            text,
+            float(boost) if boost is not None else 1.0,
+            max_edits=edits if kind == "fuzzy" else 1,
+        )
+        if c not in seen:
+            seen.add(c)
+            expected.append(c)
+    q = ""
+    for s in rendered:  # random whitespace separation is insignificant
+        q += rnd.choice(["", " ", "\t", "\n"]) if not q else rnd.choice([" ", "  ", "\t", "\n"])
+        q += s
+    if all(c.occur == "-" for c in expected):
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse_query(q)
+        return
+    assert parse_query(q) == expected
