@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import phrase_matches_positional
 
     q["phrase_matches_positional"] = phrase_matches_positional
+    from terrier_ray.pipelines.fulltext import proximity_matches
+
+    q["proximity_matches"] = proximity_matches
     from terrier_ray.pipelines.fulltext import fuzzy_topk
 
     q["fuzzy_topk"] = fuzzy_topk

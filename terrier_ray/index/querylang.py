@@ -14,6 +14,7 @@ the first occurrence, matching ``_query_terms``'s unique-token rule)::
     clause := [occur] [field ':'] atom ['^' boost]
     occur  := '+' (MUST) | '-' (MUST_NOT)        # default: SHOULD
     atom   := '"' words '"'                      # phrase (positional index)
+            | '"' words '"' '~' slop             # proximity window (slop >= 1)
             | word '*'                           # prefix expansion
             | word '~' [edits]                   # fuzzy (OSA, default ed<=1)
             | word                               # plain term
@@ -42,6 +43,18 @@ Execution semantics (pinned for determinism; Lucene BooleanQuery analog):
   through the standard BM25 weight, using position-list intersection
   over a positional index (``positions_for`` — zero corpus text reads).
   Requires ``build_index(positions=True)``; raises otherwise.
+- ``"a b c"~s`` (slop >= 1): UNORDERED-WINDOW proximity, the
+  Terrier/Indri ``#uwN`` analog (NOT Lucene's ordered edit-distance
+  slop): a match is a MINIMAL token window containing every distinct
+  phrase token whose span (max pos - min pos + 1) is at most
+  n_distinct_tokens + slop; tf = number of minimal windows (Clarke et
+  al.'s minimal-interval semantics — minimal windows never nest, so
+  the count is well-defined), df = docs with >= 1 window, scored as a
+  pseudo-term exactly like a phrase.  ``~0`` is the exact ordered
+  phrase above.  Same positional-index requirement and zero-text-read
+  discipline; candidates are the AND of the distinct tokens, so an
+  exact-phrase match is always a proximity match when tokens are
+  distinct (span = n <= n + slop).
 - ``field:atom`` routes the clause to that field's index (per-field
   indexes share the corpus docid space, so set algebra composes across
   fields); unknown fields raise.
@@ -71,6 +84,7 @@ class Clause:
     text: str
     boost: float = 1.0
     max_edits: int = 1
+    slop: int = 0  # phrase clauses only: 0 = exact, >=1 = unordered window
 
 
 _CLAUSE_RE = re.compile(
@@ -78,7 +92,7 @@ _CLAUSE_RE = re.compile(
     (?P<occur>[+-])?
     (?:(?P<field>[A-Za-z_][A-Za-z0-9_]*):)?
     (?:
-        "(?P<phrase>[^"]*)"
+        "(?P<phrase>[^"]*)"(?:~(?P<pslop>[0-9]{1,4}))?
       | (?P<word>[^\s+\-^~*:"][^\s^~*:"]*)
         (?:(?P<star>\*)|~(?P<edits>[0-9])?)?
     )
@@ -117,7 +131,8 @@ def parse_query(q: str) -> list[Clause]:
         field = m.group("field")
         boost = float(m.group("boost")) if m.group("boost") else 1.0
         if m.group("phrase") is not None:
-            c = Clause(occur, field, "phrase", m.group("phrase"), boost)
+            slop = int(m.group("pslop")) if m.group("pslop") else 0
+            c = Clause(occur, field, "phrase", m.group("phrase"), boost, slop=slop)
         else:
             word = m.group("word")
             if m.group("star"):
@@ -169,12 +184,22 @@ def _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k):
     return [(int(uniq[i]), float(acc[i])) for i in order]
 
 
-def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None = None):
-    """(docids ascending int64, per-doc adjacency-match counts int64) for
-    the exact token sequence, by position-list intersection (the
+def _phrase_occurrences(
+    idx,
+    phrase: str,
+    lo: int | None = None,
+    hi: int | None = None,
+    slop: int = 0,
+):
+    """(docids ascending int64, per-doc match counts int64) for the token
+    sequence, by position-list intersection (the
     ``_match_phrases_positional`` kernel, expressed index-side).  With
-    ``lo``/``hi`` the candidate set is restricted to that docid range
-    (the shard-side unit of ``search_distributed``)."""
+    ``slop == 0`` a match is the exact adjacent sequence; with
+    ``slop >= 1`` it is a MINIMAL unordered window over the DISTINCT
+    tokens with span <= n_distinct + slop (module docstring's proximity
+    semantics; kernel ``_minimal_window_count``).  With ``lo``/``hi``
+    the candidate set is restricted to that docid range (the shard-side
+    unit of ``search_distributed``)."""
     from terrier_ray.text.tokenize import tokenize
 
     seq = tokenize(phrase)
@@ -215,6 +240,17 @@ def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None 
     posmaps = {t: idx.positions_for(t, cand_list) for t in uniq_terms}
     docs: list[int] = []
     counts: list[int] = []
+    if slop:
+        window = len(uniq_terms) + int(slop)
+        for d in cand_list:
+            arrs = [posmaps[t].get(d) for t in uniq_terms]
+            if any(a is None for a in arrs):
+                continue
+            c = _minimal_window_count(arrs, window)
+            if c:
+                docs.append(d)
+                counts.append(c)
+        return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
     for d in cand_list:
         acc = posmaps[seq[0]].get(d)
         if acc is None:
@@ -233,11 +269,54 @@ def _phrase_occurrences(idx, phrase: str, lo: int | None = None, hi: int | None 
     return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
 
 
+def _minimal_window_count(arrs: "list[np.ndarray]", window: int) -> int:
+    """Number of MINIMAL windows containing >=1 position from every array
+    with span (max - min + 1) <= ``window`` — minimal-interval semantics
+    (Clarke/Cormack/Burkowski 1995): an interval covering all k labels
+    such that dropping either endpoint breaks coverage.  Minimal windows
+    never nest, each is identified by its right endpoint, so one
+    two-pointer sweep over the label-merged position list enumerates
+    them all exactly once.  Positions are token indices, distinct across
+    arrays within a doc (one token per position), so the merged order is
+    unambiguous.  O(total positions) per doc; callers bound the doc set
+    by the candidate AND."""
+    k = len(arrs)
+    if k == 1:
+        return int(len(arrs[0]))  # every single occurrence spans 1 <= window
+    pos = np.concatenate(arrs)
+    lab = np.concatenate(
+        [np.full(len(a), i, dtype=np.int32) for i, a in enumerate(arrs)]
+    )
+    order = np.argsort(pos, kind="stable")
+    pos = pos[order]
+    lab = lab[order]
+    cnt = np.zeros(k, dtype=np.int64)
+    covered = 0
+    left = 0
+    out = 0
+    for r in range(len(pos)):
+        t = int(lab[r])
+        cnt[t] += 1
+        if cnt[t] == 1:
+            covered += 1
+        if covered < k:
+            continue
+        while cnt[int(lab[left])] > 1:  # maximal left with full coverage
+            cnt[int(lab[left])] -= 1
+            left += 1
+        # [left, r] is minimal iff r's label is unique inside it (dropping
+        # the right endpoint breaks coverage; the left is unique by the
+        # shrink above)
+        if cnt[t] == 1 and int(pos[r]) - int(pos[left]) + 1 <= window:
+            out += 1
+    return out
+
+
 def _qs_phrase_matches(index_dirs, lo, hi, phrases):
-    """Phase-1 shard task of ``search_distributed``: UNFILTERED phrase
-    matches per (field, text) within this docid range.  Returns one
-    ``(docids int64, adjacency counts int64)`` pair per phrase — the match
-    lengths sum to each phrase pseudo-term's exact global df (every doc
+    """Phase-1 shard task of ``search_distributed``: UNFILTERED phrase /
+    proximity matches per (field, text, slop) within this docid range.
+    Returns one ``(docids int64, match counts int64)`` pair per phrase —
+    the match lengths sum to each pseudo-term's exact global df (every doc
     lives in exactly one range), and the pairs ship BACK to the same
     range's phase-2 task so the position-intersect work runs exactly once
     per (phrase, range).  Wire size is bounded by the phrase's per-range
@@ -246,9 +325,9 @@ def _qs_phrase_matches(index_dirs, lo, hi, phrases):
 
     idxs: dict = {}
     out = []
-    for f, text in phrases:
+    for f, text, slop in phrases:
         idx = idxs.get(f) or idxs.setdefault(f, BM25Index(index_dirs[f]))
-        out.append(_phrase_occurrences(idx, text, lo=lo, hi=hi))
+        out.append(_phrase_occurrences(idx, text, lo=lo, hi=hi, slop=slop))
     return out
 
 
@@ -408,7 +487,7 @@ class QueryStringEngine:
         scoring = c.occur != MUST_NOT  # negative clauses never score —
         # only their match set is needed, so skip all weight math
         if c.kind == "phrase":
-            docs, counts = _phrase_occurrences(idx, c.text)
+            docs, counts = _phrase_occurrences(idx, c.text, slop=c.slop)
             if not scoring or not len(docs):
                 return [], docs
             tf = counts.astype(np.float64)
@@ -508,7 +587,7 @@ class QueryStringEngine:
         clauses = parse_query(q)
         index_dirs = {f: idx.index_dir for f, idx in self.indexes.items()}
         plan: list[dict] = []
-        phrase_keys: list[tuple[str, str]] = []
+        phrase_keys: list[tuple[str, str, int]] = []
         for c in clauses:
             f = c.field or self.default_field
             idx = self._index_of(c.field)
@@ -525,9 +604,10 @@ class QueryStringEngine:
                         "kind": "phrase",
                         "text": c.text,
                         "boost": c.boost,
+                        "slop": c.slop,
                     }
                 )
-                phrase_keys.append((f, c.text))
+                phrase_keys.append((f, c.text, c.slop))
             else:
                 pairs = self._expand(idx, c)
                 plan.append(

@@ -537,6 +537,34 @@ def phrase_matches_positional(sf_dir: str, num_phrases: int = 6):
     return _match_phrases_positional(idx, phrases)
 
 
+def proximity_matches(sf_dir: str, num_phrases: int = 6, slop: int = 2):
+    """Unordered-window proximity retrieval over the POSITIONAL index —
+    the Terrier/Indri ``#uwN`` operator (query-string syntax
+    ``\"a b\"~slop``): a match is a MINIMAL token window containing every
+    distinct phrase token with span <= n_distinct + slop, counted under
+    minimal-interval semantics (``querylang._minimal_window_count``, the
+    one window kernel).  Same deterministically-mined phrase set as
+    ``phrase_matches``; zero corpus text reads (candidates = AND of the
+    distinct tokens, then per-candidate position-block decodes).  Rows:
+    (phrase_id, phrase, docid, n_occurrences) where n_occurrences is the
+    minimal-window count; rows-only — verified exactly vs a naive
+    full-scan window oracle in tests/test_querylang.py.  Exact-phrase
+    docs are a subset of each phrase's proximity docs when its tokens
+    are distinct (span = n <= n + slop; tested)."""
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.index.querylang import _phrase_occurrences
+
+    web = webtext_for_sf(sf_dir)
+    idx = BM25Index(ensure_index(sf_dir, positions=True))
+    phrases = _mine_phrases(idx, web, num_phrases)
+    rows: list[tuple[int, str, int, int]] = []
+    for pid, phrase in enumerate(phrases):
+        docs, counts = _phrase_occurrences(idx, phrase, slop=slop)
+        for d, c in zip(docs.tolist(), counts.tolist()):
+            rows.append((pid, phrase, d, c))
+    return _phrase_table(rows)
+
+
 def bm25_snippets(sf_dir: str, k: int = 5, num_queries: int = 5, window: int = 20):
     """Search-result snippets: BM25 top-k per query, then ONE pruned
     distributed pass over the webtext corpus fetches just the hit docs'

@@ -207,6 +207,7 @@ _ql_clause = st.tuples(
     ),
     st.one_of(st.none(), st.sampled_from(["1", "2", "0.5", "2.5", "10"])),
     st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=9),  # phrase slop (0 = exact)
 )
 
 
@@ -220,12 +221,12 @@ def test_parse_query_roundtrip(specs, rnd):
     from terrier_ray.index.querylang import Clause, parse_query
 
     rendered, expected, seen = [], [], set()
-    for occur, field, (kind, text), boost, edits in specs:
+    for occur, field, (kind, text), boost, edits, slop in specs:
         atom = {
             "term": text,
             "prefix": f"{text}*",
             "fuzzy": f"{text}~{edits}",
-            "phrase": f'"{text}"',
+            "phrase": f'"{text}"' + (f"~{slop}" if slop else ""),
         }[kind]
         s = f"{occur}{field + ':' if field else ''}{atom}"
         if boost is not None:
@@ -238,6 +239,7 @@ def test_parse_query_roundtrip(specs, rnd):
             text,
             float(boost) if boost is not None else 1.0,
             max_edits=edits if kind == "fuzzy" else 1,
+            slop=slop if kind == "phrase" else 0,
         )
         if c not in seen:
             seen.add(c)

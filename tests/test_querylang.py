@@ -260,6 +260,11 @@ def test_distributed_identical_to_local(
         f"title:{a} {b}",
         f"+{a}.{b} title:{a}^1.5",
     ]
+    suite += [
+        f'"{phrase}"~2',
+        f'+"{phrase}"~1 {a}',
+        f'{a} -"{phrase}"~3',
+    ]
     for q in suite:
         want = engine.search(q, k=25)
         got = engine.search_distributed(q, k=25, num_shards=3)
@@ -278,3 +283,143 @@ def test_pipeline_entry_shape(ray_session, sf_smoke):
     assert pc.min(tab.column("rank")).as_py() == 1
     # the distributed serving entry returns the byte-identical table
     assert search_query_string(sf_smoke, distributed=True).equals(tab)
+
+
+# ------------------------------------------------------------- proximity
+
+
+def _naive_minimal_windows(tokens, terms, window):
+    """Independent O(n^2) oracle for minimal-interval window counting:
+    for each query-term position `a`, the SMALLEST covering interval
+    starting at `a` is the only minimal candidate with that left
+    endpoint; it is minimal iff dropping `a` breaks coverage."""
+    terms = set(terms)
+    pts = [(i, x) for i, x in enumerate(tokens) if x in terms]
+    count = 0
+    for a in range(len(pts)):
+        seen = set()
+        for b in range(a, len(pts)):
+            seen.add(pts[b][1])
+            if len(seen) == len(terms):
+                drops_a = {t for _, t in pts[a + 1 : b + 1]} != terms
+                if drops_a and pts[b][0] - pts[a][0] + 1 <= window:
+                    count += 1
+                break
+    return count
+
+
+def test_parse_proximity_slop():
+    assert parse_query('"new york"~2') == [
+        Clause("", None, "phrase", "new york", slop=2)
+    ]
+    # slop composes with occur/field/boost; ~0 is the exact phrase
+    assert parse_query('+title:"a b"~3^2') == [
+        Clause("+", "title", "phrase", "a b", boost=2.0, slop=3)
+    ]
+    assert parse_query('"a b"~0') == [Clause("", None, "phrase", "a b")]
+    # bare ~ after a phrase and >4-digit slop are syntax errors, never
+    # silent splits
+    for bad in ('"a b"~', '"a b"~12345'):
+        with pytest.raises(ValueError, match="whitespace-separated"):
+            parse_query(bad)
+
+
+def test_minimal_window_count_matches_naive_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from terrier_ray.index.querylang import _minimal_window_count
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.sampled_from("abcx"), min_size=1, max_size=30),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=2, max_value=8),
+    )
+    def check(tokens, kterms, window):
+        terms = ["a", "b", "c"][:kterms]
+        arrs = [
+            np.asarray(
+                [i for i, x in enumerate(tokens) if x == t], dtype=np.int64
+            )
+            for t in terms
+        ]
+        got = _minimal_window_count(arrs, window)
+        assert got == _naive_minimal_windows(tokens, terms, window)
+
+    check()
+
+
+def test_proximity_matches_vs_naive_window_scan(ray_session):
+    """proximity_matches must agree EXACTLY — docids and minimal-window
+    counts — with a naive scan of every doc's token stream."""
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.index.oracle import OracleBM25
+    from terrier_ray.pipelines.fulltext import proximity_matches
+    from terrier_ray.text.tokenize import tokenize
+
+    sf = "/root/testdata/sf0.001"
+    slop = 2
+    out = proximity_matches(sf, slop=slop)
+    assert out.num_rows > 0
+    phrases = dict(
+        zip(out.column("phrase_id").to_pylist(), out.column("phrase").to_pylist())
+    )
+    got: dict[int, dict[int, int]] = {pid: {} for pid in phrases}
+    for pid, d, n in zip(
+        out.column("phrase_id").to_pylist(),
+        out.column("docid").to_pylist(),
+        out.column("n_occurrences").to_pylist(),
+    ):
+        got[pid][d] = n
+
+    oracle = OracleBM25(webtext_for_sf(sf))
+    for pid, p in phrases.items():
+        terms = list(dict.fromkeys(tokenize(p)))
+        window = len(terms) + slop
+        want: dict[int, int] = {}
+        for d, toks in oracle.doc_tokens.items():
+            c = _naive_minimal_windows(toks, terms, window)
+            if c:
+                want[d] = c
+        assert got[pid] == want, p
+        assert want, f"mined phrase {p!r} must window-match its seed doc"
+
+
+def test_exact_phrase_docs_subset_of_proximity(pos_index, webtext_small):
+    """For a distinct-token phrase, every exact-phrase doc is a proximity
+    doc at any slop >= 1 (span n <= n + slop; module contract)."""
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+    from terrier_ray.text.tokenize import tokenize
+
+    mined = _mine_phrases(pos_index, webtext_small, 4)
+    checked = 0
+    for p in mined:
+        seq = tokenize(p)
+        if len(set(seq)) != len(seq):
+            continue  # repeated-token phrases are exempt from the contract
+        exact, _ = _phrase_occurrences(pos_index, p)
+        for slop in (1, 3):
+            prox, counts = _phrase_occurrences(pos_index, p, slop=slop)
+            assert set(exact.tolist()) <= set(prox.tolist()), (p, slop)
+            assert (counts > 0).all()
+        checked += 1
+    assert checked  # the miner yields distinct-token phrases on this corpus
+
+
+def test_proximity_pseudo_term_scoring(engine, pos_index, webtext_small):
+    """A proximity clause scores as a pseudo-term: tf = minimal-window
+    count, df = matching docs, through the pinned BM25 expression."""
+    from terrier_ray.index.bm25 import B, K1
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    docs, counts = _phrase_occurrences(pos_index, phrase, slop=2)
+    assert len(docs)
+    tf = counts.astype(np.float64)
+    dl = pos_index.doc_len(docs).astype(np.float64)
+    wd = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / pos_index.avgdl))
+    contrib = idf(pos_index.n_docs, len(docs)) * wd
+    order = np.lexsort((docs, -contrib))[: min(10, len(docs))]
+    want = [(int(docs[i]), float(contrib[i])) for i in order]
+    assert engine.search(f'"{phrase}"~2', k=10) == want
