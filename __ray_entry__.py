@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import proximity_matches
 
     q["proximity_matches"] = proximity_matches
+    from terrier_ray.pipelines.fulltext import search_explain
+
+    q["search_explain"] = search_explain
     from terrier_ray.pipelines.fulltext import fuzzy_topk
 
     q["fuzzy_topk"] = fuzzy_topk

@@ -538,6 +538,72 @@ class QueryStringEngine:
                 must_sets.append(match)
         return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k)
 
+    def explain(self, q: str, k: int = 10, num_shards: "int | None" = None) -> str:
+        """Readable retrieval plan — the search-side analog of
+        ``terrier_ray.sql.explain`` (the reference's EXPLAIN surface,
+        src/include/parser/explain_statement.h analog).  STATS-ONLY cost
+        model: clause expansion (the coordinator's own dictionary work)
+        plus ``df_of`` (term, df) column probes — never a postings decode,
+        never a position fetch, so explain stays cheap at any corpus size.
+        Phrase/proximity clauses report their candidate-AND upper bound
+        (min token df); the real df needs the intersection the plan
+        itself runs.  Ends with the distributed shape ``search_distributed``
+        would use: range count and whether a phase-1 match round is
+        needed."""
+        clauses = parse_query(q)
+        occ_name = {MUST: "MUST", SHOULD: "SHOULD", MUST_NOT: "MUST_NOT"}
+        lines = [f"QueryString k={k} default_field={self.default_field!r}"]
+        n_phrases = 0
+        for c in clauses:
+            idx = self._index_of(c.field)
+            f = c.field or self.default_field
+            head = f"  {occ_name[c.occur]} field={f}"
+            if c.boost != 1.0:
+                head += f" boost={c.boost:g}"
+            if c.kind == "phrase":
+                n_phrases += 1
+                from terrier_ray.text.tokenize import tokenize
+
+                toks = list(dict.fromkeys(tokenize(c.text)))
+                dfs = idx.df_of(toks)
+                bound = min(dfs.values()) if dfs else 0
+                if c.slop:
+                    head += (
+                        f" PROXIMITY {c.text!r} slop={c.slop} "
+                        f"window={len(toks) + c.slop}"
+                    )
+                else:
+                    head += f" PHRASE {c.text!r}"
+                head += (
+                    f" tokens={len(toks)} candidate_df<={bound}"
+                    " via position-intersect"
+                )
+                lines.append(head)
+                continue
+            pairs = self._expand(idx, c)
+            dfs = idx.df_of([t for t, _ in pairs])
+            total_df = sum(dfs.values())
+            head += f" {c.kind.upper()} {c.text!r} expansions={len(pairs)}"
+            if c.kind == "term" and c.occur == MUST and len(pairs) > 1:
+                head += " must_all"
+            head += f" df={total_df}"
+            lines.append(head)
+            for t, w in pairs[:5]:
+                lines.append(f"    - {t!r} df={dfs.get(t, 0)} weight={w:.3f}")
+            if len(pairs) > 5:
+                lines.append(f"    ... {len(pairs) - 5} more expansions")
+        ranges = self._shard_ranges(num_shards)
+        lines.append(
+            f"  distributed: {len(ranges)} docid ranges, "
+            + (
+                f"2 rounds (phase-1 matches for {n_phrases} phrase/proximity "
+                "clause(s), then shard-side scoring)"
+                if n_phrases
+                else "1 round (shard-side scoring, k-list merge)"
+            )
+        )
+        return "\n".join(lines)
+
     # ------------------------------------------------------- distributed
 
     def _shard_ranges(self, num_shards):

@@ -943,6 +943,8 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
         # positional phrase pseudo-term — dropped (deterministically, so the
         # distributed variant stays byte-identical) when no phrase is minable
         *([f'"{mined[0]}"'] if mined else []),
+        # unordered-window proximity (slop) over the same mined phrase
+        *([f'"{mined[0]}"~2'] if mined else []),
         f"title:{t0} {t1}",  # field-scoped clause
         f"+title:{t0} -{t1} {t2}^1.5",  # combined
     ]
@@ -966,6 +968,46 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
             "rank": pa.array(ranks, type=pa.int32()),
             "docid": pa.array(docids, type=pa.int64()),
             "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def search_explain(sf_dir: str):
+    """Search-side EXPLAIN (``QueryStringEngine.explain`` — the retrieval
+    analog of the SQL ``explain()`` entry): per-clause expansion counts,
+    dictionary dfs, phrase/proximity candidate bounds, and the
+    distributed round shape for a fixed suite of query strings, one row
+    per plan line.  STATS-ONLY (dictionary column probes, no postings or
+    position decodes — asserted cheap in tests).  Rows-only (plan text
+    is engine-specific, like ``sql_explain_q3``)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.index.querylang import QueryStringEngine
+
+    web = webtext_for_sf(sf_dir)
+    body = BM25Index(ensure_index(sf_dir, positions=True))
+    title = BM25Index(ensure_index(sf_dir, field="title"))
+    engine = QueryStringEngine({"body": body, "title": title})
+    base = generate_queries(2).column("text").to_pylist()
+    t0 = base[0].split()[0]
+    mined = _mine_phrases(body, web, 1)
+    suite = [
+        base[0],
+        f"+{t0[:2]}* -{t0} title:{t0}^2",
+        *([f'"{mined[0]}"~2 {t0}'] if mined else []),
+    ]
+    qids, steps, lines = [], [], []
+    for qid, qstr in enumerate(suite):
+        for step, line in enumerate(engine.explain(qstr, num_shards=4).splitlines()):
+            qids.append(qid)
+            steps.append(step)
+            lines.append(line)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "step": pa.array(steps, type=pa.int32()),
+            "plan": pa.array(lines, type=pa.string()),
         }
     )
 

@@ -423,3 +423,45 @@ def test_proximity_pseudo_term_scoring(engine, pos_index, webtext_small):
     order = np.lexsort((docs, -contrib))[: min(10, len(docs))]
     want = [(int(docs[i]), float(contrib[i])) for i in order]
     assert engine.search(f'"{phrase}"~2', k=10) == want
+
+
+# -------------------------------------------------------------- explain
+
+
+def test_explain_is_stats_only(
+    engine, pos_index, webtext_small, qterms, monkeypatch
+):
+    """explain() must describe the plan WITHOUT decoding postings or
+    positions (its documented stats-only contract) — spy-asserted by
+    making both decode paths raise."""
+    from terrier_ray.index.bm25 import BM25Index
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    a = qterms[0]
+
+    def boom(*args, **kwargs):
+        raise AssertionError("explain decoded postings/positions")
+
+    monkeypatch.setattr(BM25Index, "lookup", boom)
+    monkeypatch.setattr(BM25Index, "positions_for", boom)
+    txt = engine.explain(
+        f'+{a} -{a[:2]}* "{phrase}"~2 title:{a}^2', num_shards=3
+    )
+    assert "MUST " in txt and "MUST_NOT" in txt
+    assert "PROXIMITY" in txt and "slop=2" in txt
+    assert "candidate_df<=" in txt
+    assert "PREFIX" in txt and "expansions=" in txt
+    assert "3 docid ranges" in txt and "2 rounds" in txt
+    # phrase-free plans are single-round
+    assert "1 round" in engine.explain(f"{a} title:{a}", num_shards=2)
+
+
+def test_search_explain_entry_shape(ray_session, sf_smoke):
+    from terrier_ray.pipelines.fulltext import search_explain
+
+    tab = search_explain(sf_smoke)
+    assert tab.column_names == ["query_id", "step", "plan"]
+    assert tab.num_rows > 0
+    text = "\n".join(tab.column("plan").to_pylist())
+    assert "QueryString" in text and "distributed:" in text
