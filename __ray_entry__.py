@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import search_explain
 
     q["search_explain"] = search_explain
+    from terrier_ray.pipelines.fulltext import bm25_filtered_topk
+
+    q["bm25_filtered_topk"] = bm25_filtered_topk
     from terrier_ray.pipelines.fulltext import fuzzy_topk
 
     q["fuzzy_topk"] = fuzzy_topk

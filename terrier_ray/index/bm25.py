@@ -160,6 +160,14 @@ class BM25Index:
             order = np.argsort(d)
             self._dl_parts = [(d[order], l[order])]
             self._dl_lo = np.array([int(d[order][0]) if len(d) else 0], dtype=np.int64)
+        # docvalues sidecar (categorical forward index for filtered
+        # retrieval) — lazy: meta read + part memmaps on first use, so
+        # unfiltered serving never touches it
+        self._dv_dir = os.path.join(index_dir, "docvalues")
+        self._dv_loaded = False
+        self._dv_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
+        self._dv_lo: "np.ndarray | None" = None
+        self._dv_dict: "list[str]" = []
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
@@ -450,6 +458,106 @@ class BM25Index:
         # full (score desc, docid asc) ordering — exact even under score ties;
         # candidate sets are bounded by query-term df (BMW is the huge-df path)
         order = np.lexsort((uniq, -acc))[:kk]
+        return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    # ------------------------------------------------------------------
+    # docvalues (categorical forward index; Lucene DocValues analog)
+    # ------------------------------------------------------------------
+
+    def _dv_load(self) -> None:
+        if self._dv_loaded:
+            return
+        self._dv_loaded = True
+        mp = os.path.join(self._dv_dir, "meta.json")
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            meta = json.load(f)
+        self._dv_dict = list(meta["dict"])
+        self._dv_lo = np.array([p["lo"] for p in meta["parts"]], dtype=np.int64)
+        for p in meta["parts"]:
+            fp = os.path.join(self._dv_dir, p["file"])
+            n = p["n"]
+            did = np.memmap(fp, dtype="<i8", mode="r", offset=0, shape=(n,))
+            code = np.memmap(fp, dtype="<u2", mode="r", offset=8 * n, shape=(n,))
+            self._dv_parts.append((did, code))
+
+    @property
+    def has_docvalues(self) -> bool:
+        self._dv_load()
+        return bool(self._dv_parts)
+
+    def docvalue_codes(self, docids: np.ndarray) -> np.ndarray:
+        """Dictionary codes of the docvalue column for ``docids`` (uint16;
+        0xFFFF = null) — the doc_len memmap-gather discipline applied to
+        the attribute sidecar: a scorer touches only the pages its
+        candidates land on."""
+        self._dv_load()
+        if not self._dv_parts:
+            raise ValueError(
+                "index built without a docvalues sidecar (corpus lacked the "
+                "attribute column)"
+            )
+        q = np.asarray(docids, dtype=np.int64)
+        if len(self._dv_parts) == 1:
+            did, code = self._dv_parts[0]
+            pos = np.clip(np.searchsorted(did, q), 0, len(did) - 1)
+            if not (did[pos] == q).all():
+                raise KeyError(
+                    "docid missing from the docvalues sidecar — sidecar/"
+                    "corpus mismatch"
+                )
+            return np.asarray(code[pos])
+        pi = np.searchsorted(self._dv_lo, q, side="right") - 1
+        if (pi < 0).any():
+            raise KeyError(
+                f"docid(s) {q[pi < 0][:5].tolist()} not covered by any "
+                "docvalues part — sidecar/corpus mismatch"
+            )
+        out = np.empty(len(q), dtype=np.uint16)
+        for i in np.unique(pi):
+            did, code = self._dv_parts[int(i)]
+            sel = pi == i
+            pos = np.clip(np.searchsorted(did, q[sel]), 0, len(did) - 1)
+            if not (did[pos] == q[sel]).all():
+                raise KeyError(
+                    "docid missing from the docvalues sidecar — sidecar/"
+                    "corpus mismatch"
+                )
+            out[sel] = code[pos]
+        return out
+
+    def docvalues_of(self, docids: np.ndarray) -> "list[str | None]":
+        """Decoded docvalue strings for ``docids`` (None = null)."""
+        codes = self.docvalue_codes(docids)
+        d = self._dv_dict
+        return [d[c] if c != 0xFFFF else None for c in codes.tolist()]
+
+    def search_filtered(
+        self, query: str, k: int = 10, lang: "str | None" = None
+    ) -> list[tuple[int, float]]:
+        """Attribute-FILTERED exact top-k: the full ``score_all``
+        accumulation, then the docvalue mask, then the pinned (score desc,
+        docid asc) cut — so results are rank-AND-score-identical to
+        post-filtering the unfiltered full ranking (tested), the classic
+        filtered-query semantics (Lucene FilteredQuery / the reference's
+        predicate-below-topk plans).  A value absent from the dictionary
+        matches nothing.  The mask is one sidecar gather over the
+        candidate set (bounded by query df), never a corpus read."""
+        uniq, acc = self.score_all(query)
+        if not len(uniq):
+            return []
+        if lang is not None:
+            self._dv_load()
+            try:
+                want = self._dv_dict.index(lang)
+            except ValueError:
+                return []
+            keep = self.docvalue_codes(uniq) == np.uint16(want)
+            uniq, acc = uniq[keep], acc[keep]
+            if not len(uniq):
+                return []
+        order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         return [(int(uniq[i]), float(acc[i])) for i in order]
 
     def search_weighted(
@@ -1213,7 +1321,8 @@ def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
 
 
 def _score_range_topk(index_dir: str, lo: int, hi: int,
-                      per_query_terms: "list[list[str]]", k: int):
+                      per_query_terms: "list[list[str]]", k: int,
+                      filter_lang: "str | None" = None):
     """Shard-side scoring for ``DistributedBM25.search_many_sharded``: score
     every query against the docid range [lo, hi) and return per-query
     partial top-k lists.
@@ -1229,6 +1338,16 @@ def _score_range_topk(index_dir: str, lo: int, hi: int,
     are already docid-range parts, so per-range decode is a layout detail,
     not a redesign)."""
     idx = BM25Index(index_dir)
+    want_code: "np.uint16 | None" = None
+    if filter_lang is not None:
+        # in-shard docvalue mask: the filter applies where the range's
+        # attribute pages live, mirroring BM25Index.search_filtered's
+        # post-accumulation semantics so merged k-lists stay identical
+        idx._dv_load()
+        try:
+            want_code = np.uint16(idx._dv_dict.index(filter_lang))
+        except ValueError:
+            return [[] for _ in per_query_terms]  # value not in dictionary
     all_terms = sorted({t for ts in per_query_terms for t in ts})
     post = idx.lookup(all_terms)
     lo64, hi64 = np.uint64(lo), np.uint64(hi)
@@ -1260,6 +1379,12 @@ def _score_range_topk(index_dir: str, lo: int, hi: int,
         uniq, inverse = np.unique(all_d, return_inverse=True)
         acc = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(acc, inverse, all_c)
+        if want_code is not None and len(uniq):
+            keep = idx.docvalue_codes(uniq) == want_code
+            uniq, acc = uniq[keep], acc[keep]
+            if not len(uniq):
+                results.append([])
+                continue
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         results.append([(int(uniq[i]), float(acc[i])) for i in order])
     return results
@@ -1447,15 +1572,25 @@ class DistributedBM25:
         return doclen_shard_ranges(self.local, num_shards)
 
     def search_many_sharded(
-        self, queries: "list[str]", k: int = 10, num_shards: "int | None" = None
+        self,
+        queries: "list[str]",
+        k: int = 10,
+        num_shards: "int | None" = None,
+        filter_lang: "str | None" = None,
     ):
         """Per-query top-k via shard-side scoring + k-list merge (see class
-        docstring).  Returns one [(docid, score), ...] list per query."""
+        docstring).  Returns one [(docid, score), ...] list per query.
+        ``filter_lang`` pushes a docvalue equality filter INTO the shard
+        tasks (each masks its own range from its local attribute sidecar
+        pages before the cut), so merged results equal
+        ``BM25Index.search_filtered`` — filtered docids never transit."""
         import ray
 
         per_query_terms = [_query_terms(q) for q in queries]
         futs = [
-            self._score_range.remote(self.index_dir, lo, hi, per_query_terms, k)
+            self._score_range.remote(
+                self.index_dir, lo, hi, per_query_terms, k, filter_lang
+            )
             for lo, hi in self._shard_ranges(num_shards)
         ]
         partials = ray.get(futs)

@@ -576,6 +576,159 @@ def build_doclens(corpus_dir: str, doclens_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# epoch 2c: docvalues sidecar (docid-sorted categorical doc attributes —
+# the forward index for filtered retrieval; Lucene DocValues analog)
+# ---------------------------------------------------------------------------
+
+
+def _write_docvalue_part(did: np.ndarray, code: np.ndarray, out_dir: str) -> dict:
+    """Atomically write one docid-range docvalue part:
+    ``int64 docid[n] ++ uint16 code[n]`` (same naming/idempotency contract
+    as ``_write_doclen_part``)."""
+    name = f"part-{int(did[0]):020d}.bin"
+    tmp = os.path.join(out_dir, f"{name}.tmp-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(np.ascontiguousarray(did, dtype="<i8").tobytes())
+        f.write(np.ascontiguousarray(code, dtype="<u2").tobytes())
+    os.replace(tmp, os.path.join(out_dir, name))
+    return {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
+
+
+def build_docvalues(corpus_dir: str, dv_dir: str, column: str = "lang") -> dict:
+    """Write a categorical doc attribute as docid-SORTED fixed-width parts
+    (dictionary-coded uint16 + the code dictionary in meta.json) — the
+    doclens layout applied to a doc ATTRIBUTE, so filtered retrieval
+    (``BM25Index.search_filtered``) masks candidates with the same
+    memmap-gather discipline scoring uses for dl, and each scoring shard
+    touches only its own docid range's attribute pages (never a corpus
+    text read, never a whole-map heap load).
+
+    The dictionary is GLOBAL and sorted (deterministic codes).  Small
+    corpora sort driver-side; large ones reuse the build_doclens shape:
+    a tiny distinct pass for the dictionary (categorical: bounded output
+    regardless of corpus size), then a Ray sort whose output tasks write
+    their disjoint docid-range parts in place.  10 B/doc → ~10 TB at 1e12
+    docs, sharded exactly like the 12 TB doclens sidecar."""
+    os.makedirs(dv_dir, exist_ok=True)
+    parts: list[dict] = []
+
+    if _total_bytes(corpus_dir) < _DRIVER_SIDE_BYTES:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(corpus_dir).to_table(columns=["docid", column])
+        d = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(t.column(column).to_pylist(), dtype=object)
+        dictionary = sorted({v for v in vals.tolist() if v is not None})
+        if len(dictionary) >= 0xFFFF:
+            raise ValueError(
+                f"docvalue column {column!r} has {len(dictionary)} distinct "
+                "values — the uint16 dictionary layout is for categorical "
+                "attributes"
+            )
+        code_of = {v: i for i, v in enumerate(dictionary)}
+        codes = np.fromiter(
+            (code_of.get(v, 0xFFFF) for v in vals.tolist()),  # 0xFFFF = null
+            dtype=np.uint16,
+            count=len(vals),
+        )
+        order = np.argsort(d)
+        d, codes = d[order], codes[order]
+        for s in range(0, len(d), _DOCLEN_PART_ROWS):
+            parts.append(
+                _write_docvalue_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    codes[s : s + _DOCLEN_PART_ROWS],
+                    dv_dir,
+                )
+            )
+    else:
+        import ray
+        import ray.data as rd
+
+        # pass 1 (tiny): global dictionary — per-block distinct values union
+        # on the driver; categorical, so the result is bounded by NDV
+        distinct_parts = (
+            rd.read_parquet(
+                corpus_dir,
+                columns=[column],
+                override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {column: pc.unique(b.column(column).combine_chunks())}
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        dictionary = sorted(
+            {r[column] for r in distinct_parts if r[column] is not None}
+        )
+        if len(dictionary) >= 0xFFFF:
+            raise ValueError(
+                f"docvalue column {column!r} has {len(dictionary)} distinct "
+                "values — the uint16 dictionary layout is for categorical "
+                "attributes"
+            )
+        dict_ref = ray.put({v: i for i, v in enumerate(dictionary)})
+
+        def write_task(b: pa.Table) -> pa.Table:
+            cols = ("file", "n", "lo", "hi")
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "file": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "lo": pa.array([], pa.int64()),
+                        "hi": pa.array([], pa.int64()),
+                    }
+                )
+            code_of = _get_broadcast(dict_ref)
+            d = b.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = b.column(column).to_pylist()
+            codes = np.fromiter(
+                (code_of.get(v, 0xFFFF) for v in vals),
+                dtype=np.uint16,
+                count=len(vals),
+            )
+            rows = [
+                _write_docvalue_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    codes[s : s + _DOCLEN_PART_ROWS],
+                    dv_dir,
+                )
+                for s in range(0, len(d), _DOCLEN_PART_ROWS)
+            ]
+            return pa.table({k: [r[k] for r in rows] for k in cols})
+
+        ds = rd.read_parquet(
+            corpus_dir,
+            columns=["docid", column],
+            override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1, floor_files=False),
+        ).sort("docid")
+        meta_rows = ds.map_batches(
+            write_task, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        parts = sorted(
+            ({k: r[k] for k in ("file", "n", "lo", "hi")} for r in meta_rows),
+            key=lambda r: r["lo"],
+        )
+    meta = {
+        "column": column,
+        "dict": dictionary,
+        "parts": parts,
+        "n": sum(p["n"] for p in parts),
+    }
+    mp = os.path.join(dv_dir, "meta.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)
+    return meta
+
+
+# ---------------------------------------------------------------------------
 # epoch 3: postings
 # ---------------------------------------------------------------------------
 
@@ -1715,7 +1868,9 @@ def build_index(
     stats_path = os.path.join(out_dir, "stats.json")
     # v3: chash column (raw-token-stream content hash) replaces the
     # batch-order-dependent terms-list hash as the dedup tie-break
-    fp_extra = {"corpus_format": 3}
+    # v4: lang docvalue column carried through Tokenizer for the filtered-
+    # retrieval sidecar (epoch 2c); bump rebuilds pre-lang cached corpora
+    fp_extra = {"corpus_format": 4}
     if positions:  # added only when on, so existing caches stay valid
         fp_extra["positions"] = True
     if field != "body":  # ditto: body-field fingerprints unchanged
@@ -1802,6 +1957,29 @@ def build_index(
         outputs.append(os.path.join(doclens_dir, "meta.json"))
         finish_epoch(out_dir, "doclens", fp_dl, outputs, {"n": meta["n"]}, wall)
         timings["doclens_s"] = wall
+
+    # epoch 2c: docvalues sidecar (categorical attribute forward index for
+    # filtered retrieval) — only when the corpus carries the column (DML
+    # snapshot corpora don't)
+    corpus_files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    if corpus_files and "lang" in pq.read_schema(corpus_files[0]).names:
+        dv_dir = os.path.join(out_dir, "docvalues")
+        fp_dv = _input_fingerprint(
+            corpus_dir, {"stage": "docvalues", "v": 1, "column": "lang"}
+        )
+        if force or not epoch_done(out_dir, "docvalues", fp_dv):
+            t0 = time.perf_counter()
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            meta = build_docvalues(corpus_dir, dv_dir, column="lang")
+            wall = time.perf_counter() - t0
+            outputs = [os.path.join(dv_dir, p["file"]) for p in meta["parts"]]
+            outputs.append(os.path.join(dv_dir, "meta.json"))
+            finish_epoch(
+                out_dir, "docvalues", fp_dv, outputs, {"n": meta["n"]}, wall
+            )
+            timings["docvalues_s"] = wall
 
     # epoch 3: postings
     fp_post = _input_fingerprint(corpus_dir, {"params": params, "stage": "postings"})

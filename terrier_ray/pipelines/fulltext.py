@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from terrier_ray.datagen.webtext import generate_queries, webtext_for_sf
 from terrier_ray.index.bm25 import BM25Scorer
 from terrier_ray.index.build import build_index
@@ -357,7 +359,8 @@ def _fetch_indexed_winners(
     tok = Tokenizer()(texts_tbl)  # row-aligned with texts_tbl
     tbl = tok.append_column("text", texts_tbl.column("text"))
     for c in extra_cols:
-        tbl = tbl.append_column(c, texts_tbl.column(c))
+        if c not in tbl.column_names:  # the Tokenizer carries lang itself
+            tbl = tbl.append_column(c, texts_tbl.column(c))
     return _dedup_group(tbl)
 
 
@@ -965,6 +968,65 @@ def search_query_string(sf_dir: str, k: int = 10, distributed: bool = False):
         {
             "query_id": pa.array(qids, type=pa.int32()),
             "query": pa.array(qs, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def bm25_filtered_topk(sf_dir: str, k: int = 10, num_queries: int = 10):
+    """Attribute-FILTERED ranked retrieval (Lucene FilteredQuery analog;
+    the reference's predicate-below-topk plan shape): BM25 top-k
+    restricted to docs whose ``lang`` docvalue equals each of the two
+    most frequent corpus languages, per query.  The filter is a docvalue
+    sidecar gather over the candidate set (``BM25Index.search_filtered``
+    — the doclens memmap discipline applied to a doc attribute, epoch 2c
+    of the build), never a corpus read; the distributed variant pushes
+    the mask into the scoring shards (``search_many_sharded(filter_lang=)``
+    — identity tested).  Rows: (query_id, query, lang, rank, docid,
+    score); rows-only (BM25 scores), identity-vs-post-filter pinned in
+    tests/test_index_bm25.py."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir))
+    # two most frequent dictionary values, deterministically: count codes
+    # over the sidecar parts (tiny: uint16 bincount per part)
+    idx._dv_load()
+    counts = np.zeros(len(idx._dv_dict), dtype=np.int64)
+    for _did, code in idx._dv_parts:
+        c = np.bincount(
+            np.asarray(code), minlength=max(len(idx._dv_dict), 0x10000)
+        )
+        counts += c[: len(idx._dv_dict)]
+    top_langs = [
+        idx._dv_dict[i]
+        for i in sorted(
+            range(len(counts)), key=lambda i: (-int(counts[i]), idx._dv_dict[i])
+        )[:2]
+    ]
+    queries = generate_queries(num_queries)
+    qids, qs, langs, ranks, docids, scores = [], [], [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for lang in top_langs:
+            for rank, (d, s) in enumerate(
+                idx.search_filtered(text, k=k, lang=lang), start=1
+            ):
+                qids.append(qid)
+                qs.append(text)
+                langs.append(lang)
+                ranks.append(rank)
+                docids.append(d)
+                scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "query": pa.array(qs, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
             "rank": pa.array(ranks, type=pa.int32()),
             "docid": pa.array(docids, type=pa.int64()),
             "score": pa.array(scores, type=pa.float64()),

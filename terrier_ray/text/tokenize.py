@@ -145,6 +145,12 @@ class Tokenizer:
             "tfs": tfs_col,
             "chash": pa.array(chash, type=pa.uint64()),
         }
+        if "lang" in batch.column_names:
+            # categorical doc attribute carried into the corpus rows: the
+            # docvalues sidecar epoch (index/build.build_docvalues) turns it
+            # into the filtered-retrieval forward index (Lucene DocValues
+            # analog); absent on inputs without it (DML snapshot corpora)
+            cols["lang"] = batch.column("lang")
         if self.positions:
             if poss_col is None:
                 poss_col = pa.array([b""] * len(texts), type=pa.binary())

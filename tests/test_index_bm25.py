@@ -1113,3 +1113,124 @@ def test_pruned_tied_finalist_cut(ray_session, tmp_root):
     assert [d for d, _ in exact] == all_docids[:k]
     scores = {s for _, s in exact}
     assert len(scores) == 1  # genuinely tied
+
+
+# ---------------------------------------------------------------- docvalues
+
+
+def test_docvalues_sidecar_matches_corpus(built_index, webtext_small):
+    """Every corpus winner's lang must round-trip through the docvalues
+    sidecar (docid-sorted uint16 parts + global sorted dictionary)."""
+    import pyarrow.dataset as pads
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    assert idx.has_docvalues
+    t = pads.dataset(os.path.join(out, "corpus")).to_table(
+        columns=["docid", "lang"]
+    )
+    d = t.column("docid").to_numpy(zero_copy_only=False)
+    langs = t.column("lang").to_pylist()
+    assert idx.docvalues_of(d) == langs
+    # dictionary is the sorted distinct value set
+    assert idx._dv_dict == sorted({l for l in langs if l is not None})
+
+
+def test_search_filtered_identical_to_post_filter(built_index, ray_session):
+    """search_filtered == post-filtering the unfiltered FULL ranking (its
+    documented rank-AND-score identity), for every dictionary value; an
+    unknown value matches nothing; lang=None is plain search."""
+    import pyarrow.dataset as pads
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    t = pads.dataset(os.path.join(out, "corpus")).to_table(
+        columns=["docid", "lang"]
+    )
+    lang_of = dict(
+        zip(t.column("docid").to_pylist(), t.column("lang").to_pylist())
+    )
+    from terrier_ray.datagen.webtext import generate_queries
+
+    for q in generate_queries(5).column("text").to_pylist():
+        full = idx.search(q, k=10**9)
+        for lang in idx._dv_dict:
+            want = [(d, s) for d, s in full if lang_of[d] == lang][:10]
+            assert idx.search_filtered(q, k=10, lang=lang) == want, (q, lang)
+        assert idx.search_filtered(q, k=10, lang="zz-absent") == []
+        assert idx.search_filtered(q, k=10) == idx.search(q, k=10)
+
+
+def test_distributed_filtered_identical_to_local(built_index, ray_session):
+    """search_many_sharded(filter_lang=...) pushes the docvalue mask into
+    the shard tasks and must merge rank-AND-score-identical to the local
+    filtered search at a shard count forcing real range splits."""
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    dist = DistributedBM25(out)
+    queries = generate_queries(4).column("text").to_pylist()
+    for lang in idx._dv_dict[:2] + ["zz-absent"]:
+        got = dist.search_many_sharded(
+            queries, k=10, num_shards=3, filter_lang=lang
+        )
+        want = [idx.search_filtered(q, k=10, lang=lang) for q in queries]
+        assert got == want, lang
+
+
+def test_build_docvalues_distributed_path_identical(
+    built_index, ray_session, tmp_root, monkeypatch
+):
+    """The Ray-sort docvalues build (the >threshold path) must produce the
+    same dictionary and the same docid->code mapping as the driver-side
+    sort (parts may split differently; the decoded map is the contract)."""
+    import json
+
+    import terrier_ray.index.build as bld
+
+    out, _ = built_index
+    corpus = os.path.join(out, "corpus")
+    dv2 = os.path.join(str(tmp_root), "dv_distributed")
+    monkeypatch.setattr(bld, "_DRIVER_SIDE_BYTES", 0)
+    meta2 = bld.build_docvalues(corpus, dv2, column="lang")
+    with open(os.path.join(out, "docvalues", "meta.json")) as f:
+        meta1 = json.load(f)
+    assert meta2["dict"] == meta1["dict"]
+    assert meta2["n"] == meta1["n"]
+
+    def decode(dv_dir, meta):
+        import numpy as np
+
+        pairs = []
+        for p in meta["parts"]:
+            fp = os.path.join(dv_dir, p["file"])
+            n = p["n"]
+            with open(fp, "rb") as f:
+                buf = f.read()
+            did = np.frombuffer(buf, dtype="<i8", count=n)
+            code = np.frombuffer(buf, dtype="<u2", offset=8 * n, count=n)
+            pairs.extend(zip(did.tolist(), code.tolist()))
+        return sorted(pairs)
+
+    assert decode(dv2, meta2) == decode(os.path.join(out, "docvalues"), meta1)
+
+
+def test_bm25_filtered_topk_entry(ray_session, sf_smoke):
+    from terrier_ray.pipelines.fulltext import bm25_filtered_topk
+
+    tab = bm25_filtered_topk(sf_smoke)
+    assert tab.column_names == [
+        "query_id", "query", "lang", "rank", "docid", "score",
+    ]
+    assert tab.num_rows > 0
+    # per (query, lang) ranks start at 1; every hit's lang matches its
+    # filter value (re-checked through the sidecar)
+    from terrier_ray.pipelines.fulltext import ensure_index
+
+    idx = BM25Index(ensure_index(sf_smoke))
+    langs = tab.column("lang").to_pylist()
+    docids = tab.column("docid").to_numpy(zero_copy_only=False)
+    got = idx.docvalues_of(docids)
+    assert got == langs
