@@ -1846,6 +1846,7 @@ def build_index(
     exchange: str = "hash",
     positions: bool = False,
     field: str = "body",
+    docvalues: bool = False,
 ) -> dict:
     """Build (or resume building) a BM25 index at ``out_dir``.
 
@@ -1862,7 +1863,13 @@ def build_index(
     positions blob in docid order + per-block byte offsets) that BM25
     scoring never reads — only the phrase path does
     (``BM25Index.positions_for``).  Size overhead is logged in
-    stats['positions_bytes']."""
+    stats['positions_bytes'].
+
+    ``docvalues=True`` additionally writes the epoch-2c attribute sidecar
+    (docid-sorted lang codes + dictionary) powering
+    ``BM25Index.search_filtered`` — opt-in and ADDITIVE: it has its own
+    fingerprinted epoch, so enabling it on an already-built index adds
+    just the sidecar."""
     corpus_dir = os.path.join(out_dir, "corpus")
     postings_dir = os.path.join(out_dir, "postings")
     stats_path = os.path.join(out_dir, "stats.json")
@@ -1959,10 +1966,17 @@ def build_index(
         timings["doclens_s"] = wall
 
     # epoch 2c: docvalues sidecar (categorical attribute forward index for
-    # filtered retrieval) — only when the corpus carries the column (DML
-    # snapshot corpora don't)
-    corpus_files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
-    if corpus_files and "lang" in pq.read_schema(corpus_files[0]).names:
+    # filtered retrieval) — OPT-IN, like Lucene's per-field docvalues: the
+    # flagship build stays lean (no second corpus sort), and the sidecar is
+    # ADDITIVE — its own fingerprinted epoch on the same index dir, so
+    # enabling it later upgrades a cached index without rebuilding postings
+    if docvalues:
+        corpus_files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+        if not corpus_files or "lang" not in pq.read_schema(corpus_files[0]).names:
+            raise ValueError(
+                "build_index(docvalues=True) needs a corpus with the lang "
+                "column (DML snapshot corpora lack it)"
+            )
         dv_dir = os.path.join(out_dir, "docvalues")
         fp_dv = _input_fingerprint(
             corpus_dir, {"stage": "docvalues", "v": 1, "column": "lang"}

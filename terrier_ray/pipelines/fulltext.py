@@ -991,7 +991,7 @@ def bm25_filtered_topk(sf_dir: str, k: int = 10, num_queries: int = 10):
 
     from terrier_ray.index.bm25 import BM25Index
 
-    idx = BM25Index(ensure_index(sf_dir))
+    idx = BM25Index(ensure_index(sf_dir, docvalues=True))
     # two most frequent dictionary values, deterministically: count codes
     # over the sidecar parts (tiny: uint16 bincount per part)
     idx._dv_load()

@@ -21,6 +21,7 @@ def built_index(ray_session, webtext_small, tmp_root):
         out,
         num_buckets=4,
         num_salts=3,
+        docvalues=True,  # the filtered-retrieval sidecar tests share this
         heavy_min_df=20,  # force the salted heavy-hitter path
     )
     return out, stats
