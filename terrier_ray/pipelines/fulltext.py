@@ -737,10 +737,20 @@ def bm25_facets(sf_dir: str, k: int = 50, num_queries: int = 10):
                 "n_docs": pa.array([], pa.int64()),
             }
         )
-    winners = _fetch_indexed_winners(web, need, extra_cols=("lang",))
-    lang_of = dict(
-        zip(winners.column("docid").to_pylist(), winners.column("lang").to_pylist())
-    )
+    if idx.has_docvalues:
+        # fast path: the facet attribute IS the docvalue sidecar — one
+        # memmap gather over the hit set, zero corpus reads (sidecar langs
+        # equal winner langs by the epoch-2c contract, tested); present
+        # whenever build_index(docvalues=True) ran on this cached index
+        lang_of = dict(zip(need, idx.docvalues_of(np.asarray(need))))
+    else:
+        winners = _fetch_indexed_winners(web, need, extra_cols=("lang",))
+        lang_of = dict(
+            zip(
+                winners.column("docid").to_pylist(),
+                winners.column("lang").to_pylist(),
+            )
+        )
     counts: dict[tuple[int, str], int] = {}
     for qid, hs in hits_by_q.items():
         for d in hs:

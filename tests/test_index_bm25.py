@@ -1235,3 +1235,26 @@ def test_bm25_filtered_topk_entry(ray_session, sf_smoke):
     docids = tab.column("docid").to_numpy(zero_copy_only=False)
     got = idx.docvalues_of(docids)
     assert got == langs
+
+
+def test_facet_sidecar_equals_winner_fetch(ray_session, sf_smoke):
+    """The bm25_facets fast path (docvalue sidecar gather) must agree with
+    the slow path (winner-row fetch) on every hit doc's lang — the
+    epoch-2c contract that sidecar values ARE the indexed winners'."""
+    from terrier_ray.datagen.webtext import webtext_for_sf
+    from terrier_ray.pipelines.fulltext import (
+        _fetch_indexed_winners,
+        ensure_index,
+    )
+
+    idx = BM25Index(ensure_index(sf_smoke, docvalues=True))
+    web = webtext_for_sf(sf_smoke)
+    need = sorted(int(d) for d in idx._dl_docids[:200])
+    winners = _fetch_indexed_winners(web, need, extra_cols=("lang",))
+    want = dict(
+        zip(winners.column("docid").to_pylist(), winners.column("lang").to_pylist())
+    )
+    import numpy as np
+
+    got = dict(zip(need, idx.docvalues_of(np.asarray(need))))
+    assert got == want
