@@ -487,6 +487,13 @@ class BM25Index:
         self._dv_load()
         return bool(self._dv_parts)
 
+    @property
+    def docvalue_dict(self) -> "list[str]":
+        """The sidecar's sorted value dictionary ([] = no sidecar) —
+        use this, not the lazy private field, to enumerate values."""
+        self._dv_load()
+        return list(self._dv_dict)
+
     def docvalue_codes(self, docids: np.ndarray) -> np.ndarray:
         """Dictionary codes of the docvalue column for ``docids`` (uint16;
         0xFFFF = null) — the doc_len memmap-gather discipline applied to
@@ -557,6 +564,45 @@ class BM25Index:
             uniq, acc = uniq[keep], acc[keep]
             if not len(uniq):
                 return []
+        order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
+        return [(int(uniq[i]), float(acc[i])) for i in order]
+
+    def search_after(
+        self,
+        query: str,
+        k: int = 10,
+        after: "tuple[int, float] | None" = None,
+        lang: "str | None" = None,
+    ) -> list[tuple[int, float]]:
+        """Deep pagination — the Lucene/Elasticsearch ``searchAfter``
+        analog: the next ``k`` results strictly AFTER the cursor
+        ``after = (docid, score)`` — a HIT TUPLE exactly as returned, so
+        ``after=page[-1]`` is the whole paging protocol — in the
+        engine's total result order
+        (score desc, docid asc).  Page-by-page concatenation reconstructs
+        the full ranking exactly (tested), because the cursor is a strict
+        total-order cut, not an offset — so page N never recomputes or
+        ships pages 1..N-1 (offset+limit at depth d costs O(d+k) heap and
+        re-rank everywhere; searchAfter stays O(k)).  ``after=None`` is
+        page one (== ``search``); ``lang`` composes the docvalue filter
+        (same mask as ``search_filtered``)."""
+        uniq, acc = self.score_all(query)
+        if not len(uniq):
+            return []
+        if lang is not None:
+            self._dv_load()
+            try:
+                want = self._dv_dict.index(lang)
+            except ValueError:
+                return []
+            keep = self.docvalue_codes(uniq) == np.uint16(want)
+            uniq, acc = uniq[keep], acc[keep]
+        if after is not None:
+            d0, s0 = int(after[0]), float(after[1])
+            keep = (acc < s0) | ((acc == s0) & (uniq > d0))
+            uniq, acc = uniq[keep], acc[keep]
+        if not len(uniq):
+            return []
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         return [(int(uniq[i]), float(acc[i])) for i in order]
 

@@ -157,12 +157,14 @@ def parse_query(q: str) -> list[Clause]:
     return clauses
 
 
-def _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k):
+def _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k, mask_of=None):
     """The pinned TAAT accumulate → MUST/NOT filter → top-k kernel shared
     by the local engine and the shard tasks (ONE implementation so the
     rank-AND-score-identity contract lives in one place): float64
     ``np.add.at`` in chunk order, boolean keep mask from the MUST
-    intersections and NOT exclusions, then (score desc, docid asc)."""
+    intersections and NOT exclusions, then (score desc, docid asc).
+    ``mask_of`` (docids → bool array) composes an extra candidate filter
+    (the docvalue attribute mask) before the cut."""
     if not chunks_d:
         return []
     all_d = np.concatenate(chunks_d)
@@ -177,6 +179,8 @@ def _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k):
         excl = np.unique(np.concatenate(not_sets))
         if len(excl):
             keep &= ~np.isin(uniq, excl, assume_unique=True)
+    if mask_of is not None:
+        keep &= mask_of(uniq)
     uniq, acc = uniq[keep], acc[keep]
     if not len(uniq):
         return []
@@ -331,7 +335,8 @@ def _qs_phrase_matches(index_dirs, lo, hi, phrases):
     return out
 
 
-def _qs_score_range(index_dirs, lo, hi, plan, phrase_hits, phrase_df, k):
+def _qs_score_range(index_dirs, lo, hi, plan, phrase_hits, phrase_df, k,
+                    filter_lang=None, filter_field=None):
     """Phase-2 shard task of ``search_distributed``: score every plan
     clause against the docid range [lo, hi) and return a partial top-k.
 
@@ -422,7 +427,18 @@ def _qs_score_range(index_dirs, lo, hi, plan, phrase_hits, phrase_df, k):
             chunks_c.append(w)
         if cl["occur"] == MUST:
             must_sets.append(match)
-    return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k)
+    mask_of = None
+    if filter_lang is not None:
+        # in-shard docvalue mask from the filter field's local sidecar
+        # pages (docvalues are corpus-global; the coordinator validated
+        # presence + dictionary membership)
+        fidx = idxs.get(filter_field) or idxs.setdefault(
+            filter_field, BM25Index(index_dirs[filter_field])
+        )
+        fidx._dv_load()
+        code = np.uint16(fidx._dv_dict.index(filter_lang))
+        mask_of = lambda uniq: fidx.docvalue_codes(uniq) == code  # noqa: E731
+    return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k, mask_of)
 
 
 class QueryStringEngine:
@@ -520,7 +536,33 @@ class QueryStringEngine:
             )
         return chunks, match
 
-    def search(self, q: str, k: int = 10) -> "list[tuple[int, float]]":
+    def _filter_mask_of(self, filter_lang: "str | None"):
+        """Docvalue mask callable for ``filter_lang`` (None → no filter;
+        value absent from the dictionary → match-nothing mask).  The
+        sidecar is corpus-global, read through the default field's index
+        — raises if that index was built without ``docvalues=True``."""
+        if filter_lang is None:
+            return None
+        # same default-field-or-first fallback as _shard_ranges (the
+        # sidecar is corpus-global, any field's copy is authoritative)
+        idx = self.indexes.get(self.default_field)
+        if idx is None:
+            idx = self.indexes[min(self.indexes)]
+        idx._dv_load()
+        if not idx._dv_parts:
+            raise ValueError(
+                "filter_lang needs the default field's index built with "
+                "docvalues=True"
+            )
+        try:
+            code = np.uint16(idx._dv_dict.index(filter_lang))
+        except ValueError:
+            return lambda uniq: np.zeros(len(uniq), dtype=bool)
+        return lambda uniq: idx.docvalue_codes(uniq) == code
+
+    def search(
+        self, q: str, k: int = 10, filter_lang: "str | None" = None
+    ) -> "list[tuple[int, float]]":
         clauses = parse_query(q)
         chunks_d: list[np.ndarray] = []
         chunks_c: list[np.ndarray] = []
@@ -536,7 +578,10 @@ class QueryStringEngine:
                 chunks_c.append(w)
             if c.occur == MUST:
                 must_sets.append(match)
-        return _accumulate_topk(chunks_d, chunks_c, must_sets, not_sets, k)
+        return _accumulate_topk(
+            chunks_d, chunks_c, must_sets, not_sets, k,
+            self._filter_mask_of(filter_lang),
+        )
 
     def explain(self, q: str, k: int = 10, num_shards: "int | None" = None) -> str:
         """Readable retrieval plan — the search-side analog of
@@ -621,7 +666,11 @@ class QueryStringEngine:
         return doclen_shard_ranges(local, num_shards)
 
     def search_distributed(
-        self, q: str, k: int = 10, num_shards: "int | None" = None
+        self,
+        q: str,
+        k: int = 10,
+        num_shards: "int | None" = None,
+        filter_lang: "str | None" = None,
     ) -> "list[tuple[int, float]]":
         """Query-string retrieval with SHARD-SIDE scoring — the 1e12-doc
         serving shape for the query language, rank-AND-score-identical to
@@ -651,6 +700,24 @@ class QueryStringEngine:
             )
         matches_remote, score_remote = self._remotes
         clauses = parse_query(q)
+        filter_field = None
+        if filter_lang is not None:
+            # validate at the coordinator: sidecar present + dictionary
+            # membership (absent value → empty result, no shard fan-out)
+            filter_field = (
+                self.default_field
+                if self.default_field in self.indexes
+                else min(self.indexes)
+            )
+            fidx = self.indexes[filter_field]
+            fidx._dv_load()
+            if not fidx._dv_parts:
+                raise ValueError(
+                    "filter_lang needs the default field's index built "
+                    "with docvalues=True"
+                )
+            if filter_lang not in fidx._dv_dict:
+                return []
         index_dirs = {f: idx.index_dir for f, idx in self.indexes.items()}
         plan: list[dict] = []
         phrase_keys: list[tuple[str, str, int]] = []
@@ -701,7 +768,10 @@ class QueryStringEngine:
                 for pi in range(len(phrase_keys))
             ]
         futs = [
-            score_remote.remote(index_dirs, lo, hi, plan, hits, phrase_df, k)
+            score_remote.remote(
+                index_dirs, lo, hi, plan, hits, phrase_df, k,
+                filter_lang, filter_field,
+            )
             for (lo, hi), hits in zip(ranges, hits_by_range)
         ]
         cand = [pair for part in ray.get(futs) for pair in part]

@@ -1134,7 +1134,7 @@ def test_docvalues_sidecar_matches_corpus(built_index, webtext_small):
     langs = t.column("lang").to_pylist()
     assert idx.docvalues_of(d) == langs
     # dictionary is the sorted distinct value set
-    assert idx._dv_dict == sorted({l for l in langs if l is not None})
+    assert idx.docvalue_dict == sorted({l for l in langs if l is not None})
 
 
 def test_search_filtered_identical_to_post_filter(built_index, ray_session):
@@ -1155,7 +1155,7 @@ def test_search_filtered_identical_to_post_filter(built_index, ray_session):
 
     for q in generate_queries(5).column("text").to_pylist():
         full = idx.search(q, k=10**9)
-        for lang in idx._dv_dict:
+        for lang in idx.docvalue_dict:
             want = [(d, s) for d, s in full if lang_of[d] == lang][:10]
             assert idx.search_filtered(q, k=10, lang=lang) == want, (q, lang)
         assert idx.search_filtered(q, k=10, lang="zz-absent") == []
@@ -1173,7 +1173,7 @@ def test_distributed_filtered_identical_to_local(built_index, ray_session):
     idx = BM25Index(out)
     dist = DistributedBM25(out)
     queries = generate_queries(4).column("text").to_pylist()
-    for lang in idx._dv_dict[:2] + ["zz-absent"]:
+    for lang in idx.docvalue_dict[:2] + ["zz-absent"]:
         got = dist.search_many_sharded(
             queries, k=10, num_shards=3, filter_lang=lang
         )

@@ -23,7 +23,10 @@ from terrier_ray.index.querylang import (
 @pytest.fixture(scope="module")
 def pos_index(ray_session, webtext_small, tmp_root):
     out = os.path.join(str(tmp_root), "index_ql_pos")
-    build_index(webtext_small, out, num_buckets=4, num_salts=2, positions=True)
+    build_index(
+        webtext_small, out, num_buckets=4, num_salts=2, positions=True,
+        docvalues=True,  # the filter_lang tests share this
+    )
     return BM25Index(out)
 
 
@@ -465,3 +468,77 @@ def test_search_explain_entry_shape(ray_session, sf_smoke):
     assert tab.num_rows > 0
     text = "\n".join(tab.column("plan").to_pylist())
     assert "QueryString" in text and "distributed:" in text
+
+
+# ----------------------------------------------------- attribute filters
+
+
+def test_filter_lang_local_identical_to_post_filter(
+    engine, pos_index, qterms
+):
+    """search(filter_lang=) == post-filtering the unfiltered result by
+    each doc's sidecar lang, for MUST/NOT/boost constructs."""
+    a, b = qterms[0], qterms[1]
+    assert pos_index.docvalue_dict  # sidecar present, never vacuous
+    checked = 0
+    for q in (f"{a} {b}", f"+{a} {b}", f"{a}^2 -{b}"):
+        full = engine.search(q, k=10**9)
+        for lang in pos_index.docvalue_dict[:3]:
+            ids = np.asarray([d for d, _ in full], dtype=np.int64)
+            if not len(ids):
+                continue
+            langs = pos_index.docvalues_of(ids)
+            want = [
+                (d, s) for (d, s), l in zip(full, langs) if l == lang
+            ][:10]
+            assert engine.search(q, k=10, filter_lang=lang) == want, (q, lang)
+            checked += bool(want)
+        assert engine.search(q, k=10, filter_lang="zz-absent") == []
+    assert checked  # at least one non-empty filtered ranking was compared
+
+
+def test_filter_lang_distributed_identical(
+    ray_session, engine, pos_index, webtext_small, qterms
+):
+    from terrier_ray.pipelines.fulltext import _mine_phrases
+
+    a, b = qterms[0], qterms[1]
+    phrase = _mine_phrases(pos_index, webtext_small, 1)[0]
+    lang = pos_index.docvalue_dict[0]
+    for q in (f"{a} {b}", f'+"{phrase}" {a}', f"title:{a} {b}"):
+        want = engine.search(q, k=25, filter_lang=lang)
+        got = engine.search_distributed(
+            q, k=25, num_shards=3, filter_lang=lang
+        )
+        assert got == want, q
+    # absent dictionary value: empty without a shard fan-out
+    assert (
+        engine.search_distributed(f"{a}", k=5, filter_lang="zz-absent") == []
+    )
+
+
+def test_filter_lang_requires_docvalues(title_index_ql):
+    eng = QueryStringEngine(title_index_ql, default_field="title")
+    with pytest.raises(ValueError, match="docvalues"):
+        eng.search("title:ray", filter_lang="en")
+
+
+def test_search_after_pagination_reconstructs_ranking(pos_index, qterms):
+    """Concatenated searchAfter pages == the full ranking, with and
+    without the lang filter; the cursor is a strict total-order cut."""
+    q = f"{qterms[0]} {qterms[1]}"
+    for lang in (None, pos_index.docvalue_dict[0]):
+        if lang is None:
+            full = pos_index.search(q, k=10**9)
+        else:
+            full = pos_index.search_filtered(q, k=10**9, lang=lang)
+        pages, cursor = [], None
+        while True:
+            page = pos_index.search_after(q, k=7, after=cursor, lang=lang)
+            if not page:
+                break
+            pages.extend(page)
+            cursor = page[-1]
+        assert pages == full, lang
+    # page one == plain search
+    assert pos_index.search_after(q, k=10) == pos_index.search(q, k=10)
