@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import bm25_filtered_topk
 
     q["bm25_filtered_topk"] = bm25_filtered_topk
+    from terrier_ray.pipelines.fulltext import bm25_time_filtered_topk
+
+    q["bm25_time_filtered_topk"] = bm25_time_filtered_topk
     from terrier_ray.pipelines.fulltext import fuzzy_topk
 
     q["fuzzy_topk"] = fuzzy_topk

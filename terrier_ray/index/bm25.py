@@ -168,6 +168,11 @@ class BM25Index:
         self._dv_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
         self._dv_lo: "np.ndarray | None" = None
         self._dv_dict: "list[str]" = []
+        # numeric docvalues (warc_ts) — range filters; same lazy discipline
+        self._nv_dir = os.path.join(index_dir, "docvalues_ts")
+        self._nv_loaded = False
+        self._nv_parts: "list[tuple[np.ndarray, np.ndarray]]" = []
+        self._nv_lo: "np.ndarray | None" = None
         from collections import OrderedDict
 
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
@@ -540,17 +545,85 @@ class BM25Index:
         d = self._dv_dict
         return [d[c] if c != 0xFFFF else None for c in codes.tolist()]
 
+    def _nv_load(self) -> None:
+        if self._nv_loaded:
+            return
+        self._nv_loaded = True
+        mp = os.path.join(self._nv_dir, "meta.json")
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            meta = json.load(f)
+        self._nv_lo = np.array([p["lo"] for p in meta["parts"]], dtype=np.int64)
+        for p in meta["parts"]:
+            fp = os.path.join(self._nv_dir, p["file"])
+            n = p["n"]
+            did = np.memmap(fp, dtype="<i8", mode="r", offset=0, shape=(n,))
+            val = np.memmap(fp, dtype="<i8", mode="r", offset=8 * n, shape=(n,))
+            self._nv_parts.append((did, val))
+
+    @property
+    def has_numeric_docvalues(self) -> bool:
+        self._nv_load()
+        return bool(self._nv_parts)
+
+    def numeric_docvalue(self, docids: np.ndarray) -> np.ndarray:
+        """int64 numeric docvalues (warc_ts epoch units) for ``docids`` —
+        the ``docvalue_codes`` gather over the numeric sidecar."""
+        self._nv_load()
+        if not self._nv_parts:
+            raise ValueError(
+                "index built without the numeric docvalues sidecar "
+                "(build_index(docvalues=True))"
+            )
+        q = np.asarray(docids, dtype=np.int64)
+        if len(self._nv_parts) == 1:
+            did, val = self._nv_parts[0]
+            pos = np.clip(np.searchsorted(did, q), 0, len(did) - 1)
+            if not (did[pos] == q).all():
+                raise KeyError(
+                    "docid missing from the numeric docvalues sidecar — "
+                    "sidecar/corpus mismatch"
+                )
+            return np.asarray(val[pos])
+        pi = np.searchsorted(self._nv_lo, q, side="right") - 1
+        if (pi < 0).any():
+            raise KeyError(
+                f"docid(s) {q[pi < 0][:5].tolist()} not covered by any "
+                "numeric docvalues part — sidecar/corpus mismatch"
+            )
+        out = np.empty(len(q), dtype=np.int64)
+        for i in np.unique(pi):
+            did, val = self._nv_parts[int(i)]
+            sel = pi == i
+            pos = np.clip(np.searchsorted(did, q[sel]), 0, len(did) - 1)
+            if not (did[pos] == q[sel]).all():
+                raise KeyError(
+                    "docid missing from the numeric docvalues sidecar — "
+                    "sidecar/corpus mismatch"
+                )
+            out[sel] = val[pos]
+        return out
+
     def search_filtered(
-        self, query: str, k: int = 10, lang: "str | None" = None
+        self,
+        query: str,
+        k: int = 10,
+        lang: "str | None" = None,
+        ts_range: "tuple[int, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Attribute-FILTERED exact top-k: the full ``score_all``
-        accumulation, then the docvalue mask, then the pinned (score desc,
-        docid asc) cut — so results are rank-AND-score-identical to
+        accumulation, then the docvalue mask(s), then the pinned (score
+        desc, docid asc) cut — so results are rank-AND-score-identical to
         post-filtering the unfiltered full ranking (tested), the classic
         filtered-query semantics (Lucene FilteredQuery / the reference's
-        predicate-below-topk plans).  A value absent from the dictionary
-        matches nothing.  The mask is one sidecar gather over the
-        candidate set (bounded by query df), never a corpus read."""
+        predicate-below-topk plans).  ``lang`` is a categorical equality
+        filter (a value absent from the dictionary matches nothing);
+        ``ts_range=(lo, hi)`` is a half-open [lo, hi) range over the
+        numeric warc_ts sidecar (epoch int64) — the date-range filter
+        every search deployment needs; they AND together.  Each mask is
+        one sidecar gather over the candidate set (bounded by query df),
+        never a corpus read."""
         uniq, acc = self.score_all(query)
         if not len(uniq):
             return []
@@ -564,6 +637,13 @@ class BM25Index:
             uniq, acc = uniq[keep], acc[keep]
             if not len(uniq):
                 return []
+        if ts_range is not None:
+            lo, hi = int(ts_range[0]), int(ts_range[1])
+            ts = self.numeric_docvalue(uniq)
+            keep = (ts >= lo) & (ts < hi)
+            uniq, acc = uniq[keep], acc[keep]
+            if not len(uniq):
+                return []
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         return [(int(uniq[i]), float(acc[i])) for i in order]
 
@@ -573,6 +653,7 @@ class BM25Index:
         k: int = 10,
         after: "tuple[int, float] | None" = None,
         lang: "str | None" = None,
+        ts_range: "tuple[int, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Deep pagination — the Lucene/Elasticsearch ``searchAfter``
         analog: the next ``k`` results strictly AFTER the cursor
@@ -584,8 +665,8 @@ class BM25Index:
         total-order cut, not an offset — so page N never recomputes or
         ships pages 1..N-1 (offset+limit at depth d costs O(d+k) heap and
         re-rank everywhere; searchAfter stays O(k)).  ``after=None`` is
-        page one (== ``search``); ``lang`` composes the docvalue filter
-        (same mask as ``search_filtered``)."""
+        page one (== ``search``); ``lang`` / ``ts_range`` compose the
+        docvalue filters (same masks as ``search_filtered``)."""
         uniq, acc = self.score_all(query)
         if not len(uniq):
             return []
@@ -596,6 +677,10 @@ class BM25Index:
             except ValueError:
                 return []
             keep = self.docvalue_codes(uniq) == np.uint16(want)
+            uniq, acc = uniq[keep], acc[keep]
+        if ts_range is not None and len(uniq):
+            ts = self.numeric_docvalue(uniq)
+            keep = (ts >= int(ts_range[0])) & (ts < int(ts_range[1]))
             uniq, acc = uniq[keep], acc[keep]
         if after is not None:
             d0, s0 = int(after[0]), float(after[1])
@@ -1368,7 +1453,8 @@ def _fetch_bucket_postings(postings_dir: str, bucket: int, terms: list[str]):
 
 def _score_range_topk(index_dir: str, lo: int, hi: int,
                       per_query_terms: "list[list[str]]", k: int,
-                      filter_lang: "str | None" = None):
+                      filter_lang: "str | None" = None,
+                      filter_ts: "tuple[int, int] | None" = None):
     """Shard-side scoring for ``DistributedBM25.search_many_sharded``: score
     every query against the docid range [lo, hi) and return per-query
     partial top-k lists.
@@ -1428,9 +1514,13 @@ def _score_range_topk(index_dir: str, lo: int, hi: int,
         if want_code is not None and len(uniq):
             keep = idx.docvalue_codes(uniq) == want_code
             uniq, acc = uniq[keep], acc[keep]
-            if not len(uniq):
-                results.append([])
-                continue
+        if filter_ts is not None and len(uniq):
+            ts = idx.numeric_docvalue(uniq)
+            keep = (ts >= int(filter_ts[0])) & (ts < int(filter_ts[1]))
+            uniq, acc = uniq[keep], acc[keep]
+        if not len(uniq):
+            results.append([])
+            continue
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         results.append([(int(uniq[i]), float(acc[i])) for i in order])
     return results
@@ -1623,19 +1713,22 @@ class DistributedBM25:
         k: int = 10,
         num_shards: "int | None" = None,
         filter_lang: "str | None" = None,
+        filter_ts: "tuple[int, int] | None" = None,
     ):
         """Per-query top-k via shard-side scoring + k-list merge (see class
         docstring).  Returns one [(docid, score), ...] list per query.
-        ``filter_lang`` pushes a docvalue equality filter INTO the shard
-        tasks (each masks its own range from its local attribute sidecar
-        pages before the cut), so merged results equal
-        ``BM25Index.search_filtered`` — filtered docids never transit."""
+        ``filter_lang`` (categorical equality) and ``filter_ts`` (numeric
+        [lo, hi) range) push docvalue filters INTO the shard tasks (each
+        masks its own range from its local attribute sidecar pages before
+        the cut), so merged results equal ``BM25Index.search_filtered`` —
+        filtered docids never transit."""
         import ray
 
         per_query_terms = [_query_terms(q) for q in queries]
         futs = [
             self._score_range.remote(
-                self.index_dir, lo, hi, per_query_terms, k, filter_lang
+                self.index_dir, lo, hi, per_query_terms, k, filter_lang,
+                filter_ts,
             )
             for lo, hi in self._shard_ranges(num_shards)
         ]

@@ -594,6 +594,110 @@ def _write_docvalue_part(did: np.ndarray, code: np.ndarray, out_dir: str) -> dic
     return {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
 
 
+def _write_numeric_docvalue_part(
+    did: np.ndarray, val: np.ndarray, out_dir: str
+) -> dict:
+    """Numeric variant of ``_write_docvalue_part``:
+    ``int64 docid[n] ++ int64 value[n]`` (same naming/idempotency)."""
+    name = f"part-{int(did[0]):020d}.bin"
+    tmp = os.path.join(out_dir, f"{name}.tmp-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(np.ascontiguousarray(did, dtype="<i8").tobytes())
+        f.write(np.ascontiguousarray(val, dtype="<i8").tobytes())
+    os.replace(tmp, os.path.join(out_dir, name))
+    return {"file": name, "n": int(len(did)), "lo": int(did[0]), "hi": int(did[-1])}
+
+
+def build_numeric_docvalues(
+    corpus_dir: str, dv_dir: str, column: str = "warc_ts"
+) -> dict:
+    """NUMERIC docvalues sidecar (Lucene NumericDocValues analog):
+    docid-sorted ``int64 docid ++ int64 value`` parts for an integer-
+    valued doc attribute — timestamps here (the corpus ``warc_ts``
+    winner row's value, cast to epoch int64) — powering RANGE-filtered
+    retrieval (``BM25Index.search_filtered(ts_range=)``).  Same layout
+    discipline as ``build_docvalues``; no dictionary (values ARE the
+    payload).  16 B/doc, sharded like doclens at 1e12 docs.  The small/
+    large split mirrors ``build_doclens``; datetimes cast via pyarrow to
+    epoch units so driver-side and Ray-sort builds agree bit-for-bit."""
+    os.makedirs(dv_dir, exist_ok=True)
+    parts: list[dict] = []
+
+    def _as_i64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+        t = col.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            col = col.cast(pa.int64())
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+
+    if _total_bytes(corpus_dir) < _DRIVER_SIDE_BYTES:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(corpus_dir).to_table(columns=["docid", column])
+        d = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _as_i64(t.column(column).combine_chunks())
+        order = np.argsort(d)
+        d, v = d[order], v[order]
+        for s in range(0, len(d), _DOCLEN_PART_ROWS):
+            parts.append(
+                _write_numeric_docvalue_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    v[s : s + _DOCLEN_PART_ROWS],
+                    dv_dir,
+                )
+            )
+    else:
+        import ray.data as rd
+
+        def write_task(b: pa.Table) -> pa.Table:
+            cols = ("file", "n", "lo", "hi")
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "file": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "lo": pa.array([], pa.int64()),
+                        "hi": pa.array([], pa.int64()),
+                    }
+                )
+            d = b.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = _as_i64(b.column(column).combine_chunks())
+            rows = [
+                _write_numeric_docvalue_part(
+                    d[s : s + _DOCLEN_PART_ROWS],
+                    v[s : s + _DOCLEN_PART_ROWS],
+                    dv_dir,
+                )
+                for s in range(0, len(d), _DOCLEN_PART_ROWS)
+            ]
+            return pa.table({k: [r[k] for r in rows] for k in cols})
+
+        ds = rd.read_parquet(
+            corpus_dir,
+            columns=["docid", column],
+            override_num_blocks=_scan_blocks(corpus_dir, per_cpu=1, floor_files=False),
+        ).sort("docid")
+        meta_rows = ds.map_batches(
+            write_task, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        parts = sorted(
+            ({k: r[k] for k in ("file", "n", "lo", "hi")} for r in meta_rows),
+            key=lambda r: r["lo"],
+        )
+    meta = {
+        "column": column,
+        "numeric": True,
+        "parts": parts,
+        "n": sum(p["n"] for p in parts),
+    }
+    mp = os.path.join(dv_dir, "meta.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mp + ".tmp", mp)
+    return meta
+
+
 def build_docvalues(corpus_dir: str, dv_dir: str, column: str = "lang") -> dict:
     """Write a categorical doc attribute as docid-SORTED fixed-width parts
     (dictionary-coded uint16 + the code dictionary in meta.json) — the
@@ -1994,6 +2098,24 @@ def build_index(
                 out_dir, "docvalues", fp_dv, outputs, {"n": meta["n"]}, wall
             )
             timings["docvalues_s"] = wall
+        # numeric sidecar (warc_ts) — range-filtered retrieval
+        ts_dir = os.path.join(out_dir, "docvalues_ts")
+        fp_ts = _input_fingerprint(
+            corpus_dir, {"stage": "docvalues_ts", "v": 1, "column": "warc_ts"}
+        )
+        if force or not epoch_done(out_dir, "docvalues_ts", fp_ts):
+            t0 = time.perf_counter()
+            import shutil
+
+            shutil.rmtree(ts_dir, ignore_errors=True)
+            meta = build_numeric_docvalues(corpus_dir, ts_dir, column="warc_ts")
+            wall = time.perf_counter() - t0
+            outputs = [os.path.join(ts_dir, p["file"]) for p in meta["parts"]]
+            outputs.append(os.path.join(ts_dir, "meta.json"))
+            finish_epoch(
+                out_dir, "docvalues_ts", fp_ts, outputs, {"n": meta["n"]}, wall
+            )
+            timings["docvalues_ts_s"] = wall
 
     # epoch 3: postings
     fp_post = _input_fingerprint(corpus_dir, {"params": params, "stage": "postings"})

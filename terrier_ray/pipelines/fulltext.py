@@ -1044,6 +1044,49 @@ def bm25_filtered_topk(sf_dir: str, k: int = 10, num_queries: int = 10):
     )
 
 
+def bm25_time_filtered_topk(sf_dir: str, k: int = 10, num_queries: int = 10):
+    """RANGE-filtered ranked retrieval over the NUMERIC docvalues sidecar
+    (Lucene NumericDocValues / date-range filter analog): BM25 top-k
+    restricted to docs whose winner-row ``warc_ts`` falls in the newer
+    half of the corpus — the deterministic median split [median, +inf),
+    computed from the sidecar itself (no corpus read).  Same
+    identity-to-post-filter contract as the lang filter
+    (``search_filtered(ts_range=)``, tested), and the distributed
+    variant pushes the range mask into the scoring shards.  Rows:
+    (query_id, query, rank, docid, score); rows-only (BM25 scores)."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir, docvalues=True))
+    idx._nv_load()
+    all_ts = np.concatenate([np.asarray(v) for _d, v in idx._nv_parts])
+    median = int(np.sort(all_ts)[len(all_ts) // 2])
+    hi = int(all_ts.max()) + 1
+    queries = generate_queries(num_queries)
+    qids, qs, ranks, docids, scores = [], [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, s) in enumerate(
+            idx.search_filtered(text, k=k, ts_range=(median, hi)), start=1
+        ):
+            qids.append(qid)
+            qs.append(text)
+            ranks.append(rank)
+            docids.append(d)
+            scores.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "query": pa.array(qs, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def search_explain(sf_dir: str):
     """Search-side EXPLAIN (``QueryStringEngine.explain`` — the retrieval
     analog of the SQL ``explain()`` entry): per-clause expansion counts,

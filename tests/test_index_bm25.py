@@ -1258,3 +1258,104 @@ def test_facet_sidecar_equals_winner_fetch(ray_session, sf_smoke):
 
     got = dict(zip(need, idx.docvalues_of(np.asarray(need))))
     assert got == want
+
+
+def test_numeric_docvalues_match_corpus(built_index):
+    """warc_ts round-trips through the numeric sidecar for every winner
+    (timestamps cast to epoch int64 at build time)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    assert idx.has_numeric_docvalues
+    t = pads.dataset(os.path.join(out, "corpus")).to_table(
+        columns=["docid", "warc_ts"]
+    )
+    d = t.column("docid").to_numpy(zero_copy_only=False)
+    want = (
+        t.column("warc_ts").combine_chunks().cast(pa.int64()).to_numpy()
+    )
+    got = idx.numeric_docvalue(d)
+    assert (got == want).all()
+
+
+def test_ts_range_filter_identical_to_post_filter(built_index, ray_session):
+    """search_filtered(ts_range=) == post-filter of the full ranking by
+    each doc's sidecar timestamp; composes with lang; distributed ==
+    local; pagination composes too."""
+    import numpy as np
+
+    from terrier_ray.datagen.webtext import generate_queries
+    from terrier_ray.index.bm25 import DistributedBM25
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    idx._nv_load()
+    all_ts = np.concatenate([np.asarray(v) for _d, v in idx._nv_parts])
+    lo = int(np.sort(all_ts)[len(all_ts) // 3])
+    hi = int(np.sort(all_ts)[2 * len(all_ts) // 3])
+    dist = DistributedBM25(out)
+    lang = idx.docvalue_dict[0]
+    checked = 0
+    for q in generate_queries(4).column("text").to_pylist():
+        full = idx.search(q, k=10**9)
+        ids = np.asarray([d for d, _ in full], dtype=np.int64)
+        if not len(ids):
+            continue
+        ts = idx.numeric_docvalue(ids)
+        langs = idx.docvalues_of(ids)
+        want = [
+            (d, s)
+            for (d, s), t in zip(full, ts)
+            if lo <= t < hi
+        ][:10]
+        got = idx.search_filtered(q, k=10, ts_range=(lo, hi))
+        assert got == want, q
+        checked += bool(want)
+        # AND-composition with lang
+        want_both = [
+            (d, s)
+            for (d, s), t, l in zip(full, ts, langs)
+            if lo <= t < hi and l == lang
+        ][:10]
+        assert (
+            idx.search_filtered(q, k=10, lang=lang, ts_range=(lo, hi))
+            == want_both
+        ), q
+        # distributed == local
+        assert dist.search_many_sharded(
+            [q], k=10, num_shards=3, filter_ts=(lo, hi)
+        )[0] == got, q
+        # pagination under the range filter reconstructs the filtered rank
+        full_f = idx.search_filtered(q, k=10**9, ts_range=(lo, hi))
+        pages, cursor = [], None
+        while True:
+            page = idx.search_after(q, k=4, after=cursor, ts_range=(lo, hi))
+            if not page:
+                break
+            pages.extend(page)
+            cursor = page[-1]
+        assert pages == full_f, q
+    assert checked  # never vacuous
+
+
+def test_bm25_time_filtered_topk_entry(ray_session, sf_smoke):
+    import numpy as np
+
+    from terrier_ray.pipelines.fulltext import (
+        bm25_time_filtered_topk,
+        ensure_index,
+    )
+
+    tab = bm25_time_filtered_topk(sf_smoke)
+    assert tab.column_names == ["query_id", "query", "rank", "docid", "score"]
+    assert tab.num_rows > 0
+    # every hit's sidecar ts is in the newer half
+    idx = BM25Index(ensure_index(sf_smoke))
+    idx._nv_load()
+    all_ts = np.concatenate([np.asarray(v) for _d, v in idx._nv_parts])
+    median = int(np.sort(all_ts)[len(all_ts) // 2])
+    hits = tab.column("docid").to_numpy(zero_copy_only=False)
+    assert (idx.numeric_docvalue(hits) >= median).all()
