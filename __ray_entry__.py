@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from terrier_ray.pipelines.fulltext import bm25_time_filtered_topk
 
     q["bm25_time_filtered_topk"] = bm25_time_filtered_topk
+    from terrier_ray.pipelines.fulltext import (
+        bm25_date_histogram,
+        bm25_sorted_by_time,
+    )
+
+    q["bm25_sorted_by_time"] = bm25_sorted_by_time
+    q["bm25_date_histogram"] = bm25_date_histogram
     from terrier_ray.pipelines.fulltext import fuzzy_topk
 
     q["fuzzy_topk"] = fuzzy_topk

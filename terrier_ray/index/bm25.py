@@ -691,6 +691,73 @@ class BM25Index:
         order = np.lexsort((uniq, -acc))[: min(k, len(uniq))]
         return [(int(uniq[i]), float(acc[i])) for i in order]
 
+    def search_sorted_by_ts(
+        self,
+        query: str,
+        k: int = 10,
+        descending: bool = True,
+        lang: "str | None" = None,
+        ts_range: "tuple[int, int] | None" = None,
+    ) -> "list[tuple[int, int]]":
+        """Sort-by-field retrieval (Lucene SortField / ES ``sort`` analog):
+        the ``k`` docs matching >= 1 query term ordered by the numeric
+        warc_ts docvalue — (ts desc, docid asc) by default, i.e. "newest
+        matching" — instead of BM25 score.  Returns (docid, ts) pairs.
+        The match set is ``score_all``'s candidate union (same lookup
+        path, no score math consumed); ``lang`` / ``ts_range`` compose
+        the same sidecar masks as ``search_filtered``."""
+        uniq, _acc = self.score_all(query)
+        if not len(uniq):
+            return []
+        if lang is not None:
+            self._dv_load()
+            try:
+                want = self._dv_dict.index(lang)
+            except ValueError:
+                return []
+            uniq = uniq[self.docvalue_codes(uniq) == np.uint16(want)]
+            if not len(uniq):
+                return []
+        ts = self.numeric_docvalue(uniq)
+        if ts_range is not None:
+            keep = (ts >= int(ts_range[0])) & (ts < int(ts_range[1]))
+            uniq, ts = uniq[keep], ts[keep]
+            if not len(uniq):
+                return []
+        order = np.lexsort((uniq, -ts if descending else ts))[: min(k, len(uniq))]
+        return [(int(uniq[i]), int(ts[i])) for i in order]
+
+    def date_histogram(
+        self,
+        query: str,
+        interval: int,
+        lang: "str | None" = None,
+    ) -> "list[tuple[int, int]]":
+        """Date-histogram aggregation over the match set (the ES
+        ``date_histogram`` facet): docs matching >= 1 query term bucketed
+        by ``floor(ts / interval) * interval`` over the numeric sidecar —
+        one gather + one bincount, zero corpus reads.  Returns sorted
+        (bucket_start, n_docs) pairs, empty buckets omitted.  ``lang``
+        composes the categorical mask."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        uniq, _acc = self.score_all(query)
+        if not len(uniq):
+            return []
+        if lang is not None:
+            self._dv_load()
+            try:
+                want = self._dv_dict.index(lang)
+            except ValueError:
+                return []
+            uniq = uniq[self.docvalue_codes(uniq) == np.uint16(want)]
+            if not len(uniq):
+                return []
+        ts = self.numeric_docvalue(uniq)
+        buckets = (ts // int(interval)) * int(interval)
+        vals, counts = np.unique(buckets, return_counts=True)
+        return [(int(b), int(c)) for b, c in zip(vals, counts)]
+
     def search_weighted(
         self, clauses: "list[tuple[str, float]]", k: int = 10
     ) -> list[tuple[int, float]]:

@@ -1087,6 +1087,78 @@ def bm25_time_filtered_topk(sf_dir: str, k: int = 10, num_queries: int = 10):
     )
 
 
+def bm25_sorted_by_time(sf_dir: str, k: int = 10, num_queries: int = 10):
+    """Sort-by-field retrieval (newest matching docs first — the Lucene
+    SortField / ES sort analog, ``BM25Index.search_sorted_by_ts``): docs
+    matching >= 1 query term ordered by the numeric warc_ts docvalue
+    (ts desc, docid asc) instead of BM25 score.  Rows: (query_id, query,
+    rank, docid, ts); rows-only, identity-vs-python-sort pinned in
+    tests/test_index_bm25.py."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir, docvalues=True))
+    queries = generate_queries(num_queries)
+    qids, qs, ranks, docids, tss = [], [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for rank, (d, t) in enumerate(
+            idx.search_sorted_by_ts(text, k=k), start=1
+        ):
+            qids.append(qid)
+            qs.append(text)
+            ranks.append(rank)
+            docids.append(d)
+            tss.append(t)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "query": pa.array(qs, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "docid": pa.array(docids, type=pa.int64()),
+            "ts": pa.array(tss, type=pa.int64()),
+        }
+    )
+
+
+def bm25_date_histogram(sf_dir: str, num_queries: int = 6, num_buckets: int = 8):
+    """Date-histogram aggregation over each query's match set (the ES
+    date_histogram facet, ``BM25Index.date_histogram``): matching docs
+    bucketed by sidecar warc_ts at a deterministic interval (the corpus
+    ts span split into ``num_buckets``).  Rows: (query_id, query,
+    bucket_start, n_docs); rows-only, counts pinned vs a numpy oracle in
+    tests/test_index_bm25.py."""
+    import pyarrow as pa
+
+    from terrier_ray.index.bm25 import BM25Index
+
+    idx = BM25Index(ensure_index(sf_dir, docvalues=True))
+    idx._nv_load()
+    all_ts = np.concatenate([np.asarray(v) for _d, v in idx._nv_parts])
+    span = int(all_ts.max()) - int(all_ts.min())
+    interval = max(1, span // num_buckets)
+    queries = generate_queries(num_queries)
+    qids, qs, starts, counts = [], [], [], []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        for b, c in idx.date_histogram(text, interval):
+            qids.append(qid)
+            qs.append(text)
+            starts.append(b)
+            counts.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "query": pa.array(qs, type=pa.string()),
+            "bucket_start": pa.array(starts, type=pa.int64()),
+            "n_docs": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def search_explain(sf_dir: str):
     """Search-side EXPLAIN (``QueryStringEngine.explain`` — the retrieval
     analog of the SQL ``explain()`` entry): per-clause expansion counts,

@@ -1359,3 +1359,76 @@ def test_bm25_time_filtered_topk_entry(ray_session, sf_smoke):
     median = int(np.sort(all_ts)[len(all_ts) // 2])
     hits = tab.column("docid").to_numpy(zero_copy_only=False)
     assert (idx.numeric_docvalue(hits) >= median).all()
+
+
+def test_sort_by_ts_and_date_histogram(built_index, ray_session):
+    """search_sorted_by_ts == python sort of the match set by (ts desc,
+    docid asc); date_histogram == numpy bucket counts over the same match
+    set; lang/ts_range masks compose."""
+    import numpy as np
+
+    from terrier_ray.datagen.webtext import generate_queries
+
+    out, _ = built_index
+    idx = BM25Index(out)
+    lang = idx.docvalue_dict[0]
+    checked = 0
+    for q in generate_queries(4).column("text").to_pylist():
+        uniq, _acc = idx.score_all(q)
+        if not len(uniq):
+            continue
+        ts = idx.numeric_docvalue(uniq)
+        want = sorted(
+            zip(uniq.tolist(), ts.tolist()), key=lambda p: (-p[1], p[0])
+        )[:10]
+        assert idx.search_sorted_by_ts(q, k=10) == want, q
+        # ascending variant
+        want_asc = sorted(
+            zip(uniq.tolist(), ts.tolist()), key=lambda p: (p[1], p[0])
+        )[:10]
+        assert idx.search_sorted_by_ts(q, k=10, descending=False) == want_asc
+        # lang mask composes
+        langs = idx.docvalues_of(uniq)
+        keep = [l == lang for l in langs]
+        want_l = sorted(
+            (
+                (d, t)
+                for (d, t), kp in zip(zip(uniq.tolist(), ts.tolist()), keep)
+                if kp
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        assert idx.search_sorted_by_ts(q, k=10, lang=lang) == want_l
+        # histogram == numpy oracle
+        interval = max(1, (int(ts.max()) - int(ts.min())) // 5)
+        b = (ts // interval) * interval
+        vals, counts = np.unique(b, return_counts=True)
+        assert idx.date_histogram(q, interval) == [
+            (int(v), int(c)) for v, c in zip(vals, counts)
+        ]
+        assert sum(c for _, c in idx.date_histogram(q, interval)) == len(uniq)
+        checked += 1
+    assert checked
+
+
+def test_sorted_and_histogram_entries(ray_session, sf_smoke):
+    from terrier_ray.pipelines.fulltext import (
+        bm25_date_histogram,
+        bm25_sorted_by_time,
+    )
+
+    tab = bm25_sorted_by_time(sf_smoke)
+    assert tab.column_names == ["query_id", "query", "rank", "docid", "ts"]
+    assert tab.num_rows > 0
+    # within each query, ts is non-increasing by rank
+    import pandas as pd
+
+    df = tab.to_pandas()
+    for _qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert (g["ts"].diff().dropna() <= 0).all()
+
+    hist = bm25_date_histogram(sf_smoke)
+    assert hist.column_names == ["query_id", "query", "bucket_start", "n_docs"]
+    assert hist.num_rows > 0
+    assert (hist.column("n_docs").to_numpy() > 0).all()
