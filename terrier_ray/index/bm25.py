@@ -1217,9 +1217,32 @@ class BM25Index:
 
     def positions_for(self, term: str, docids) -> "dict[int, np.ndarray]":
         """Token positions of ``term`` in each of ``docids`` (0-based over
-        the doc's token stream) from the positional sidecar — decodes ONE
-        128-posting block per requested doc via the per-block byte offsets,
-        never the whole list, and never touches corpus text.
+        the doc's token stream) — dict view over ``positions_flat`` (one
+        np.split per call; the heavy work is the batched flat gather)."""
+        doc_seq, counts, _doc_rep, pos = self.positions_flat(term, docids)
+        out: dict[int, np.ndarray] = {}
+        if not len(doc_seq):
+            return out
+        bounds = np.cumsum(counts)[:-1]
+        for d, arr in zip(doc_seq.tolist(), np.split(pos, bounds)):
+            out[int(d)] = arr
+        return out
+
+    def positions_flat(self, term: str, docids):
+        """Batched positional gather: token positions of ``term`` for every
+        requested doc present in its postings, as FLAT arrays —
+        ``(docs uint64, counts int64, doc_rep uint64, pos int64)`` where
+        ``docs``/``counts`` give the per-doc segmentation of the parallel
+        ``(doc_rep, pos)`` pair lists (positions ascending within a doc).
+
+        Decodes each needed 128-posting block ONCE per salt — all block
+        slices concatenate into a single varbyte decode (self-delimiting;
+        every slice starts at a value boundary) — and un-deltas with ONE
+        segmented cumsum, so the per-candidate cost is O(1) bookkeeping:
+        a stopword-heavy phrase's 10^4-candidate AND set previously paid
+        ~6 small numpy kernels per (term, candidate) (122k varbyte_decode
+        calls / 9.4 s per 20 phrases profiled at sf0.1).  Never touches
+        corpus text.
 
         Positions rows stay one per (term, salt) even after the fold pass;
         a salt's docid range is re-derived from ``salt_of_docid``'s
@@ -1234,9 +1257,15 @@ class BM25Index:
         )
         from terrier_ray.index.codec import varbyte_decode
 
+        empty = (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+        )
         p = self.lookup([term]).get(term)
         if p is None:
-            return {}
+            return empty
         _df, dids, tfs, _bl, _bm = p
         block = int(self.stats.get("block_size", 128))
 
@@ -1267,34 +1296,91 @@ class BM25Index:
             ):
                 rows[int(s)] = (blob, np.frombuffer(bo, dtype="<u4"))
         if not rows:
-            return {}
+            return empty
 
-        # per-salt sub-list boundaries within the merged postings
+        # per-salt sub-list boundaries within the merged postings.
+        # BATCHED gather: one vectorized candidate locate, then per salt ONE
+        # varbyte decode over the concatenation of the UNIQUE needed blocks
+        # (varbyte is self-delimiting and every block slice starts at a
+        # value boundary, so concatenated slices decode as one stream) —
+        # a stopword-heavy phrase's 10^4-candidate AND set previously paid
+        # ~6 small numpy kernels per (term, candidate) in varbyte_decode
+        # (122k calls / 9.4 s per 20 phrases profiled at sf0.1); now the
+        # per-candidate work is integer math + one tiny cumsum.
         q = ((1 << 63) + self.num_salts - 1) // self.num_salts
-        out: dict[int, np.ndarray] = {}
-        for d in docids:
-            d = int(d)
-            i = int(np.searchsorted(dids, np.uint64(d)))
-            if i >= len(dids) or dids[i] != np.uint64(d):
+        q64 = np.asarray([int(d) for d in docids], dtype=np.uint64)
+        if not len(q64):
+            return empty
+        locs = np.searchsorted(dids, q64)
+        ok = locs < len(dids)
+        ok[ok] = dids[locs[ok]] == q64[ok]
+        if not ok.any():
+            return empty
+        heavy_salted = term in heavy_all and self.num_salts > 1
+        salts_of = (
+            (q64 // np.uint64(q)).astype(np.int64)
+            if heavy_salted
+            else np.zeros(len(q64), dtype=np.int64)
+        )
+        docs_parts: list[np.ndarray] = []
+        counts_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        for s in sorted(rows):
+            sel = ok & (salts_of == s)
+            if not sel.any():
                 continue
-            s = int(d // q) if (term in heavy_all and self.num_salts > 1) else 0
-            ent = rows.get(s)
-            if ent is None:
-                continue
-            blob, boff = ent
+            blob, boff = rows[s]
             part_start = (
                 int(np.searchsorted(dids, np.uint64(s * q))) if s else 0
             )
-            i_part = i - part_start
-            bix = i_part // block
-            lo = int(boff[bix])
-            hi = int(boff[bix + 1]) if bix + 1 < len(boff) else len(blob)
-            vals = varbyte_decode(blob[lo:hi])
-            counts = tfs[part_start + bix * block : part_start + i_part + 1]
-            start = int(counts[:-1].sum())
-            cnt = int(counts[-1])
-            out[d] = np.cumsum(vals[start : start + cnt]).astype(np.int64)
-        return out
+            part_end = (
+                int(np.searchsorted(dids, np.uint64((s + 1) * q)))
+                if heavy_salted
+                else len(dids)
+            )
+            tfs_salt = tfs[part_start:part_end]
+            # prefix position-counts per posting index within this salt part
+            c = np.concatenate(
+                ([0], np.cumsum(tfs_salt, dtype=np.int64))
+            )
+            i_part = locs[sel] - part_start
+            bix = (i_part // block).astype(np.int64)
+            uniq_b, b_inv = np.unique(bix, return_inverse=True)
+            slices: list[bytes] = []
+            offs = np.zeros(len(uniq_b), dtype=np.int64)
+            total = 0
+            for j, b in enumerate(uniq_b.tolist()):
+                lo = int(boff[b])
+                hi = int(boff[b + 1]) if b + 1 < len(boff) else len(blob)
+                slices.append(blob[lo:hi])
+                offs[j] = total
+                total += int(
+                    c[min((b + 1) * block, len(tfs_salt))] - c[b * block]
+                )
+            vals = varbyte_decode(b"".join(slices))
+            # per-candidate value ranges inside the decoded stream, then
+            # ONE segmented cumsum un-deltas every candidate at once
+            starts = offs[b_inv] + (c[i_part] - c[bix * block])
+            cnts = tfs_salt[i_part].astype(np.int64)
+            tot = int(cnts.sum())
+            seg0 = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            flat_idx = (
+                np.repeat(starts, cnts)
+                + np.arange(tot, dtype=np.int64)
+                - np.repeat(seg0, cnts)
+            )
+            gaps = vals[flat_idx].astype(np.int64)
+            g = np.cumsum(gaps)
+            corr = np.repeat(g[seg0] - gaps[seg0], cnts)
+            docs_parts.append(q64[sel])
+            counts_parts.append(cnts)
+            pos_parts.append(g - corr)
+        if not docs_parts:
+            return empty
+        docs = np.concatenate(docs_parts)
+        counts = np.concatenate(counts_parts)
+        pos = np.concatenate(pos_parts)
+        return docs, counts, np.repeat(docs, counts), pos
 
     # ------------------------------------------------------------------
     # boolean retrieval (unranked set algebra over sorted docid lists)

@@ -240,11 +240,11 @@ def _phrase_occurrences(
         if not len(cand):
             return empty
     cand_list = [int(d) for d in cand]
-    # one positions fetch per UNIQUE term (a repeated token reuses it)
-    posmaps = {t: idx.positions_for(t, cand_list) for t in uniq_terms}
-    docs: list[int] = []
-    counts: list[int] = []
     if slop:
+        # one positions fetch per UNIQUE term (a repeated token reuses it)
+        posmaps = {t: idx.positions_for(t, cand_list) for t in uniq_terms}
+        docs: list[int] = []
+        counts: list[int] = []
         window = len(uniq_terms) + int(slop)
         for d in cand_list:
             arrs = [posmaps[t].get(d) for t in uniq_terms]
@@ -255,22 +255,32 @@ def _phrase_occurrences(
                 docs.append(d)
                 counts.append(c)
         return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
-    for d in cand_list:
-        acc = posmaps[seq[0]].get(d)
-        if acc is None:
-            continue
-        for j in range(1, len(seq)):
-            pj = posmaps[seq[j]].get(d)
-            if pj is None:
-                acc = acc[:0]
-                break
-            acc = np.intersect1d(acc, pj - j, assume_unique=True)
-            if not len(acc):
-                break
-        if len(acc):
-            docs.append(d)
-            counts.append(int(len(acc)))
-    return np.asarray(docs, np.int64), np.asarray(counts, np.int64)
+    # EXACT phrase: one flat positions fetch per unique term, then the
+    # whole adjacency intersection runs as len(seq)-1 GLOBAL intersect1d
+    # calls over packed (candidate-ordinal << 32 | position - offset)
+    # int64 keys — never a per-candidate loop (a stopword phrase's 10^4-
+    # candidate AND set previously paid ~47k tiny intersect1d calls at
+    # sf0.1).  Ordinal packing is collision-free: ordinals < 2^31 and
+    # token positions < 2^32 - len(seq) (a doc's token count), and a
+    # match's j-th position is >= j so the j-shift never borrows out of
+    # the ordinal field for any surviving key.
+    flats = {t: idx.positions_flat(t, cand_list)[2:] for t in uniq_terms}
+    cand_arr = np.asarray(cand, dtype=np.uint64)  # sorted (intersect chain)
+    shift = np.int64(1) << np.int64(32)
+    keys: "np.ndarray | None" = None
+    for j, t in enumerate(seq):
+        doc_rep, pos = flats[t]
+        if not len(doc_rep):
+            return empty
+        ordn = np.searchsorted(cand_arr, doc_rep).astype(np.int64)
+        kj = ordn * shift + (pos - j)
+        keys = kj if keys is None else np.intersect1d(
+            keys, kj, assume_unique=True
+        )
+        if not len(keys):
+            return empty
+    ords, cnts = np.unique(keys >> np.int64(32), return_counts=True)
+    return cand_arr[ords].astype(np.int64), cnts.astype(np.int64)
 
 
 def _minimal_window_count(arrs: "list[np.ndarray]", window: int) -> int:
