@@ -499,6 +499,23 @@ class BM25Index:
         self._dv_load()
         return list(self._dv_dict)
 
+    def _lang_code(self, lang: str) -> "np.uint16 | None":
+        """Dictionary code for ``lang``, or None when the value is absent
+        from the dictionary (a filter that matches NOTHING — valid input,
+        empty result).  Raises when the index has no sidecar at all — a
+        misconfiguration, never a silent [] (the ONE lang-filter resolve
+        shared by every filtered entry point)."""
+        self._dv_load()
+        if not self._dv_parts:
+            raise ValueError(
+                "index built without a docvalues sidecar "
+                "(build_index(docvalues=True))"
+            )
+        try:
+            return np.uint16(self._dv_dict.index(lang))
+        except ValueError:
+            return None
+
     def docvalue_codes(self, docids: np.ndarray) -> np.ndarray:
         """Dictionary codes of the docvalue column for ``docids`` (uint16;
         0xFFFF = null) — the doc_len memmap-gather discipline applied to
@@ -628,12 +645,10 @@ class BM25Index:
         if not len(uniq):
             return []
         if lang is not None:
-            self._dv_load()
-            try:
-                want = self._dv_dict.index(lang)
-            except ValueError:
+            want = self._lang_code(lang)
+            if want is None:
                 return []
-            keep = self.docvalue_codes(uniq) == np.uint16(want)
+            keep = self.docvalue_codes(uniq) == want
             uniq, acc = uniq[keep], acc[keep]
             if not len(uniq):
                 return []
@@ -662,21 +677,23 @@ class BM25Index:
         engine's total result order
         (score desc, docid asc).  Page-by-page concatenation reconstructs
         the full ranking exactly (tested), because the cursor is a strict
-        total-order cut, not an offset — so page N never recomputes or
-        ships pages 1..N-1 (offset+limit at depth d costs O(d+k) heap and
-        re-rank everywhere; searchAfter stays O(k)).  ``after=None`` is
+        total-order cut, not an offset.  What the cursor buys is a
+        bounded RESULT set per page — page N never ships or merges pages
+        1..N-1, which on the distributed shape means O(k) per shard
+        k-list instead of O(d+k) deep-prefix heaps everywhere; this
+        single-handle implementation still re-runs the full TAAT
+        accumulation + candidate sort per page (candidates are bounded
+        by query df, same as ``search``).  ``after=None`` is
         page one (== ``search``); ``lang`` / ``ts_range`` compose the
         docvalue filters (same masks as ``search_filtered``)."""
         uniq, acc = self.score_all(query)
         if not len(uniq):
             return []
         if lang is not None:
-            self._dv_load()
-            try:
-                want = self._dv_dict.index(lang)
-            except ValueError:
+            want = self._lang_code(lang)
+            if want is None:
                 return []
-            keep = self.docvalue_codes(uniq) == np.uint16(want)
+            keep = self.docvalue_codes(uniq) == want
             uniq, acc = uniq[keep], acc[keep]
         if ts_range is not None and len(uniq):
             ts = self.numeric_docvalue(uniq)
@@ -710,12 +727,10 @@ class BM25Index:
         if not len(uniq):
             return []
         if lang is not None:
-            self._dv_load()
-            try:
-                want = self._dv_dict.index(lang)
-            except ValueError:
+            want = self._lang_code(lang)
+            if want is None:
                 return []
-            uniq = uniq[self.docvalue_codes(uniq) == np.uint16(want)]
+            uniq = uniq[self.docvalue_codes(uniq) == want]
             if not len(uniq):
                 return []
         ts = self.numeric_docvalue(uniq)
@@ -745,12 +760,10 @@ class BM25Index:
         if not len(uniq):
             return []
         if lang is not None:
-            self._dv_load()
-            try:
-                want = self._dv_dict.index(lang)
-            except ValueError:
+            want = self._lang_code(lang)
+            if want is None:
                 return []
-            uniq = uniq[self.docvalue_codes(uniq) == np.uint16(want)]
+            uniq = uniq[self.docvalue_codes(uniq) == want]
             if not len(uniq):
                 return []
         ts = self.numeric_docvalue(uniq)

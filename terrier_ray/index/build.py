@@ -625,7 +625,11 @@ def build_numeric_docvalues(
 
     def _as_i64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
         t = col.type
-        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        if pa.types.is_date32(t):
+            # date32 -> int64 directly is ArrowNotImplemented on this
+            # pyarrow; hop through the storage type (days since epoch)
+            col = col.cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_timestamp(t) or pa.types.is_date64(t):
             col = col.cast(pa.int64())
         return np.asarray(
             col.to_numpy(zero_copy_only=False), dtype=np.int64
@@ -1995,6 +1999,11 @@ def build_index(
         import shutil
 
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        # derived sidecars are corpus-derived: a corpus rebuild must take
+        # them down too, or a later docvalues=False build serves STALE
+        # attribute pages through has_docvalues (r5 session-2 review)
+        shutil.rmtree(os.path.join(out_dir, "docvalues"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "docvalues_ts"), ignore_errors=True)
         build_corpus(webtext_path, corpus_dir, batch_size=batch_size,
                      positions=positions, field=field)
         wall = time.perf_counter() - t0

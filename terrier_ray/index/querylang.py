@@ -293,7 +293,12 @@ def _minimal_window_count(arrs: "list[np.ndarray]", window: int) -> int:
     them all exactly once.  Positions are token indices, distinct across
     arrays within a doc (one token per position), so the merged order is
     unambiguous.  O(total positions) per doc; callers bound the doc set
-    by the candidate AND."""
+    by the candidate AND.  This sweep is the one remaining sequential
+    Python kernel on the positional paths (the exact-phrase path is fully
+    vectorized via packed-key intersect1d): a stopword-heavy proximity
+    query pays ~87 ms at sf0.1 vs 26 ms exact.  A vectorized minimal-
+    interval formulation exists (per-label running last-occurrence keys +
+    a prev-same-label gather) if that tail ever matters."""
     k = len(arrs)
     if k == 1:
         return int(len(arrs[0]))  # every single occurrence spans 1 <= window

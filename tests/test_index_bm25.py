@@ -1432,3 +1432,54 @@ def test_sorted_and_histogram_entries(ray_session, sf_smoke):
     assert hist.column_names == ["query_id", "query", "bucket_start", "n_docs"]
     assert hist.num_rows > 0
     assert (hist.column("n_docs").to_numpy() > 0).all()
+
+
+def test_filtered_search_raises_without_sidecar(ray_session, webtext_small, tmp_root):
+    """A lang filter on an index with NO docvalues sidecar is a
+    misconfiguration and raises (never a silent empty result); a corpus
+    rebuild WITHOUT docvalues=True takes stale sidecars down with it."""
+    out = os.path.join(str(tmp_root), "idx_no_dv")
+    build_index(webtext_small, out, num_buckets=4, num_salts=1)
+    idx = BM25Index(out)
+    assert not idx.has_docvalues
+    with pytest.raises(ValueError, match="docvalues"):
+        idx.search_filtered("the", k=5, lang="en")
+    with pytest.raises(ValueError, match="docvalues"):
+        idx.search_sorted_by_ts("the", k=5, lang="en")
+    # upgrade: sidecar appears...
+    build_index(webtext_small, out, num_buckets=4, num_salts=1, docvalues=True)
+    assert BM25Index(out).has_docvalues
+    # ...and a forced corpus rebuild WITHOUT docvalues=True removes it
+    # (derived sidecars never outlive their corpus)
+    build_index(webtext_small, out, num_buckets=4, num_salts=1, force=True)
+    assert not BM25Index(out).has_docvalues
+
+
+def test_numeric_docvalues_date32_cast(tmp_root):
+    """build_numeric_docvalues must handle date32-typed columns (direct
+    date32->int64 casts are unimplemented in this pyarrow; the builder
+    hops through the storage type)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terrier_ray.index.build import build_numeric_docvalues
+
+    src = os.path.join(str(tmp_root), "dv_date32_corpus")
+    os.makedirs(src, exist_ok=True)
+    tab = pa.table(
+        {
+            "docid": pa.array([5, 1, 9], pa.int64()),
+            "warc_ts": pa.array([10, 20, 30], pa.date32()),
+        }
+    )
+    pq.write_table(tab, os.path.join(src, "part-0.parquet"))
+    dv = os.path.join(str(tmp_root), "dv_date32_out")
+    meta = build_numeric_docvalues(src, dv, column="warc_ts")
+    assert meta["n"] == 3
+    with open(os.path.join(dv, meta["parts"][0]["file"]), "rb") as f:
+        buf = f.read()
+    did = np.frombuffer(buf, dtype="<i8", count=3)
+    val = np.frombuffer(buf, dtype="<i8", offset=24, count=3)
+    assert did.tolist() == [1, 5, 9]
+    assert val.tolist() == [20, 10, 30]  # days-since-epoch, docid-sorted
